@@ -1,0 +1,54 @@
+"""Workload registry: every implemented operator exposed as a named query
+with a DuckDB-runnable oracle twin (the driver contract in __spark_entry__.py).
+
+Each module registers ``QuerySpec``s via the ``spec`` decorator:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark implementation, built on the
+  engine's operator modules (idiomatic DataFrame API).
+- ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet views
+  (None for genuinely non-SQL-expressible ops → driver does rows-only check).
+
+Determinism rules (so order-insensitive value hashes match exactly):
+- no wall-clock: frozen AS_OF dates from datasets.py;
+- no ANY_VALUE/first: order-insensitive aggregates only;
+- float aggregates rounded (2 digits for exact-cent sums, 6 for divisions);
+- integer sums CAST to BIGINT in oracle SQL (DuckDB widens to HUGEINT);
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def spec(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all workload modules (side effect: registration) and return the
+    registry."""
+    from . import docs, events, stock, tpch, vectors  # noqa: F401
+
+    return REGISTRY

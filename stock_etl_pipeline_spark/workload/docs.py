@@ -1,0 +1,235 @@
+"""Text-analysis and deduplication queries over the ``documents`` table —
+the training-data-pipeline surface (token stats, quality scoring, language ID,
+fingerprinting, exact + n-gram-Jaccard near dedup).
+
+All scalar text ops are per-row deterministic regex/string functions available
+identically in Spark (Java regex) and DuckDB (RE2) — patterns kept to the
+common subset (char classes, literal alternations, \\S/\\s/\\b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions import pround, sql_pround
+from . import spec
+
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[.,!?;:]"
+_STOP_RE = r"\b(the|a|of|and|to|in|is)\b"
+
+_SQL_N_TOKENS = f"len(regexp_extract_all(text, '{_TOKEN_RE}'))"
+_SQL_N_STOP = f"len(regexp_extract_all(lower(text), '{_STOP_RE}'))"
+_SQL_STOP_RATIO = f"CAST({_SQL_N_STOP} AS DOUBLE) / NULLIF({_SQL_N_TOKENS}, 0)"
+_SQL_QUALITY = (
+    f"least(1.0, {_SQL_N_TOKENS} / 100.0) * 0.6"
+    f" + least(1.0, ({_SQL_STOP_RATIO}) * 5) * 0.4"
+)
+
+_TEXT_STATS_ORACLE = rf"""
+SELECT doc_id, lang, source, n_chars,
+  CAST(length(text) AS BIGINT) AS text_len,
+  CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct,
+  CAST({_SQL_N_STOP} AS BIGINT) AS n_stopwords,
+  {sql_pround(_SQL_STOP_RATIO, 6)} AS stopword_ratio,
+  {sql_pround(_SQL_QUALITY, 6)} AS quality_score
+FROM documents
+""".strip()
+
+
+@spec("doc_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("text", "quality"), bench=True)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation/stopword ratios + composite quality score
+    (length-normalized + stopword-informed), all JVM-side regex — no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = pround(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.6
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.4,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        pround(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+# Language ID: marker-word argmax with a deterministic CASE tie-break order.
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|y|que)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+_LANG_ID_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+    CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}')) AS BIGINT) AS c_en,
+    CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["es"]}')) AS BIGINT) AS c_es,
+    CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["fr"]}')) AS BIGINT) AS c_fr,
+    CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["de"]}')) AS BIGINT) AS c_de
+  FROM documents
+)
+SELECT doc_id, labeled_lang, c_en, c_es, c_fr, c_de,
+  CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 AND c_de = 0 THEN 'unknown'
+       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+       WHEN c_fr >= c_de THEN 'fr'
+       ELSE 'de' END AS predicted_lang
+FROM scored
+""".strip()
+
+
+@spec("doc_lang_id", oracle=_LANG_ID_ORACLE, tags=("text", "lang_id"))
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        lang: F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)).cast(
+            "long"
+        )
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    c = {k: F.col(f"c_{k}") for k in counts}
+    predicted = (
+        F.when(
+            (c["en"] == 0) & (c["es"] == 0) & (c["fr"] == 0) & (c["de"] == 0),
+            F.lit("unknown"),
+        )
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]), F.lit("en"))
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["de"]), F.lit("es"))
+        .when(c["fr"] >= c["de"], F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[counts[k].alias(f"c_{k}") for k in counts],
+    ).withColumn("predicted_lang", predicted)
+
+
+# Document fingerprint + exact dedup (hash-groupBy — the scalable exact-dedup
+# primitive: one shuffle on the 128-bit digest, never on the text itself).
+_EXACT_DEDUP_ORACLE = r"""
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+  count(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+""".strip()
+
+
+@spec("doc_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("dedup", "fingerprint"), bench=True)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# N-gram Jaccard near-dedup: word-3-shingles → set join → pair similarity.
+_JACCARD_THRESHOLD = 0.2
+_NGRAM_JACCARD_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle FROM pos
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b, inter,
+  {sql_pround("inter * 1.0 / (ca.n + cb.n - inter)", 6)} AS jaccard
+FROM pairs
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {_JACCARD_THRESHOLD}
+""".strip()
+
+
+@spec("doc_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("dedup", "similarity_join"), bench=True)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity join (near-dup detection).
+
+    Scale shape: shingle explode (narrow) → distinct (shuffle on shingle) →
+    self-equi-join on shingle (co-partitioned — reuses the same hash
+    partitioning, no extra exchange) → pair-count aggregate. Hot shingles are
+    the skew risk at 100 TB; operators/dedup.py's MinHash-LSH path bounds the
+    join fan-out by banding instead of joining raw shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    sh = (
+        d.select("doc_id", words.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 2, 0)), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter", pround(jac, 6).alias("jaccard"))
+    )
+
+
+_LANG_DIST_ORACLE = f"""
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  {sql_pround("CAST(sum(n_chars) AS BIGINT) * 1.0 / count(n_chars)", 6)} AS avg_chars
+FROM documents
+GROUP BY lang, source
+""".strip()
+
+
+@spec("doc_lang_dist", oracle=_LANG_DIST_ORACLE, tags=("agg", "text"))
+def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        pround(F.sum("n_chars") * 1.0 / F.count("n_chars"), 6).alias("avg_chars"),
+    )

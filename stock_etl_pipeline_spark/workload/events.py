@@ -1,0 +1,156 @@
+"""Event-stream analytics (batch form) over the ``events`` table.
+
+These are the batch twins of the streaming extension (SURVEY.md §2.10/§7):
+tumbling-window aggregation, sessionization, and ingestion stats. The
+streaming module reuses the same groupings with ``F.window``/watermarks.
+
+``value`` sums use the integer-cents discipline (functions/__init__.py) so
+aggregation order cannot perturb the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions import exact_avg, exact_sum, pround, sql_exact_avg, sql_exact_sum, sql_pround
+from ..operators import analytics
+from . import spec
+
+_INGESTION_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS ingestion_date,
+  count(*) AS record_count,
+  count(DISTINCT user_id) AS unique_users,
+  count(DISTINCT event_type) AS unique_event_types,
+  {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value,
+  min(ts) AS first_event_ts,
+  max(ts) AS last_event_ts
+FROM events
+GROUP BY CAST(ts AS DATE)
+""".strip()
+
+
+@spec("ingestion_stats", oracle=_INGESTION_ORACLE, tags=("A7",), bench=True)
+def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — GROUP BY derived day (reference plugins/helpers/queries.py:150-163)."""
+    return analytics.ingestion_stats(load_table(spark, sf_dir, "events"))
+
+
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  {sql_exact_sum("value", 100.0)} AS total_value,
+  {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""".strip()
+
+
+@spec("tumbling_hourly", oracle=_TUMBLING_ORACLE, tags=("streaming", "window_agg"), bench=True)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — batch twin of the streaming
+    windowed agg (streaming/pipeline.py uses F.window + watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        exact_sum(F.col("value"), 100.0).alias("total_value"),
+        pround(exact_avg(F.col("value"), 100.0), 6).alias("avg_value"),
+    )
+
+
+_SESSION_GAP_SECONDS = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > {_SESSION_GAP_SECONDS}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+  count(*) AS n_events,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  {sql_exact_sum("value", 100.0)} AS session_value
+FROM sess
+GROUP BY user_id, session_id
+""".strip()
+
+
+@spec("sessionize", oracle=_SESSIONIZE_ORACLE, tags=("sessionization", "window"), bench=True)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap → cumulative session id → per-session agg.
+    One shuffle on user_id serves all three window/group steps (the window
+    partitioning is reused by the final groupBy — no second exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap > _SESSION_GAP_SECONDS), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        exact_sum(F.col("value"), 100.0).alias("session_value"),
+    )
+
+
+_EVENT_TYPE_ORACLE = f"""
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  {sql_exact_sum("value", 100.0)} AS total_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+@spec("event_type_stats", oracle=_EVENT_TYPE_ORACLE, tags=("agg",))
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value"), 100.0).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+  count(*) AS n_events
+FROM events
+GROUP BY CAST(json_extract(props, '$.k') AS INTEGER)
+""".strip()
+
+
+@spec("json_props_extract", oracle=_JSON_PROPS_ORACLE, tags=("json", "semi_structured"))
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed value → agg
+    (maps the driver tables' JSON-string props, SURVEY.md §1.3 note)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.get_json_object("props", "$.k").cast("int").alias("k_value")
+    ).agg(F.count("*").alias("n_events"))

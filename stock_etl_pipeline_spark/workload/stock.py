@@ -1,0 +1,461 @@
+"""Stock-domain queries over the deterministic ``prices`` stand-in view
+(datasets.PRICES_VIEW_SQL over lineitem — FIXTURES.md F5 mapping).
+
+Covers SURVEY.md §2: A1-A7, A9, A11, A12, W1/W2, P5-P18, O3-O5, J1/J2, K7 and
+the Q-suite analogues. Oracle SQL is generated with the same portable
+floor-rounding / integer-exact-sum helpers the Spark side uses
+(functions.sql_pround / sql_exact_avg), so both engines compute bitwise-equal
+doubles — see functions/__init__.py for the determinism rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import AS_OF_DATE, N_SYMBOLS, load_prices, oracle_with_prices
+from ..functions import pround, exact_avg, sql_exact_avg, sql_pround
+from ..operators import analytics
+from ..operators.merge import dedup_keep_first
+from ..operators.transform import derive_metrics
+from ..operators.upsert import merge_upsert
+from ..operators.window import daily_close, moving_averages, with_lag_lead
+from . import spec
+
+_CLOSE_PRICE = sql_pround(sql_exact_avg("close", 100.0), 6)
+
+# Exact daily-close CTE: close_price_u is integer micro-units so window sums
+# are order-independent longs (see operators/window.py micros_col rationale).
+_CLOSE_PRICE_U = (
+    f"CAST(floor({sql_exact_avg('close', 100.0)} * 1000000.0 + 0.5) AS BIGINT)"
+)
+_DAILY_CTE = f"""
+, daily AS (
+  SELECT date, symbol, {_CLOSE_PRICE_U} AS close_price_u
+  FROM prices GROUP BY date, symbol
+),
+daily2 AS (
+  SELECT date, symbol, close_price_u, close_price_u / 1000000.0 AS close_price
+  FROM daily
+)
+""".rstrip()
+
+# ---------------------------------------------------------------------------
+# W1 — flagship: rolling moving averages (reference plugins/helpers/queries.py:76-115)
+# ---------------------------------------------------------------------------
+
+
+def _ma_win(width: int) -> str:
+    return (
+        f"(PARTITION BY symbol ORDER BY date "
+        f"ROWS BETWEEN {width - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
+def _ma_col(width: int) -> str:
+    w = _ma_win(width)
+    return (
+        f"CAST(sum(close_price_u) OVER {w} AS BIGINT)"
+        f" / (1000000.0 * count(close_price_u) OVER {w}) AS ma_{width}d"
+    )
+
+
+_MA_ORACLE = oracle_with_prices(
+    f"""
+{_DAILY_CTE}
+SELECT symbol, date, close_price,
+  {_ma_col(5)},
+  {_ma_col(10)},
+  {_ma_col(20)},
+  {_ma_col(50)}
+FROM daily2
+""".rstrip()
+)
+
+
+@spec("moving_averages", oracle=_MA_ORACLE, tags=("W1", "A1", "window"), bench=True)
+def q_moving_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_close(load_prices(spark, sf_dir))
+    return moving_averages(
+        daily, (5, 10, 20, 50), min_periods=1, micros_col="close_price_u"
+    ).select("symbol", "date", "close_price", "ma_5d", "ma_10d", "ma_20d", "ma_50d")
+
+
+# W2 — pandas-faithful rolling mean (min_periods = width → NULL head rows)
+_STRICT_AVG = (
+    f"CAST(sum(close_price_u) OVER {_ma_win(20)} AS BIGINT)"
+    f" / (1000000.0 * count(close_price_u) OVER {_ma_win(20)})"
+)
+_STRICT_COUNT = f"count(close_price_u) OVER {_ma_win(20)}"
+_MA_PANDAS_ORACLE = oracle_with_prices(
+    f"""
+{_DAILY_CTE}
+SELECT symbol, date, close_price,
+  CASE WHEN {_STRICT_COUNT} >= 20 THEN {_STRICT_AVG} END AS ma_20d
+FROM daily2
+""".rstrip()
+)
+
+
+@spec("rolling_mean_strict", oracle=_MA_PANDAS_ORACLE, tags=("W2", "window"))
+def q_rolling_mean_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_close(load_prices(spark, sf_dir))
+    return moving_averages(
+        daily, (20,), min_periods=None, micros_col="close_price_u"
+    ).select("symbol", "date", "close_price", "ma_20d")
+
+
+# ---------------------------------------------------------------------------
+# A1 — daily metrics view (reference plugins/helpers/queries.py:22-34)
+# ---------------------------------------------------------------------------
+
+_DAILY_METRICS_ORACLE = oracle_with_prices(
+    f"""
+SELECT date, symbol,
+  {sql_pround(sql_exact_avg("close", 100.0), 6)} AS avg_close,
+  min(close) AS min_close,
+  max(close) AS max_close,
+  {sql_pround(sql_exact_avg("(high - low) / open * 100", 1000000.0), 6)} AS avg_volatility,
+  count(DISTINCT data_source) AS source_count,
+  CAST(sum(volume) AS BIGINT) AS total_volume
+FROM prices GROUP BY date, symbol
+""".rstrip()
+)
+
+
+@spec("daily_metrics", oracle=_DAILY_METRICS_ORACLE, tags=("A1",), bench=True)
+def q_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.daily_metrics(load_prices(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A2/J2/P18 — cross-source comparison with spread filter
+# (reference plugins/helpers/queries.py:37-73; dags/utils/validators.py:231-244)
+# ---------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = oracle_with_prices(
+    f"""
+SELECT symbol, date, min_close, max_close, avg_close, source_count,
+  {sql_pround("(max_close - min_close) / min_close * 100", 6)} AS price_diff_pct
+FROM (
+  SELECT symbol, date,
+    min(close) AS min_close,
+    max(close) AS max_close,
+    {sql_pround(sql_exact_avg("close", 100.0), 6)} AS avg_close,
+    count(DISTINCT data_source) AS source_count
+  FROM prices GROUP BY symbol, date
+) g
+WHERE source_count > 1 AND (max_close - min_close) / min_close > 0.02
+""".rstrip()
+)
+
+
+@spec("cross_source_spread", oracle=_CROSS_SOURCE_ORACLE, tags=("A2", "J2", "P18"), bench=True)
+def q_cross_source_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.cross_source_comparison(load_prices(spark, sf_dir), 0.02)
+
+
+# ---------------------------------------------------------------------------
+# A3/A6 — grouped collection rendered portably (reference queries.py:57,142)
+# ---------------------------------------------------------------------------
+
+_SOURCE_DETAILS_ORACLE = oracle_with_prices(
+    """
+SELECT symbol, date,
+  array_to_string(list_sort(list(DISTINCT data_source)), ',') AS sources,
+  count(*) AS n_rows
+FROM prices GROUP BY symbol, date
+""".rstrip()
+)
+
+
+@spec("source_details", oracle=_SOURCE_DETAILS_ORACLE, tags=("A3", "array_agg"))
+def q_source_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.source_details(load_prices(spark, sf_dir))
+
+
+_SOURCE_DIST_ORACLE = oracle_with_prices(
+    """
+SELECT data_source, count(*) AS record_count
+FROM prices GROUP BY data_source
+""".rstrip()
+)
+
+
+@spec("source_distribution", oracle=_SOURCE_DIST_ORACLE, tags=("A6",))
+def q_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.source_distribution(load_prices(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# P-layer — transform stage derived metrics (reference dags/utils/transformers.py:49-65)
+# ---------------------------------------------------------------------------
+
+_TRANSFORM_ORACLE = oracle_with_prices(
+    f"""
+SELECT date, symbol, open, high, low, close, volume, data_source,
+  {sql_pround("(close - open) / open * 100", 2)} AS daily_change_pct,
+  {sql_pround("(high - low) / open * 100", 2)} AS daily_volatility
+FROM prices
+""".rstrip()
+)
+
+
+@spec("transform_metrics", oracle=_TRANSFORM_ORACLE, tags=("P7", "P10", "P11"), bench=True)
+def q_transform_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_metrics(load_prices(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# O3/O4 — merge + deterministic keep-first dedup (reference transformers.py:79-125)
+# ---------------------------------------------------------------------------
+
+_MERGE_DEDUP_ORACLE = oracle_with_prices(
+    """
+SELECT date, symbol, data_source, open, high, low, close, volume
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY date, symbol, data_source
+      ORDER BY open, high, low, close, volume) AS rn
+  FROM prices
+) t WHERE rn = 1
+""".rstrip()
+)
+
+
+@spec("merge_dedup", oracle=_MERGE_DEDUP_ORACLE, tags=("O3", "O4"), bench=True)
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = load_prices(spark, sf_dir)
+    deduped = dedup_keep_first(
+        prices,
+        keys=("date", "symbol", "data_source"),
+        tiebreak_cols=("open", "high", "low", "close", "volume"),
+    )
+    return deduped.select(
+        "date", "symbol", "data_source", "open", "high", "low", "close", "volume"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A4/P16 — global data profile over trailing 30 days (reference queries.py:118-147)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = oracle_with_prices(
+    f"""
+SELECT count(*) AS row_count,
+  count(DISTINCT date) AS unique_dates,
+  count(DISTINCT symbol) AS unique_symbols,
+  count(DISTINCT data_source) AS unique_sources,
+  min(date) AS earliest_date,
+  max(date) AS latest_date,
+  min(close) AS min_close,
+  max(close) AS max_close,
+  {sql_pround(sql_exact_avg("close", 100.0), 6)} AS avg_close,
+  CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open_count,
+  CAST(count(*) FILTER (WHERE volume IS NULL) AS BIGINT) AS null_volume_count
+FROM prices
+WHERE date >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY
+""".rstrip()
+)
+
+
+@spec("data_profile", oracle=_PROFILE_ORACLE, tags=("A4", "A5", "P16"))
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.data_profile(load_prices(spark, sf_dir), AS_OF_DATE, 30)
+
+
+# A4 proper — null profiling with deterministically injected nulls
+_NULL_PROFILE_ORACLE = oracle_with_prices(
+    """
+, dirty AS (
+  SELECT CASE WHEN volume % 700 = 0 THEN NULL ELSE open END AS open,
+         CASE WHEN volume % 1100 = 0 THEN NULL ELSE high END AS high,
+         CASE WHEN volume % 1300 = 0 THEN NULL ELSE low END AS low,
+         close, volume
+  FROM prices
+)
+SELECT count(*) AS total_rows,
+  CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open,
+  CAST(count(*) FILTER (WHERE high IS NULL) AS BIGINT) AS null_high,
+  CAST(count(*) FILTER (WHERE low IS NULL) AS BIGINT) AS null_low,
+  CAST(count(*) FILTER (WHERE close IS NULL) AS BIGINT) AS null_close
+FROM dirty
+""".rstrip()
+)
+
+
+@spec("null_profile", oracle=_NULL_PROFILE_ORACLE, tags=("A4",))
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_prices(spark, sf_dir)
+    dirty = p.select(
+        F.when(F.col("volume") % 700 == 0, None).otherwise(F.col("open")).alias("open"),
+        F.when(F.col("volume") % 1100 == 0, None).otherwise(F.col("high")).alias("high"),
+        F.when(F.col("volume") % 1300 == 0, None).otherwise(F.col("low")).alias("low"),
+        "close",
+        "volume",
+    )
+    return dirty.agg(
+        F.count("*").alias("total_rows"),
+        F.count_if(F.col("open").isNull()).alias("null_open"),
+        F.count_if(F.col("high").isNull()).alias("null_high"),
+        F.count_if(F.col("low").isNull()).alias("null_low"),
+        F.count_if(F.col("close").isNull()).alias("null_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — duplicate counts by key (reference dags/utils/validators.py:153,227)
+# ---------------------------------------------------------------------------
+
+_DUP_ORACLE = oracle_with_prices(
+    """
+SELECT count(*) AS dup_groups,
+  CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS dup_rows
+FROM (
+  SELECT date, symbol, data_source, count(*) AS cnt
+  FROM prices GROUP BY date, symbol, data_source
+  HAVING count(*) > 1
+) g
+""".rstrip()
+)
+
+
+@spec("duplicate_counts", oracle=_DUP_ORACLE, tags=("A9", "Q6"))
+def q_duplicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = (
+        load_prices(spark, sf_dir)
+        .groupBy("date", "symbol", "data_source")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    return groups.agg(
+        F.count("*").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11/O5 — symbol coverage via anti join (reference dags/utils/validators.py:312-370)
+# ---------------------------------------------------------------------------
+
+_REQUIRED_SYMBOLS = [f"SYM{i:02d}" for i in range(N_SYMBOLS)] + ["SYM99"]
+_VALUES = ", ".join(f"('{s}')" for s in _REQUIRED_SYMBOLS)
+_COVERAGE_ORACLE = oracle_with_prices(
+    f"""
+, actual AS (SELECT DISTINCT symbol FROM prices),
+required(symbol) AS (VALUES {_VALUES})
+SELECT r.symbol AS missing_symbol
+FROM required r
+WHERE NOT EXISTS (SELECT 1 FROM actual a WHERE a.symbol = r.symbol)
+""".rstrip()
+)
+
+
+@spec("symbol_coverage", oracle=_COVERAGE_ORACLE, tags=("A11", "O5", "Q11"))
+def q_symbol_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    actual = load_prices(spark, sf_dir).select("symbol").distinct()
+    required = spark.createDataFrame([(s,) for s in _REQUIRED_SYMBOLS], "symbol string")
+    return required.join(actual, "symbol", "left_anti").select(
+        F.col("symbol").alias("missing_symbol")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12/Q10 — freshness watermark (reference dags/utils/validators.py:254-309)
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = oracle_with_prices(
+    f"""
+SELECT max(date) AS newest_date,
+  CAST(date_diff('day', max(date), DATE '{AS_OF_DATE}') AS INTEGER) AS days_behind,
+  max(date) >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY AS is_fresh
+FROM prices
+""".rstrip()
+)
+
+
+@spec("freshness", oracle=_FRESHNESS_ORACLE, tags=("A12", "Q10"))
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    as_of = F.lit(AS_OF_DATE).cast("date")
+    return (
+        load_prices(spark, sf_dir)
+        .agg(F.max("date").alias("newest_date"))
+        .select(
+            "newest_date",
+            F.datediff(as_of, F.col("newest_date")).alias("days_behind"),
+            (F.col("newest_date") >= F.date_sub(as_of, 30)).alias("is_fresh"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7/J1 — MERGE upsert rewrite (reference dags/utils/loaders.py:107-190)
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = oracle_with_prices(
+    f"""
+, daily AS (
+  SELECT date, symbol, data_source,
+    {sql_pround(sql_exact_avg("close", 100.0), 6)} AS close,
+    CAST(sum(volume) AS BIGINT) AS volume
+  FROM prices GROUP BY date, symbol, data_source
+),
+target AS (SELECT * FROM daily WHERE date < DATE '2001-09-01'),
+source AS (
+  SELECT date, symbol, data_source, {sql_pround("close * 1.1", 6)} AS close, volume
+  FROM daily WHERE date >= DATE '2001-08-01' AND date < DATE '2001-10-01'
+)
+SELECT * FROM target t
+WHERE NOT EXISTS (
+  SELECT 1 FROM source s
+  WHERE s.date = t.date AND s.symbol = t.symbol AND s.data_source = t.data_source)
+UNION ALL
+SELECT * FROM source
+""".rstrip()
+)
+
+
+@spec("merge_upsert", oracle=_UPSERT_ORACLE, tags=("K7", "J1"), bench=True)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_prices(spark, sf_dir)
+        .groupBy("date", "symbol", "data_source")
+        .agg(
+            pround(exact_avg(F.col("close"), 100.0), 6).alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+    )
+    target = daily.filter(F.col("date") < F.lit("2001-09-01").cast("date"))
+    source = daily.filter(
+        (F.col("date") >= F.lit("2001-08-01").cast("date"))
+        & (F.col("date") < F.lit("2001-10-01").cast("date"))
+    ).withColumn("close", pround(F.col("close") * 1.1, 6))
+    return merge_upsert(target, source, keys=("date", "symbol", "data_source"))
+
+
+# ---------------------------------------------------------------------------
+# Extension — lag/lead daily returns (SURVEY.md §7 step 9)
+# ---------------------------------------------------------------------------
+
+_RETURNS_ORACLE = oracle_with_prices(
+    f"""
+, daily AS (
+  SELECT date, symbol, {_CLOSE_PRICE} AS close_price
+  FROM prices GROUP BY date, symbol
+)
+SELECT symbol, date, close_price,
+  lag(close_price, 1) OVER w AS prev_value,
+  lead(close_price, 1) OVER w AS next_value,
+  {sql_pround("(close_price - lag(close_price, 1) OVER w) / (lag(close_price, 1) OVER w) * 100", 6)} AS return_pct
+FROM daily
+WINDOW w AS (PARTITION BY symbol ORDER BY date)
+""".rstrip()
+)
+
+
+@spec("daily_returns", oracle=_RETURNS_ORACLE, tags=("window", "lag_lead"))
+def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_close(load_prices(spark, sf_dir))
+    return with_lag_lead(daily, "close_price").select(
+        "symbol", "date", "close_price", "prev_value", "next_value", "return_pct"
+    )

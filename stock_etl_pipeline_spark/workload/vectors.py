@@ -1,0 +1,134 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``array<float>`` column, 64-dim).
+
+Brute-force cosine top-k is the correctness baseline; the scale path
+(LSH-bucketed ANN) lives in operators/similarity.py. The dot product stays
+JVM-side via ``zip_with``/``aggregate`` higher-order functions — no Python in
+the hot loop; elements are cast to double before multiply so Spark's fold and
+DuckDB's list functions accumulate identically.
+
+Determinism: ranking orders by the ROUNDED cosine (4 digits) with neighbor-id
+tiebreak, so tiny float-accumulation differences between engines cannot flip
+ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions import pround, sql_pround
+from . import spec
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _cosine_expr(a: str, b: str):
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {sql_pround("list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE)))", 4)} AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+""".strip()
+
+
+@spec("embedding_topk", oracle=_TOPK_ORACLE, tags=("similarity", "ann"), bench=True)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus — embarrassingly parallel, no shuffle until the tiny top-k agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pround(_cosine_expr("q_emb", "embedding"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+    )
+
+
+_NEAR_DUP_THRESHOLD = 0.99
+
+_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  {sql_pround("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))", 4)} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_pround("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))", 4)} >= {_NEAR_DUP_THRESHOLD}
+""".strip()
+
+
+@spec("embedding_near_dup", oracle=_NEAR_DUP_ORACLE, tags=("dedup", "similarity"), bench=True)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs at test scale; the
+    LSH-bucketed variant in operators/similarity.py is the 100 TB path —
+    random-hyperplane buckets cut the quadratic candidate set)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = pround(_cosine_expr("emb_a", "emb_b"), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _NEAR_DUP_THRESHOLD)
+    )
+
+
+_LABEL_CENTROID_ORACLE = f"""
+SELECT label, count(*) AS n_vectors,
+  {sql_pround("avg(CAST(embedding[1] AS DOUBLE))", 4)} AS centroid_dim0,
+  {sql_pround("avg(CAST(embedding[2] AS DOUBLE))", 4)} AS centroid_dim1,
+  {sql_pround("avg(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'))", 4)} AS avg_component_sum
+FROM embeddings
+GROUP BY label
+""".strip()
+
+
+@spec("embedding_label_stats", oracle=_LABEL_CENTROID_ORACLE, tags=("agg", "array"))
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation: per-label counts, leading centroid dims, and
+    mean component sum (array fold entirely JVM-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE))"
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        pround(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("centroid_dim0"),
+        pround(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("centroid_dim1"),
+        pround(F.avg(comp_sum), 4).alias("avg_component_sum"),
+    )
