@@ -1,0 +1,340 @@
+"""Near-duplicate detection operators: MinHash + banded LSH, and SimHash.
+
+These are the scale paths for document dedup (SURVEY.md §7 step 9): the raw
+shingle self-join in workload/docs.py is quadratic in hot shingles, while LSH
+bounds the join fan-out to per-band buckets — at 100 TB the only shuffles are
+(a) the distinct on (doc, shingle), (b) one aggregate per doc for the
+signature, and (c) a self-equi-join on (band_id, band_key) whose keys are
+uniformly distributed md5 digests (no skew by construction).
+
+Hashing discipline — portable md5 everywhere:
+
+- MinHash uses the *lexicographic minimum of md5 hex digests* as the hash
+  minimum. ``min(varchar)`` over lowercase hex is a total order identical in
+  every engine, so signatures (and therefore candidate sets and final results)
+  are bit-identical between Spark and the DuckDB oracle — correctness does not
+  depend on LSH recall, because the oracle runs the same construction.
+- SimHash is 64-bit, two bits per hex nibble of ``md5(token)``: bit i < 32 is
+  the high bit of nibble i (nibble ≥ 8), bit i ≥ 32 is its parity (odd
+  nibble), each contributing ±token-frequency. The signature is materialized
+  as a 64-char '0'/'1' string so banding and hamming distance are plain
+  substring ops in both engines.
+
+Reference parity: the reference's only dedup is exact keep-first
+``drop_duplicates`` (dags/utils/transformers.py:109); these operators are the
+engine's training-data-pipeline extension per the build plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shingling --------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Narrow explode then one shuffle (distinct on (id, shingle)). The shingle
+    string never travels further than the signature aggregate below.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    parts = " , ' ', ".join(f"element_at(w, i+{j})" for j in range(n))
+    return (
+        df.select(F.col(id_col), words.alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+                    f"i -> concat({parts}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def sql_word_shingles(table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> str:
+    """DuckDB twin of word_shingles as a CTE body."""
+    parts = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  words AS (SELECT {id_col}, string_split_regex(lower({text_col}), '\\s+') AS w FROM {table}),
+  pos AS (SELECT {id_col}, w, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i FROM words),
+  sh AS (SELECT DISTINCT {id_col}, concat({parts}) AS shingle FROM pos)
+""".strip()
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
+    """One row per document with columns minh_0..minh_{k-1}.
+
+    k hash families are md5 with distinct seed prefixes; the min is the
+    lexicographic min of hex digests. One aggregate pass computes all k mins
+    (partial map-side combine applies — the shuffle carries k×32-byte strings
+    per doc, not the shingle set).
+    """
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"minh_{j}") for j in range(num_hashes)]
+    )
+
+
+def lsh_band_keys(
+    sig: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a signature into (id, band_id, band_key) — band_key is the md5
+    of the band's concatenated minhashes (uniform join key, no skew)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"minh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band bucket.
+
+    Self-equi-join on (band_id, band_key): both sides hash-partition on the
+    same key, so Spark co-partitions with a single exchange per side.
+    """
+    a = band_keys.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verified_jaccard_pairs(
+    candidates: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    Joins candidates back to the shingle relation (shuffle on doc id — small:
+    candidates only), counts intersections, and filters by true Jaccard. The
+    shingle-set sizes are broadcast (one row per doc id present in candidates).
+    """
+    cnt = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter", jac.alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signature(sh, num_hashes, id_col)
+    cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)
+    return verified_jaccard_pairs(cand, sh, threshold, id_col)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+_ODD_NIBBLES = ("1", "3", "5", "7", "9", "b", "d", "f")
+SIMHASH_BITS = 64
+
+
+def _bit_nibbles(i: int) -> tuple[int, tuple[str, ...]]:
+    """Bit i → (1-based nibble position in the md5 hex string, nibble set that
+    makes the bit 1). Bits 0-31 use the nibble's high bit, 32-63 its parity."""
+    if i < 32:
+        return i + 1, _HIGH_NIBBLES
+    return i - 32 + 1, _ODD_NIBBLES
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document 64-bit SimHash as a '0'/'1' string column ``simhash``.
+
+    bit i = sign of Σ_tokens freq(token) × (±1 by bit i of md5(token), see
+    ``_bit_nibbles``). Computed as 64 conditional sums in ONE aggregate pass
+    over the (doc, token, freq) relation — a single shuffle on doc id.
+    """
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("th", F.md5(F.col("tok")))
+    )
+    contribs = []
+    for i in range(SIMHASH_BITS):
+        pos, nibbles = _bit_nibbles(i)
+        in_list = ", ".join(f"'{c}'" for c in nibbles)
+        contribs.append(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
+                    f" THEN freq ELSE -freq END"
+                )
+            ).alias(f"s{i}")
+        )
+    agg = toks.groupBy(id_col).agg(*contribs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    return agg.select(id_col, bits.alias("simhash"))
+
+
+def sql_simhash_signatures(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of simhash_signatures as CTE bodies ending in ``sig``."""
+    contrib_terms = []
+    for i in range(SIMHASH_BITS):
+        pos, nibbles = _bit_nibbles(i)
+        in_list = ", ".join(f"'{c}'" for c in nibbles)
+        contrib_terms.append(
+            f"sum(CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
+            f" THEN freq ELSE -freq END) AS s{i}"
+        )
+    contribs = ",\n    ".join(contrib_terms)
+    bits = ", ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+  toks AS (
+    SELECT {id_col}, tok, count(*) AS freq, md5(tok) AS th
+    FROM (SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '\\s+')) AS tok FROM {table})
+    WHERE tok <> ''
+    GROUP BY {id_col}, tok, md5(tok)
+  ),
+  sums AS (SELECT {id_col},
+    {contribs}
+    FROM toks GROUP BY {id_col}),
+  sig AS (SELECT {id_col}, concat({bits}) AS simhash FROM sums)
+""".strip()
+
+
+def hamming_expr(a: str, b: str, n_bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit-string columns (pure
+    substring comparison — portable to any SQL engine)."""
+    terms = " + ".join(
+        f"(CASE WHEN substring({a}, {i + 1}, 1) = substring({b}, {i + 1}, 1)"
+        f" THEN 0 ELSE 1 END)"
+        for i in range(n_bits)
+    )
+    return F.expr(terms)
+
+
+def sql_hamming(a: str, b: str, n_bits: int = SIMHASH_BITS) -> str:
+    return " + ".join(
+        f"(CASE WHEN substring({a}, {i + 1}, 1) = substring({b}, {i + 1}, 1)"
+        f" THEN 0 ELSE 1 END)"
+        for i in range(n_bits)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ max_hamming.
+
+    Banding is EXACT here (pigeonhole): hamming ≤ bands−1 guarantees at least
+    one of ``bands`` equal-width substrings matches, so with bands = 4 and
+    max_hamming = 3 the band join has 100% recall — no verification misses.
+    The band join key is (band_id, 8-char substring): sub-linear candidate
+    generation instead of an all-pairs cross join.
+    """
+    assert max_hamming <= bands - 1, "banding exact only for hamming <= bands-1"
+    width = SIMHASH_BITS // bands
+    sig = simhash_signatures(df, id_col, text_col)
+    bk = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("simhash", b * width + 1, width).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    a = bk.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("simhash_a"), "band_id", "band_key"
+    )
+    b = bk.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("simhash_b"), "band_id", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "simhash_a", "doc_b", "simhash_b")
+        .distinct()
+    )
+    ham = hamming_expr("simhash_a", "simhash_b")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+    )

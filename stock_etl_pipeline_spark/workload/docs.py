@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load_table
 from ..functions import pround, sql_pround
+from ..operators import dedup
 from . import spec
 
 _TOKEN_RE = r"\S+"
@@ -233,3 +234,109 @@ def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         pround(F.sum("n_chars") * 1.0 / F.count("n_chars"), 6).alias("avg_chars"),
     )
+
+
+# --- MinHash-LSH near-dedup (operators/dedup.py — the 100 TB dedup path) ----
+# Oracle = the IDENTICAL LSH construction in DuckDB (md5 seed-prefixed hashes,
+# lexicographic-min signatures, banded candidates, exact-Jaccard verify), so
+# parity is guaranteed by construction and does not depend on LSH recall.
+_MH_K = 12
+_MH_BANDS = 4
+_MH_ROWS = _MH_K // _MH_BANDS
+_MH_THRESHOLD = 0.7
+
+_mh_hash_cols = ",\n    ".join(
+    f"md5(concat('{j}:', shingle)) AS h{j}" for j in range(_MH_K)
+)
+_mh_min_cols = ", ".join(f"min(h{j}) AS minh_{j}" for j in range(_MH_K))
+_mh_band_selects = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_key FROM sig".format(
+        b=b,
+        cols=", ".join(f"minh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for b in range(_MH_BANDS)
+)
+_MH_JAC = "inter * 1.0 / (ca.n + cb.n - inter)"
+_MINHASH_ORACLE = rf"""
+WITH
+  {dedup.sql_word_shingles("documents")},
+  hashed AS (SELECT doc_id,
+    {_mh_hash_cols}
+    FROM sh),
+  sig AS (SELECT doc_id, {_mh_min_cols} FROM hashed GROUP BY doc_id),
+  bands AS (
+    {_mh_band_selects}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ),
+  cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  ints AS (
+    SELECT doc_a, doc_b, count(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+    GROUP BY doc_a, doc_b
+  )
+SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b, inter,
+  {sql_pround(_MH_JAC, 6)} AS jaccard
+FROM ints JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE {_MH_JAC} >= {_MH_THRESHOLD}
+""".strip()
+
+
+@spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands × 3 rows) near-dup pairs, exact-verified at
+    Jaccard ≥ 0.7. Candidate generation is a self-equi-join on uniform
+    (band_id, band_key) md5 buckets — sub-quadratic, skew-free (vs. the raw
+    shingle join in doc_ngram_jaccard)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+# --- SimHash near-dedup -----------------------------------------------------
+_SH_MAX_HAMMING = 3
+_SH_BANDS = 4
+_sh_width = dedup.SIMHASH_BITS // _SH_BANDS
+_sh_band_selects = "\n    UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_id,"
+    f" substring(simhash, {b * _sh_width + 1}, {_sh_width}) AS band_key FROM sig"
+    for b in range(_SH_BANDS)
+)
+_SIMHASH_ORACLE = rf"""
+WITH
+  {dedup.sql_simhash_signatures("documents")},
+  bands AS (
+    {_sh_band_selects}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS simhash_a,
+                    b.doc_id AS doc_b, b.simhash AS simhash_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+  CAST({dedup.sql_hamming("simhash_a", "simhash_b")} AS INTEGER) AS hamming
+FROM cand
+WHERE {dedup.sql_hamming("simhash_a", "simhash_b")} <= {_SH_MAX_HAMMING}
+""".strip()
+
+
+@spec("doc_simhash_pairs", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"), bench=True)
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit frequency-weighted SimHash near-dup pairs (hamming ≤ 3), banded
+    4×16 bits — banding is pigeonhole-EXACT for hamming ≤ 3, so recall is 100%
+    with no cross join. One aggregate pass computes all 64 signature bits."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
