@@ -1,0 +1,286 @@
+"""Embedding similarity operators: exact blocked near-dup join and
+LSH-bucketed approximate nearest neighbors.
+
+Scale design (the 100 TB path — SURVEY.md §7 step 9):
+
+- ``blocked_near_dup_pairs`` is EXACT all-pairs cosine ≥ τ, made sub-quadratic
+  by grid blocking: on unit vectors, cos(u,v) ≥ τ ⟺ ‖u−v‖² ≤ 2(1−τ), so
+  every coordinate differs by at most δ = √(2(1−τ)). Bucketing the leading
+  coordinates on a grid of width ≥ δ means a qualifying pair is always in the
+  same or adjacent cell per dim — the adjacent-cell equi-join has 100% recall
+  BY CONSTRUCTION (no LSH probabilism), while pruning the quadratic candidate
+  set to near-linear for spread-out embeddings. Vectors are normalized ONCE
+  before the join (one narrow pass), so each surviving pair costs a single
+  double dot product, not three cast-heavy ones.
+- ``hyperplane_signature`` / ``ann_bucketed_topk`` is the approximate path:
+  random-hyperplane signs (coefficients are fixed literals, seeded at module
+  import) bucket the corpus; top-k search runs within each bucket only. The
+  trade is recall for a shuffle-free-scan + per-bucket join; the same literal
+  planes are baked into the SQL twin so an oracle can replay the construction.
+
+All array math stays JVM-side (`zip_with`/`aggregate` higher-order functions
+over ``array<double>``) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- normalization ----------------------------------------------------------
+
+_DOT_D = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def with_unit_vector(
+    df: DataFrame, vec_col: str = "embedding", unit_col: str = "unit"
+) -> DataFrame:
+    """Append an L2-normalized ``array<double>`` copy of ``vec_col``.
+
+    One narrow pass; downstream pair math then needs a single dot product per
+    pair (cosine of units = dot of units).
+    """
+    as_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    norm = f"sqrt({_DOT_D.format(a=as_double, b=as_double)})"
+    return df.withColumn(
+        unit_col, F.expr(f"transform({as_double}, x -> x / {norm})")
+    )
+
+
+def unit_dot(a: str, b: str) -> F.Column:
+    """Dot product of two unit-vector columns (≡ their cosine)."""
+    return F.expr(_DOT_D.format(a=a, b=b))
+
+
+# --- exact blocked near-dup -------------------------------------------------
+
+
+def blocked_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_dims: int = 2,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, grid-blocked.
+
+    Returns (vec_a, vec_b, cosine) with cosine the raw double (caller rounds).
+    The left side is exploded to the 3^block_dims adjacent-cell keys; each
+    qualifying unordered pair matches exactly once (the right side keeps its
+    single home cell and ``vec_a < vec_b`` orients the pair).
+    """
+    delta = math.sqrt(2.0 * (1.0 - threshold))
+    width = delta * 1.05  # grid width ≥ per-coordinate bound ⇒ adjacency exact
+    u = with_unit_vector(df, vec_col).select(
+        F.col(id_col), F.col("unit"),
+        *[
+            F.floor(F.expr(f"element_at(unit, {d + 1})") / F.lit(width))
+            .cast("int").alias(f"cell{d}")
+            for d in range(block_dims)
+        ],
+    )
+    # Left: exploded to all 3^d neighbor-cell keys. Right: home cell only.
+    offsets = [()]
+    for _ in range(block_dims):
+        offsets = [(*o, s) for o in offsets for s in (-1, 0, 1)]
+    key = lambda cells: F.concat_ws(",", *[c.cast("string") for c in cells])  # noqa: E731
+    left = u.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("unit").alias("unit_a"),
+        F.explode(
+            F.array(
+                *[
+                    key([F.col(f"cell{d}") + F.lit(o[d]) for d in range(block_dims)])
+                    for o in offsets
+                ]
+            )
+        ).alias("cell_key"),
+    )
+    right = u.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("unit").alias("unit_b"),
+        key([F.col(f"cell{d}") for d in range(block_dims)]).alias("cell_key"),
+    )
+    cos = unit_dot("unit_a", "unit_b")
+    return (
+        left.join(right, "cell_key")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# --- exact near-dup via distributed block matmul ----------------------------
+
+
+def matmul_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via distributed block GEMM.
+
+    The corpus is split into ``n_blocks`` row blocks; every unordered block
+    pair (i ≤ j) becomes one group, and a vectorized Arrow/numpy kernel
+    computes the block-pair cosine matrix in one BLAS matmul — float64
+    throughput instead of a per-pair interpreted fold. Replication factor is
+    exactly ``n_blocks`` (each row joins B groups), so total shuffled bytes
+    are B × corpus; pick B ≈ √(desired parallelism) so block pairs fill the
+    cluster while each block still fits executor memory. This is the standard
+    exact-kNN/GEMM sharding; at 100 TB it composes with the hyperplane-bucket
+    prefilter below (bucket first, matmul within buckets).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine float64.
+    """
+    import pandas as pd
+
+    u = with_unit_vector(df, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("unit"),
+        (F.col(id_col) % n_blocks).cast("int").alias("_bid"),
+    )
+    # Each row joins every unordered block pair containing its block.
+    groups = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_bid"), F.lit(t)).alias("gi"),
+                F.greatest(F.col("_bid"), F.lit(t)).alias("gj"),
+            )
+            for t in range(n_blocks)
+        ]
+    )
+    replicated = u.select(
+        "_id", "unit", "_bid", F.explode(groups).alias("g")
+    ).select("_id", "unit", "_bid", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def block_pair_cosines(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        gi, gj = key
+        a = pdf[pdf["_bid"] == gi]
+        b = pdf[pdf["_bid"] == gj] if gi != gj else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ma = np.stack(a["unit"].to_numpy())
+        mb = np.stack(b["unit"].to_numpy())
+        ids_a = a["_id"].to_numpy()
+        ids_b = b["_id"].to_numpy()
+        cos = ma @ mb.T
+        ia, ib = np.nonzero(cos >= threshold)
+        va, vb = ids_a[ia], ids_b[ib]
+        keep = va != vb
+        va, vb, c = va[keep], vb[keep], cos[ia, ib][keep]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        # same-block groups see each unordered pair twice (full matrix):
+        # keep one orientation only.
+        if gi == gj:
+            keep2 = va < vb
+            lo, hi, c = lo[keep2], hi[keep2], c[keep2]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": c})
+
+    return replicated.groupBy("gi", "gj").applyInPandas(block_pair_cosines, out_schema)
+
+
+# --- random-hyperplane LSH buckets ------------------------------------------
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-gaussian hyperplane coefficients (plain literals —
+    reproducible everywhere, embeddable in SQL twins)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _plane_dot(vec_col: str, plane: list[float]) -> str:
+    arr = ", ".join(f"{c}D" for c in plane)
+    as_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return _DOT_D.format(a=as_double, b=f"array({arr})")
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append an n-bit sign bucket: bit j = [dot(vec, plane_j) ≥ 0].
+
+    The dot is quantized (floor at 1e-6) before the sign so engines that
+    accumulate in different orders cannot flip a boundary bit.
+    """
+    bits = [
+        F.when(
+            F.floor(F.expr(_plane_dot(vec_col, p)) * 1e6 + F.lit(0.5)) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return df.withColumn(bucket_col, F.concat(*bits))
+
+
+def sql_hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of hyperplane_signature's bucket expression."""
+    bits = []
+    for p in planes:
+        arr = ", ".join(str(c) for c in p)
+        dot = (
+            f"list_dot_product(list_transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+            f" [{arr}])"
+        )
+        bits.append(f"CASE WHEN floor(({dot}) * 1000000 + 0.5) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def ann_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    rank_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket. Join is an equi-join on the bucket string — co-partitioned, no
+    cross join; recall trades against n_planes (each plane halves the
+    expected bucket).
+
+    Ranks by the cosine QUANTIZED to ``rank_digits`` (floor-based) with
+    neighbor-id tiebreak, so accumulation-order float noise cannot flip
+    ranks between runs or engines.
+    """
+    from pyspark.sql import Window
+
+    c = hyperplane_signature(corpus, planes, vec_col=vec_col)
+    q = hyperplane_signature(queries, planes, vec_col=vec_col)
+    cu = with_unit_vector(c, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"), "bucket"
+    )
+    qu = with_unit_vector(q, vec_col).select(
+        F.col(query_id_col), F.col("unit").alias("unit_q"), "bucket"
+    )
+    scale = float(10**rank_digits)
+    qcos = F.floor(unit_dot("unit_q", "unit_n") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    scored = (
+        qu.join(cu, "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", qcos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -340,3 +340,110 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --- BPE-ish subword token counting ----------------------------------------
+# A GPT-2-style pre-tokenizer simplified to the regex subset both engines
+# share: letter runs, digit runs, and single non-alphanumeric marks.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_TOKEN_COUNT_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+  count(*) AS n_bpe_tokens,
+  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+  CAST(sum(length(tok)) AS BIGINT) AS total_token_chars,
+  CAST(sum(CASE WHEN tok BETWEEN '0' AND '9~' AND substring(tok, 1, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_tokens
+FROM toks GROUP BY doc_id
+""".strip()
+
+
+@spec("doc_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("text", "tokenize"))
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE-ish regex) token counting: per-doc token totals, distinct
+    vocabulary size, character mass, numeric-token count. Explode + one
+    aggregate — the shuffle key is doc_id (dense, uniform)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+        ).alias("tok"),
+    )
+    is_numeric = F.substring("tok", 1, 1).between("0", "9") & F.col("tok").between(
+        "0", "9~"
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_bpe_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.sum(F.length("tok")).alias("total_token_chars"),
+        F.sum(F.when(is_numeric, 1).otherwise(0)).alias("n_numeric_tokens"),
+    )
+
+
+# --- Karp-Rabin rolling-hash fingerprint ------------------------------------
+# Polynomial hash of every char-8-gram: h = Σ ascii(c_j)·B^(7-j) mod M with
+# B = 131, M = 2^31−1. Pure 64-bit integer arithmetic (max partial value
+# ≈ 6.7e17 < 2^63), bit-identical in any engine; the per-document sketch is
+# the min/max gram hash + distinct-gram count (winnowing-style selection).
+_KR_B_POWS = [131**k for k in range(8)]  # B^0 .. B^7
+_KR_M = 2147483647
+_KR_GRAM = 8
+
+
+def _kr_hash_terms(gram_expr: str) -> str:
+    return " + ".join(
+        f"CAST(ascii(substring({gram_expr}, {j + 1}, 1)) AS BIGINT) * {_KR_B_POWS[_KR_GRAM - 1 - j]}"
+        for j in range(_KR_GRAM)
+    )
+
+
+_FINGERPRINT_ORACLE = rf"""
+WITH grams AS (
+  SELECT doc_id,
+    (({_kr_hash_terms(f"substring(text, i, {_KR_GRAM})")}) % {_KR_M}) AS h
+  FROM (
+    SELECT doc_id, text,
+      unnest(generate_series(1, greatest(length(text) - {_KR_GRAM - 1}, 0))) AS i
+    FROM documents
+  )
+)
+SELECT doc_id,
+  count(*) AS n_grams,
+  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_grams,
+  min(h) AS fp_min,
+  max(h) AS fp_max
+FROM grams GROUP BY doc_id
+""".strip()
+
+
+@spec("doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "fingerprint"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Karp-Rabin) document fingerprinting over char 8-grams.
+    The min-hash sketch is the winnowing primitive for plagiarism/near-dup
+    detection; all arithmetic is exact int64 so fingerprints are stable
+    across engines and cluster sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_KR_GRAM - 1}, 0)), "
+                f"i -> substring(text, i, {_KR_GRAM}))"
+            )
+        ).alias("gram"),
+    )
+    h = F.expr(f"({_kr_hash_terms('gram')}) % {_KR_M}")
+    return (
+        grams.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("h").alias("n_distinct_grams"),
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+        )
+    )
