@@ -459,3 +459,41 @@ def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lag_lead(daily, "close_price").select(
         "symbol", "date", "close_price", "prev_value", "next_value", "return_pct"
     )
+
+
+# --- fused data-quality suite (quality/, SURVEY.md §2.8 Q13) ----------------
+# All count-style checks of the raw+transformed validation suites in ONE
+# aggregate pass — the reference re-scans the table once per check
+# (dags/utils/validators.py:64-251); here the whole suite is a single job
+# with map-side partial aggregation.
+_QUALITY_ORACLE = oracle_with_prices(f"""
+SELECT
+  count(*) AS row_count,
+  CAST(sum(CASE WHEN open IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_open,
+  CAST(sum(CASE WHEN high IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_high,
+  CAST(sum(CASE WHEN low IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_low,
+  CAST(sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_close,
+  CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_volume,
+  CAST(sum(CASE WHEN close < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_close,
+  CAST(sum(CASE WHEN date > DATE '{AS_OF_DATE}' THEN 1 ELSE 0 END) AS BIGINT) AS n_future_dates,
+  min(date) AS min_date,
+  max(date) AS max_date,
+  count(*) - CAST(count(DISTINCT (date, symbol, data_source)) AS BIGINT) AS n_duplicate_rows,
+  max(close) AS max_close,
+  max(volume) AS max_volume,
+  CAST(sum(CASE WHEN (high - low) / open * 100.0 > 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_volatility,
+  CAST(count(DISTINCT symbol) AS BIGINT) AS n_symbols,
+  CAST(count(DISTINCT data_source) AS BIGINT) AS n_sources
+FROM prices
+""".strip())
+
+
+@spec("quality_suite", oracle=_QUALITY_ORACLE, tags=("Q13", "quality"), bench=True)
+def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q8 + Q10/Q11 inputs fused into one aggregate scan
+    (quality.quality_metrics_agg). The driver-facing QualityReport API in
+    ``quality/`` consumes this same metric row."""
+    from ..quality import quality_metrics_agg
+
+    prices = load_prices(spark, sf_dir)
+    return prices.agg(*quality_metrics_agg(AS_OF_DATE))
