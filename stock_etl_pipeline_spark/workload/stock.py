@@ -497,3 +497,86 @@ def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prices = load_prices(spark, sf_dir)
     return prices.agg(*quality_metrics_agg(AS_OF_DATE))
+
+
+# --- as-of join: cross-source point-in-time alignment (operators/asof.py) ---
+# For every alpha_vantage (symbol, date) close, the most recent yahoo_finance
+# close at-or-before that date. Oracle uses DuckDB's native ASOF LEFT JOIN;
+# the Spark side is the union+window formulation (one shuffle, no range
+# explode). Sides are pre-aggregated to one row per (symbol, date) so the
+# propagated value is unique → deterministic.
+_ASOF_ORACLE = oracle_with_prices("""
+, av AS (
+  SELECT symbol, date, max(close) AS av_close FROM prices
+  WHERE data_source = 'alpha_vantage' GROUP BY symbol, date
+),
+yf AS (
+  SELECT symbol, date, max(close) AS yf_close FROM prices
+  WHERE data_source = 'yahoo_finance' GROUP BY symbol, date
+)
+SELECT av.symbol, av.date, av.av_close, yf.yf_close AS yf_close_asof
+FROM av ASOF LEFT JOIN yf ON av.symbol = yf.symbol AND av.date >= yf.date
+""".strip())
+
+
+@spec("price_asof_align", oracle=_ASOF_ORACLE, tags=("asof", "join", "window"), bench=True)
+def q_price_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join aligning the two source feeds per symbol
+    (operators/asof.py). One shuffle+sort of (left ∪ right) on symbol —
+    the formulation that survives 100 TB (no per-key range fan-out)."""
+    from ..operators.asof import asof_join
+
+    prices = load_prices(spark, sf_dir)
+    av = (
+        prices.filter(F.col("data_source") == "alpha_vantage")
+        .groupBy("symbol", "date")
+        .agg(F.max("close").alias("av_close"))
+    )
+    yf = (
+        prices.filter(F.col("data_source") == "yahoo_finance")
+        .groupBy("symbol", "date")
+        .agg(F.max("close").alias("yf_close"))
+    )
+    return asof_join(av, yf, on=["symbol"], ts="date", value_cols=["yf_close"]).select(
+        "symbol", "date", "av_close", F.col("yf_close_asof")
+    )
+
+
+# --- ranking / distribution window functions (§7 cheap extensions) ----------
+_RANKS_ORACLE = oracle_with_prices("""
+, daily AS (
+  SELECT symbol, date, max(close) AS close_price FROM prices GROUP BY symbol, date
+)
+SELECT symbol, date, close_price,
+  CAST(rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS BIGINT) AS close_rank,
+  CAST(dense_rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS BIGINT) AS close_dense_rank,
+  CAST(ntile(4) OVER (PARTITION BY symbol ORDER BY close_price, date) AS INTEGER) AS quartile,
+  floor(percent_rank() OVER (PARTITION BY symbol ORDER BY close_price, date) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
+FROM daily
+""".strip())
+
+
+@spec("close_rank_quartiles", oracle=_RANKS_ORACLE, tags=("window", "rank"))
+def q_close_rank_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank per symbol. Ties in close are
+    legal for rank-family (equal value → equal rank, deterministic); ntile
+    and percent_rank get a unique (close, date) ordering so row placement
+    cannot vary across engines or partitionings."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_prices(spark, sf_dir)
+        .groupBy("symbol", "date")
+        .agg(F.max("close").alias("close_price"))
+    )
+    w_val = Window.partitionBy("symbol").orderBy(F.col("close_price").desc())
+    w_uniq = Window.partitionBy("symbol").orderBy("close_price", "date")
+    return daily.select(
+        "symbol",
+        "date",
+        "close_price",
+        F.rank().over(w_val).cast("long").alias("close_rank"),
+        F.dense_rank().over(w_val).cast("long").alias("close_dense_rank"),
+        F.ntile(4).over(w_uniq).cast("int").alias("quartile"),
+        (F.floor(F.percent_rank().over(w_uniq) * 1e6 + F.lit(0.5)) / 1e6).alias("pct_rank"),
+    )

@@ -190,3 +190,46 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- grouping sets: ROLLUP revenue by region/nation -------------------------
+# The reference's only grouping-sets use is the degenerate ROLLUP(())
+# (plugins/helpers/queries.py:145); this exercises the real thing. NULL
+# subtotal keys are produced identically by Spark rollup() and DuckDB ROLLUP.
+_ROLLUP_ORACLE = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+  {_SQL_REVENUE} AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""".strip()
+
+
+@spec("regional_rollup", oracle=_ROLLUP_ORACLE, tags=("tpch", "rollup", "grouping_sets"))
+def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) revenue: nation subtotals, region subtotals,
+    grand total in one pass — Spark plans rollup as an Expand + single hash
+    aggregate (no extra scans). Dimensions broadcast as in regional_revenue."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            _revenue_agg().alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
