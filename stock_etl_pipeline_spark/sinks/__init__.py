@@ -1,0 +1,171 @@
+"""Sink connectors: the reference's load surface (SURVEY.md §2.2 K1-K11)
+as DataFrame writers with warehouse-style layout control.
+
+Layout doctrine (reference plugins/helpers/queries.py:16-17 — PARTITION BY
+date CLUSTER BY symbol): partitioned parquet + ``sortWithinPartitions`` for
+clustering. Partition pruning then serves every trailing-window date filter
+in the query library for free, and the within-file symbol ordering gives
+row-group min/max pruning on symbol predicates — the two levers that matter
+for a 100 TB warehouse.
+
+Write reports mirror the reference's load-result dicts
+(``rows_loaded``/``destination`` — dags/utils/loaders.py:64-70).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WRITE_APPEND = "append"
+WRITE_TRUNCATE = "overwrite"
+
+
+def _report(df: DataFrame, destination: str, mode: str) -> dict:
+    return {"rows_loaded": df.count(), "destination": destination, "mode": mode}
+
+
+def write_csv(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
+    """K1: header CSV (the reference writes index-free CSV between stages;
+    dates/timestamps are rendered ISO — P6 formatting at sink only)."""
+    df.write.mode(mode).option("header", True).csv(path)
+    return _report(df, path, mode)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
+    """K2: JSON-lines (Spark's native JSON sink is already ``orient=records,
+    lines=True`` — reference plugins/custom_operators/api_gcs.py:92-93)."""
+    df.write.mode(mode).json(path)
+    return _report(df, path, mode)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
+    """K3: plain parquet staging write."""
+    df.write.mode(mode).parquet(path)
+    return _report(df, path, mode)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_col: str = "date",
+    cluster_col: str | None = "symbol",
+    mode: str = WRITE_APPEND,
+) -> dict:
+    """K4/K8: warehouse layout — date-partitioned, symbol-clustered.
+
+    Works against any Hadoop-FS path (file://, s3a://, gs:// …): object-store
+    writes are Spark-native, which subsumes the reference's separate GCS
+    upload step (dags/utils/loaders.py:256-330).
+    """
+    out = df
+    if cluster_col is not None:
+        out = out.sortWithinPartitions(cluster_col)
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+    return _report(df, path, mode)
+
+
+def merge_write(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    *,
+    partition_col: str | None = "date",
+) -> dict:
+    """K7: MERGE upsert materialization onto a parquet warehouse path.
+
+    Strategy: compute the merged rows for the partitions the source touches
+    (operators/upsert.py — broadcast anti join + union), then rewrite ONLY
+    those partitions via dynamic partition overwrite. Blast radius = touched
+    partitions, not the table. A Delta ``MERGE INTO`` backend slots in here
+    when delta-spark is on the classpath (import-gated); the plain-parquet
+    path keeps the engine dependency-free.
+    """
+    from ..operators.upsert import merge_upsert
+
+    try:  # Delta backend (not present in this image; interface parity only)
+        from delta.tables import DeltaTable  # type: ignore  # noqa: F401
+
+        has_delta = False  # format detection would go here; parquet path is canonical
+    except ImportError:
+        has_delta = False
+    assert not has_delta
+
+    try:
+        target = spark.read.parquet(target_path)
+        exists = True
+    except Exception:
+        exists = False
+
+    if not exists:
+        if partition_col is not None:
+            source.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        else:
+            source.write.mode("overwrite").parquet(target_path)
+        return _report(source, target_path, "create")
+
+    if partition_col is not None:
+        # Restrict the rewrite to partitions present in the source batch.
+        touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+        slice_ = target.filter(F.col(partition_col).isin(touched))
+        merged = merge_upsert(slice_, source, keys)
+        # Count BEFORE the overwrite: the merged plan reads the very files the
+        # dynamic overwrite replaces, so a post-write count would re-scan
+        # deleted parquet parts.
+        n = merged.count()
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        return {"rows_loaded": n, "destination": target_path, "mode": "merge-dynamic"}
+
+    # Full rewrite fallback (no partition column): Spark refuses to overwrite
+    # a path it is reading, so stage to a sibling path then swap — the swap is
+    # two metadata renames, distributed-write-safe.
+    merged = merge_upsert(target, source, keys)
+    tmp_path = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(target_path).getFileSystem(conf)
+    fs.delete(path_cls(target_path), True)
+    fs.rename(path_cls(tmp_path), path_cls(target_path))
+    out = spark.read.parquet(target_path)
+    return _report(out, target_path, "merge-full")
+
+
+def create_table_if_not_exists(
+    spark: SparkSession,
+    table: str,
+    schema: T.StructType,
+    *,
+    partition_field: str | None = None,
+    description: str | None = None,
+) -> bool:
+    """K11 (the reference's version is truncated mid-function —
+    dags/utils/loaders.py:333-358): catalog-registered parquet table with
+    optional partitioning. Returns True if created, False if it existed."""
+    if spark.catalog.tableExists(table):
+        return False
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}{'' if f.nullable else ' NOT NULL'}"
+        for f in schema.fields
+    )
+    partition = f" PARTITIONED BY ({partition_field})" if partition_field else ""
+    comment = f" COMMENT '{description}'" if description else ""
+    spark.sql(f"CREATE TABLE {table} ({cols}) USING PARQUET{comment}{partition}")
+    return True
+
+
+def create_or_replace_view(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """K9 (reference plugins/helpers/queries.py:22-34): register a derived
+    relation as a view for the SQL surface."""
+    df.createOrReplaceTempView(name)

@@ -1,0 +1,163 @@
+"""Unit tests for source connectors (S1-S6, mock-backed like the reference's
+tests/extractors.py) and sink writers (K1-K11) against tmp paths."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stock_etl_pipeline_spark import sinks, sources
+from stock_etl_pipeline_spark.schemas import RAW_SCHEMA
+
+STAMP = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+# Alpha Vantage provider shape (reference tests/extractors.py:22-30).
+AV_PAYLOAD = {
+    "2024-05-31": {"1. open": "100.0", "2. high": "101.5", "3. low": "99.0",
+                   "4. close": "101.0", "5. volume": "1000"},
+    "2024-05-30": {"1. open": "98.0", "2. high": "100.0", "3. low": "97.5",
+                   "4. close": "99.5", "5. volume": "2000"},
+}
+
+# Yahoo provider shape incl. columns the extractor must drop
+# (reference tests/extractors.py:33-42).
+YF_RECORDS = [
+    {"Date": "2024-05-31", "Open": 100.0, "High": 101.5, "Low": 99.0,
+     "Close": 101.2, "Volume": 1500, "Dividends": 0.0, "Stock Splits": 0.0},
+    {"Date": "2024-05-30", "Open": 98.5, "High": 99.9, "Low": 98.0,
+     "Close": 99.0, "Volume": 1800, "Dividends": 0.0, "Stock Splits": 0.0},
+]
+
+
+def test_alpha_vantage_source_canonicalizes(spark):
+    df = sources.extract_alpha_vantage(
+        spark, ["AAPL"], lambda s: AV_PAYLOAD, extracted_at=STAMP
+    )
+    assert df.schema == RAW_SCHEMA
+    rows = {r["date"].isoformat(): r for r in df.collect()}
+    assert set(rows) == {"2024-05-31", "2024-05-30"}
+    r = rows["2024-05-31"]
+    assert (r["open"], r["close"], r["volume"]) == (100.0, 101.0, 1000)
+    assert r["data_source"] == "alpha_vantage" and r["symbol"] == "AAPL"
+
+
+def test_alpha_vantage_per_symbol_failure_skips(spark):
+    failures = []
+
+    def fetch(symbol):
+        if symbol == "BAD":
+            raise RuntimeError("boom")
+        return AV_PAYLOAD
+
+    df = sources.extract_alpha_vantage(
+        spark, ["AAPL", "BAD", "MSFT"], fetch, extracted_at=STAMP,
+        on_error=lambda s, e: failures.append(s),
+    )
+    assert failures == ["BAD"]
+    assert {r["symbol"] for r in df.collect()} == {"AAPL", "MSFT"}
+
+
+def test_yahoo_source_drops_provider_extras(spark):
+    df = sources.extract_yahoo_finance(
+        spark, ["AAPL"], lambda s: YF_RECORDS, extracted_at=STAMP
+    )
+    assert df.schema == RAW_SCHEMA  # Dividends / Stock Splits projected away
+    assert df.count() == 2
+    assert df.filter(F.col("data_source") != "yahoo_finance").count() == 0
+
+
+def test_from_records_coerces_dict(spark):
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    df = sources.from_records(spark, lambda: {"a": 1, "b": "x"}, schema)
+    assert df.collect() == [(1, "x")]
+    with pytest.raises(TypeError):
+        sources.from_records(spark, lambda: "not-records")
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = sources.extract_alpha_vantage(spark, ["AAPL"], lambda s: AV_PAYLOAD, extracted_at=STAMP)
+    report = sinks.write_csv(df, str(tmp_path / "out_csv"))
+    assert report["rows_loaded"] == 2
+    back = sources.scan_csv(spark, str(tmp_path / "out_csv"), RAW_SCHEMA)
+    assert back.count() == 2
+    assert back.schema["volume"].dataType == T.LongType()
+
+
+def test_jsonl_and_parquet_sinks(spark, tmp_path):
+    df = sources.extract_yahoo_finance(spark, ["AAPL"], lambda s: YF_RECORDS, extracted_at=STAMP)
+    assert sinks.write_jsonl(df, str(tmp_path / "out_json"))["rows_loaded"] == 2
+    assert sinks.write_parquet(df, str(tmp_path / "out_parq"))["rows_loaded"] == 2
+    assert sources.scan(spark, str(tmp_path / "out_parq"), "parquet").count() == 2
+    back = sources.scan_json(spark, str(tmp_path / "out_json"), RAW_SCHEMA)
+    assert back.count() == 2
+
+
+def test_partitioned_layout(spark, tmp_path):
+    df = sources.extract_alpha_vantage(spark, ["AAPL", "MSFT"], lambda s: AV_PAYLOAD, extracted_at=STAMP)
+    path = str(tmp_path / "warehouse")
+    sinks.write_partitioned(df, path, partition_col="date", cluster_col="symbol")
+    # hive-style partition dirs exist → partition pruning works
+    parts = {p.name for p in (tmp_path / "warehouse").iterdir() if p.is_dir()}
+    assert {"date=2024-05-30", "date=2024-05-31"} <= parts
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("date") == "2024-05-31")
+    assert pruned.count() == 2  # 2 symbols × 1 date
+
+
+def test_merge_write_upserts_partitions(spark, tmp_path):
+    path = str(tmp_path / "gold")
+    base = sources.extract_alpha_vantage(spark, ["AAPL"], lambda s: AV_PAYLOAD, extracted_at=STAMP)
+    keys = ["date", "symbol", "data_source"]
+    rep = sinks.merge_write(spark, path, base, keys)
+    assert rep["mode"] == "create" and rep["rows_loaded"] == 2
+
+    # New batch: updated close for 05-31, new date 06-01.
+    update_payload = {
+        "2024-05-31": {"1. open": "100.0", "2. high": "103.0", "3. low": "99.0",
+                       "4. close": "102.5", "5. volume": "1100"},
+        "2024-06-01": {"1. open": "102.0", "2. high": "104.0", "3. low": "101.0",
+                       "4. close": "103.0", "5. volume": "900"},
+    }
+    batch = sources.extract_alpha_vantage(spark, ["AAPL"], lambda s: update_payload, extracted_at=STAMP)
+    rep2 = sinks.merge_write(spark, path, batch, keys)
+    assert rep2["mode"] == "merge-dynamic"
+
+    final = spark.read.parquet(path)
+    assert final.count() == 3  # 05-30 untouched, 05-31 replaced, 06-01 inserted
+    updated = final.filter(F.col("date") == "2024-05-31").collect()[0]
+    assert updated["close"] == 102.5
+    untouched = final.filter(F.col("date") == "2024-05-30").collect()[0]
+    assert untouched["close"] == 99.5
+
+
+def test_merge_write_unpartitioned_swap(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    base = sources.extract_alpha_vantage(spark, ["AAPL"], lambda s: AV_PAYLOAD, extracted_at=STAMP)
+    keys = ["date", "symbol", "data_source"]
+    sinks.merge_write(spark, path, base, keys, partition_col=None)
+    batch = sources.extract_alpha_vantage(
+        spark, ["MSFT"], lambda s: {"2024-05-31": AV_PAYLOAD["2024-05-31"]}, extracted_at=STAMP
+    )
+    rep = sinks.merge_write(spark, path, batch, keys, partition_col=None)
+    assert rep["mode"] == "merge-full" and rep["rows_loaded"] == 3
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_create_table_if_not_exists(spark):
+    schema = T.StructType([T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType())])
+    name = "tmp_engine_table"
+    try:
+        assert sinks.create_table_if_not_exists(spark, name, schema) is True
+        assert sinks.create_table_if_not_exists(spark, name, schema) is False  # idempotent
+        assert spark.catalog.tableExists(name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_create_view(spark):
+    df = spark.range(3).withColumnRenamed("id", "n")
+    sinks.create_or_replace_view(spark, "v_engine_test", df)
+    assert spark.sql("SELECT sum(n) AS s FROM v_engine_test").collect()[0]["s"] == 3
