@@ -1,0 +1,179 @@
+"""Structured Streaming pipeline: the reference's batch-only surface
+(SURVEY.md §2.10) extended to streams, per the §7 step-9 build plan.
+
+The reference has no streaming; its streaming-adjacent semantics map as:
+
+- incremental ``WRITE_APPEND`` loads (dags/stock_etl.py:149) →
+  ``outputMode("append")`` sinks;
+- freshness watermark gate (dags/utils/validators.py:254-309) →
+  ``withWatermark`` + lateness-bounded state;
+- key dedup on replay (dags/utils/transformers.py:109) →
+  ``dropDuplicatesWithinWatermark`` (bounded state — plain
+  ``dropDuplicates`` on a stream would grow state forever);
+- MERGE of replayed data (dags/utils/loaders.py:160-169) →
+  ``foreachBatch`` + the engine's merge_write per micro-batch.
+
+Scale notes: every transformation here is the same Catalyst plan as its
+batch twin in workload/events.py — the streaming runtime adds incremental
+state handling. State stores shard by the grouping key (watermark bounds
+their size); ``maxFilesPerTrigger`` throttles file-source backlogs the way
+the reference throttles API calls (dags/utils/extractors.py:56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import scaled_long
+
+# Explicit stream-read schema for the events table (file streams require a
+# user schema — no inference pass). The stream source is a bronze directory
+# the engine itself materialized (datasets.load_table normalizes the
+# driver's TIMESTAMP(NANOS) original at batch-ingest time), so ts is a
+# plain microsecond timestamp here.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of workload tumbling_hourly: per (window, event_type)
+    counts + integer-exact value sums. The watermark bounds state: windows
+    older than (max event time − watermark) are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100.0)) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Replay-safe dedup with bounded state: a duplicate arriving within the
+    watermark horizon is dropped; state for old keys is evicted. This is the
+    streaming form of the reference's keep-first key dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (dynamic-gap tumbling): built-in
+    ``session_window`` instead of applyInPandasWithState — the state store
+    merges overlapping windows JVM-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100.0)) / 100.0).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    *,
+    partition_col: str | None = None,
+):
+    """MERGE per micro-batch: foreachBatch + the engine's merge_write — the
+    streaming twin of the reference's staging-table MERGE. Checkpointing
+    makes the upsert effectively-once (a replayed batch merges to the same
+    end state: MERGE is idempotent on keys)."""
+    from .. import sinks
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sinks.merge_write(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys,
+            partition_col=partition_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    *,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> None:
+    """Drain a finite stream into an in-memory table (tests/backfills):
+    availableNow processes the whole backlog then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")

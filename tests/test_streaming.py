@@ -1,0 +1,115 @@
+"""Structured Streaming tests: batch equivalence of the windowed aggregate,
+watermark-bounded dedup, sessionization, and foreachBatch MERGE — all driven
+with trigger(availableNow) over finite file streams."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_etl_pipeline_spark import streaming
+from stock_etl_pipeline_spark.datasets import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def events_dir(spark, tmp_path):
+    """Events re-materialized as a multi-file stream-source directory."""
+    src = str(tmp_path / "events_src")
+    load_table(spark, SF, "events").repartition(4).write.parquet(src)
+    return src
+
+
+@pytest.fixture
+def dup_events_dir(spark, tmp_path):
+    """The same events delivered twice (two files) — a replayed feed."""
+    src = str(tmp_path / "events_dup")
+    e = load_table(spark, SF, "events").coalesce(1)
+    e.write.parquet(src)
+    e.write.mode("append").parquet(src)
+    return src
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    agg = streaming.tumbling_event_counts(stream)
+    streaming.run_to_memory(
+        agg, "t_tumbling", str(tmp_path / "ckpt1"), output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("v"),
+        )
+        .collect()
+    )
+    want = {(r["w"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+    assert got == want  # streaming plan ≡ batch plan on the same input
+
+
+def test_stream_dedup_within_watermark(spark, dup_events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, dup_events_dir)
+    dedup = streaming.dedup_events_within_watermark(stream, watermark="10 hours")
+    streaming.run_to_memory(dedup, "t_dedup", str(tmp_path / "ckpt2"))
+    n_distinct = load_table(spark, SF, "events").count()
+    # doubled feed in, exactly one copy per event_id out
+    assert spark.table("t_dedup").count() == n_distinct
+    assert (
+        spark.table("t_dedup").groupBy("event_id").count().filter("count > 1").count() == 0
+    )
+
+
+def test_stream_sessionization(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    sess = streaming.sessionize_stream(stream, gap="30 minutes")
+    streaming.run_to_memory(
+        sess, "t_sessions", str(tmp_path / "ckpt3"), output_mode="complete"
+    )
+    out = spark.table("t_sessions")
+    assert out.count() > 0
+    # Session invariants: end > start; per-user sessions don't overlap.
+    assert out.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (
+        out.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("session_start") < F.col("prev_end")))
+        .count()
+    )
+    assert overlaps == 0
+    # Total events across sessions == total events.
+    assert out.agg(F.sum("n_events")).collect()[0][0] == load_table(spark, SF, "events").count()
+
+
+def test_stream_foreachbatch_merge(spark, events_dir, tmp_path):
+    stream = streaming.read_events_stream(spark, events_dir)
+    gold = str(tmp_path / "gold")
+    writer = streaming.stream_merge_upsert(
+        stream, gold, keys=["event_id"], checkpoint_dir=str(tmp_path / "ckpt4")
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+    total = load_table(spark, SF, "events").count()
+    assert spark.read.parquet(gold).count() == total
+
+    # Replay the same files through a FRESH stream (new checkpoint): merge
+    # must be idempotent — same end state, no duplicate keys.
+    stream2 = streaming.read_events_stream(spark, events_dir)
+    writer2 = streaming.stream_merge_upsert(
+        stream2, gold, keys=["event_id"], checkpoint_dir=str(tmp_path / "ckpt5")
+    )
+    q2 = writer2.start()
+    q2.awaitTermination(120)
+    final = spark.read.parquet(gold)
+    assert final.count() == total
+    assert final.groupBy("event_id").count().filter("count > 1").count() == 0
