@@ -70,20 +70,43 @@ def sql_word_shingles(table: str, id_col: str = "doc_id", text_col: str = "text"
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+# Universal-hash family over a single md5 base hash: h_j(x) = (a_j·b + c_j)
+# mod M with b = md5(x)[:15 hex] mod M. M = 2^31−1 keeps every product under
+# 2^62 — no int64 overflow in any engine (DuckDB errors on overflow, Java
+# wraps; staying under 2^63 sidesteps both). ONE md5 per shingle instead of
+# k — the k families are integer multiply-adds.
+MINHASH_M = 2_147_483_647
+
+
+def _mix_constants(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * j + 1, j * 912_367 + 7) for j in range(num_hashes)]
+
+
+def minhash_base_expr(col: str = "shingle") -> str:
+    """SQL for the 60-bit md5 base hash folded to [0, M) — valid Spark SQL;
+    the DuckDB twin differs only in hex parsing (sql_minhash_base)."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT) % {MINHASH_M}"
+
+
+def sql_minhash_base(col: str = "shingle") -> str:
+    return f"(('0x' || substring(md5({col}), 1, 15))::BIGINT) % {MINHASH_M}"
+
 
 def minhash_signature(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
-    """One row per document with columns minh_0..minh_{k-1}.
+    """One row per document with BIGINT columns minh_0..minh_{k-1}.
 
-    k hash families are md5 with distinct seed prefixes; the min is the
-    lexicographic min of hex digests. One aggregate pass computes all k mins
-    (partial map-side combine applies — the shuffle carries k×32-byte strings
-    per doc, not the shingle set).
+    One md5 per shingle → k affine families → k int mins in ONE aggregate
+    pass (map-side partial combine; the shuffle carries k longs per doc,
+    not the shingle set).
     """
     hashed = sh.select(
         id_col,
+        F.expr(minhash_base_expr("shingle")).alias("b"),
+    ).select(
+        id_col,
         *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(num_hashes)
+            ((F.lit(a) * F.col("b") + F.lit(c)) % MINHASH_M).alias(f"h{j}")
+            for j, (a, c) in enumerate(_mix_constants(num_hashes))
         ],
     )
     return hashed.groupBy(id_col).agg(
@@ -201,11 +224,18 @@ def _bit_nibbles(i: int) -> tuple[int, tuple[str, ...]]:
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document 64-bit SimHash as a '0'/'1' string column ``simhash``.
+    """Per-document 64-bit SimHash: a '0'/'1' string column ``simhash`` plus
+    the same bits packed into two ints (``simhash_hi`` = bits 0-31,
+    ``simhash_lo`` = bits 32-63) for bit-parallel hamming.
 
     bit i = sign of Σ_tokens freq(token) × (±1 by bit i of md5(token), see
-    ``_bit_nibbles``). Computed as 64 conditional sums in ONE aggregate pass
-    over the (doc, token, freq) relation — a single shuffle on doc id.
+    ``_bit_nibbles``). The ±1 signs are a pure function of the token, so they
+    are computed ONCE per distinct token (the vocabulary relation — orders of
+    magnitude smaller than the (doc, token) relation) and broadcast-joined
+    back; the per-document pass is then 64 integer multiply-sums in one
+    aggregate. This replaces 64 substring/set-membership evaluations per
+    (doc, token) row with one small-table lookup — the difference between a
+    string kernel and an int kernel in the hot aggregate.
     """
     toks = (
         df.select(
@@ -215,28 +245,38 @@ def simhash_signatures(
         .filter(F.col("tok") != "")
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("freq"))
-        .withColumn("th", F.md5(F.col("tok")))
     )
-    contribs = []
+    # Vocabulary: per-token ±1 for each bit, computed once.
+    sign_cols = []
     for i in range(SIMHASH_BITS):
         pos, nibbles = _bit_nibbles(i)
         in_list = ", ".join(f"'{c}'" for c in nibbles)
-        contribs.append(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
-                    f" THEN freq ELSE -freq END"
-                )
-            ).alias(f"s{i}")
+        sign_cols.append(
+            F.expr(
+                f"CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
+                f" THEN 1 ELSE -1 END"
+            ).alias(f"b{i}")
         )
-    agg = toks.groupBy(id_col).agg(*contribs)
-    bits = F.concat(
-        *[
-            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(SIMHASH_BITS)
-        ]
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("th", F.md5(F.col("tok")))
+        .select("tok", *sign_cols)
     )
-    return agg.select(id_col, bits.alias("simhash"))
+    weighted = toks.join(F.broadcast(vocab), "tok")
+    agg = weighted.groupBy(id_col).agg(
+        *[F.sum(F.col("freq") * F.col(f"b{i}")).alias(f"s{i}") for i in range(SIMHASH_BITS)]
+    )
+    bit = [F.when(F.col(f"s{i}") > 0, 1).otherwise(0) for i in range(SIMHASH_BITS)]
+    bits_str = F.concat(*[b.cast("string") for b in bit])
+    hi = sum((bit[i] * F.lit(1 << i) for i in range(32)), F.lit(0))
+    lo = sum((bit[i + 32] * F.lit(1 << i) for i in range(32)), F.lit(0))
+    return agg.select(
+        id_col,
+        bits_str.alias("simhash"),
+        hi.cast("long").alias("simhash_hi"),
+        lo.cast("long").alias("simhash_lo"),
+    )
 
 
 def sql_simhash_signatures(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -303,38 +343,56 @@ def simhash_near_dup_pairs(
     generation instead of an all-pairs cross join.
     """
     assert max_hamming <= bands - 1, "banding exact only for hamming <= bands-1"
-    width = SIMHASH_BITS // bands
+    assert bands == 4 and SIMHASH_BITS == 64, "band slicing below assumes 4×16 bits"
     sig = simhash_signatures(df, id_col, text_col)
+    # Band keys are 16-bit slices of the packed signature (int compare beats
+    # 16-char string compare in the join).
+    band_key = [
+        (F.col("simhash_hi") % 65536),
+        (F.col("simhash_hi") / 65536).cast("long") % 65536,
+        (F.col("simhash_lo") % 65536),
+        (F.col("simhash_lo") / 65536).cast("long") % 65536,
+    ]
     bk = sig.select(
         id_col,
         "simhash",
+        "simhash_hi",
+        "simhash_lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.substring("simhash", b * width + 1, width).alias("band_key"),
+                        F.lit(b).alias("band_id"), band_key[b].alias("band_key")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        id_col, "simhash", "simhash_hi", "simhash_lo",
+        F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"),
+    )
     a = bk.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("simhash_a"), "band_id", "band_key"
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("simhash_a"),
+        F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
+        "band_id", "band_key",
     )
     b = bk.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("simhash_b"), "band_id", "band_key"
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("simhash_b"),
+        F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"),
+        "band_id", "band_key",
     )
-    cand = (
+    # Bit-parallel hamming (two XOR + popcount) BEFORE the distinct: the
+    # filter kills ~all of the collision-heavy candidate mass, so the distinct
+    # only sees surviving pairs.
+    ham = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "simhash_a", "doc_b", "simhash_b")
-        .distinct()
-    )
-    ham = hamming_expr("simhash_a", "simhash_b")
-    return (
-        cand.withColumn("hamming", ham)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+        .distinct()
     )

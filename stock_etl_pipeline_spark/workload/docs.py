@@ -246,7 +246,8 @@ _MH_ROWS = _MH_K // _MH_BANDS
 _MH_THRESHOLD = 0.7
 
 _mh_hash_cols = ",\n    ".join(
-    f"md5(concat('{j}:', shingle)) AS h{j}" for j in range(_MH_K)
+    f"({a} * b + {c}) % {dedup.MINHASH_M} AS h{j}"
+    for j, (a, c) in enumerate(dedup._mix_constants(_MH_K))
 )
 _mh_min_cols = ", ".join(f"min(h{j}) AS minh_{j}" for j in range(_MH_K))
 _mh_band_selects = "\n    UNION ALL ".join(
@@ -260,9 +261,10 @@ _MH_JAC = "inter * 1.0 / (ca.n + cb.n - inter)"
 _MINHASH_ORACLE = rf"""
 WITH
   {dedup.sql_word_shingles("documents")},
+  based AS (SELECT doc_id, {dedup.sql_minhash_base("shingle")} AS b FROM sh),
   hashed AS (SELECT doc_id,
     {_mh_hash_cols}
-    FROM sh),
+    FROM based),
   sig AS (SELECT doc_id, {_mh_min_cols} FROM hashed GROUP BY doc_id),
   bands AS (
     {_mh_band_selects}

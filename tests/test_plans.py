@@ -1,0 +1,116 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, locked in as tests so a regression in plan shape fails CI —
+predicate pushdown to the parquet scan, column pruning, broadcast joins for
+dimensions, map-side partial aggregation, and shuffle counts."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stock_etl_pipeline_spark.workload import load_all
+
+SF = "/root/testdata/sf0.001"
+REGISTRY = load_all()
+
+
+def plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def n_shuffles(p: str) -> int:
+    # Count distinct Exchange operator nodes in the formatted tree header.
+    return len(re.findall(r"\(\d+\)\s+Exchange\b", p))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # Column pruning: comment/address columns never leave the scan.
+    assert "l_comment" not in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert n_shuffles(p) == 1  # exactly the aggregate exchange
+
+
+def test_transform_metrics_is_narrow(spark):
+    # Pure per-row transform stage: no shuffle at any point.
+    assert n_shuffles(plan(spark, "transform_metrics")) == 0
+
+
+def test_regional_revenue_broadcasts_dimensions(spark):
+    p = plan(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in p
+    # The region filter reaches the region scan (pushdown through the
+    # broadcast chain), so only ASIA rows are ever read.
+    assert "EqualTo(r_name,ASIA)" in p
+    # At most the fact⋈fact join + final agg shuffle big data (at tiny SF,
+    # AQE broadcasts the fact join too and this drops to 1).
+    assert n_shuffles(p) <= 3
+
+
+def test_top_customers_broadcasts_customer_dim(spark):
+    p = plan(spark, "top_customers")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k never materializes a full sort
+
+
+def test_moving_averages_single_window_sort(spark):
+    p = plan(spark, "moving_averages")
+    # Two exchanges total: the (symbol, date) dedup aggregate, then the
+    # (symbol) window repartition of the already-reduced daily rows. A
+    # single-shuffle variant (pre-partition by symbol) would cap aggregate
+    # parallelism at the symbol cardinality — worse at scale.
+    assert "Window" in p
+    # all four moving averages share ONE Window operator node
+    assert len(re.findall(r"\(\d+\)\s+Window\b", p)) == 1
+    assert n_shuffles(p) == 2
+
+
+def test_quality_suite_single_pass(spark):
+    p = plan(spark, "quality_suite")
+    # Whole suite = one aggregate job: no joins anywhere in the plan.
+    assert "Join" not in p
+    assert "partial" in p  # partial aggregation present
+
+
+def test_merge_upsert_broadcast_anti_join(spark):
+    p = plan(spark, "merge_upsert")
+    # The daily source must broadcast; the warehouse side must NOT shuffle
+    # for the anti join.
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_asof_single_shuffle(spark):
+    p = plan(spark, "price_asof_align")
+    # union + window formulation: per-side pre-aggregates (2 exchanges) and
+    # the symbol window partitioning; no range-join fan-out node.
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    p = plan(spark, "embedding_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # corpus side is never exchanged before scoring
+    assert n_shuffles(p) <= 1
+
+
+def test_scans_prune_document_columns(spark):
+    p = plan(spark, "doc_exact_dedup")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_minhash_lsh", "doc_simhash_pairs", "embedding_ann_lsh"],
+)
+def test_lsh_paths_avoid_cross_joins(spark, name):
+    p = plan(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
