@@ -47,15 +47,18 @@ N_SYMBOLS = 16
 # low ≤ open ≤ close ≤ high, close > 0. Valid Spark SQL *and* DuckDB SQL.
 # 2-decimal "cents" rounding is floor-based (floor(x+0.5)/100), NOT round():
 # round() semantics differ between engines on half-way doubles
-# (functions.pround rationale).
+# (functions.pround rationale). Divisors are CAST(... AS DOUBLE) because a
+# bare 100.0 literal parses as DECIMAL in Spark SQL text (unlike lit() in
+# the DataFrame API) and floor() returns BIGINT there — bigint/decimal
+# would silently yield DECIMAL columns that hash-mismatch DuckDB's doubles.
 PRICES_VIEW_SQL = f"""
 SELECT
   CAST(l_shipdate AS DATE) AS date,
   concat('SYM', lpad(CAST(l_partkey % {N_SYMBOLS} AS STRING), 2, '0')) AS symbol,
-  floor(l_extendedprice * (1 - l_discount) + 0.5) / 100.0 AS open,
-  floor(l_extendedprice * (1 + l_tax) + 0.5) / 100.0 AS high,
-  floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) + 0.5) / 100.0 AS low,
-  floor(l_extendedprice + 0.5) / 100.0 AS close,
+  floor(l_extendedprice * (1 - l_discount) + 0.5) / CAST(100.0 AS DOUBLE) AS open,
+  floor(l_extendedprice * (1 + l_tax) + 0.5) / CAST(100.0 AS DOUBLE) AS high,
+  floor(l_extendedprice * (1 - l_discount) * (1 - l_tax) + 0.5) / CAST(100.0 AS DOUBLE) AS low,
+  floor(l_extendedprice + 0.5) / CAST(100.0 AS DOUBLE) AS close,
   CAST(floor(l_quantity) AS BIGINT) * 100 AS volume,
   CASE WHEN l_linenumber % 2 = 0 THEN 'alpha_vantage' ELSE 'yahoo_finance' END AS data_source
 FROM lineitem

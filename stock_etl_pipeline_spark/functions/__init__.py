@@ -58,9 +58,21 @@ def exact_avg(col: Column, scale: float = 100.0) -> Column:
 # --- SQL-text twins (DuckDB oracle side) -----------------------------------
 
 
+# Divisors/multipliers that must stay DOUBLE are written CAST(x AS DOUBLE):
+# a bare float literal parses as DECIMAL in Spark SQL *text* (unlike the
+# DataFrame API's lit()), and bigint/decimal yields DECIMAL — a silent type
+# divergence from DuckDB, whose floor() stays DOUBLE. The CAST is a no-op in
+# DuckDB and pins Spark SQL to double arithmetic, so one SQL string
+# evaluates identically in both engines.
+
+
+def _dbl(x: float) -> str:
+    return f"CAST({x} AS DOUBLE)"
+
+
 def sql_pround(expr: str, digits: int) -> str:
     scale = float(10**digits)
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+    return f"floor(({expr}) * {scale} + 0.5) / {_dbl(scale)}"
 
 
 def sql_scaled_long(expr: str, scale: float = 100.0) -> str:
@@ -68,11 +80,11 @@ def sql_scaled_long(expr: str, scale: float = 100.0) -> str:
 
 
 def sql_exact_sum(expr: str, scale: float = 100.0) -> str:
-    return f"(CAST(sum({sql_scaled_long(expr, scale)}) AS BIGINT) / {scale})"
+    return f"(CAST(sum({sql_scaled_long(expr, scale)}) AS BIGINT) / {_dbl(scale)})"
 
 
 def sql_exact_avg(expr: str, scale: float = 100.0) -> str:
     return (
         f"(CAST(sum({sql_scaled_long(expr, scale)}) AS BIGINT)"
-        f" / ({scale} * count({expr})))"
+        f" / ({_dbl(scale)} * count({expr})))"
     )

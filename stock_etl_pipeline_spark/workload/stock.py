@@ -35,7 +35,7 @@ _DAILY_CTE = f"""
   FROM prices GROUP BY date, symbol
 ),
 daily2 AS (
-  SELECT date, symbol, close_price_u, close_price_u / 1000000.0 AS close_price
+  SELECT date, symbol, close_price_u, close_price_u / CAST(1000000.0 AS DOUBLE) AS close_price
   FROM daily
 )
 """.rstrip()
@@ -56,7 +56,7 @@ def _ma_col(width: int) -> str:
     w = _ma_win(width)
     return (
         f"CAST(sum(close_price_u) OVER {w} AS BIGINT)"
-        f" / (1000000.0 * count(close_price_u) OVER {w}) AS ma_{width}d"
+        f" / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER {w}) AS ma_{width}d"
     )
 
 
@@ -84,7 +84,7 @@ def q_moving_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W2 — pandas-faithful rolling mean (min_periods = width → NULL head rows)
 _STRICT_AVG = (
     f"CAST(sum(close_price_u) OVER {_ma_win(20)} AS BIGINT)"
-    f" / (1000000.0 * count(close_price_u) OVER {_ma_win(20)})"
+    f" / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER {_ma_win(20)})"
 )
 _STRICT_COUNT = f"count(close_price_u) OVER {_ma_win(20)}"
 _MA_PANDAS_ORACLE = oracle_with_prices(

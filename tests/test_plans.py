@@ -9,6 +9,7 @@ import re
 
 import pytest
 
+from stock_etl_pipeline_spark.plans import explain_formatted, n_shuffles
 from stock_etl_pipeline_spark.workload import load_all
 
 SF = "/root/testdata/sf0.001"
@@ -16,14 +17,7 @@ REGISTRY = load_all()
 
 
 def plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
-
-
-def n_shuffles(p: str) -> int:
-    # Count distinct Exchange operator nodes in the formatted tree header.
-    return len(re.findall(r"\(\d+\)\s+Exchange\b", p))
+    return explain_formatted(REGISTRY[name].fn(spark, SF))
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):
