@@ -154,3 +154,47 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         F.get_json_object("props", "$.k").cast("int").alias("k_value")
     ).agg(F.count("*").alias("n_events"))
+
+
+# --- sliding window aggregate ------------------------------------------------
+# 1-hour windows sliding every 30 minutes: every event lands in exactly two
+# windows. Spark's window(ts, '1 hour', '30 minutes') expands to the two
+# covering windows before the aggregate; the oracle unrolls the same two
+# starts by epoch arithmetic (kept as plain TIMESTAMP — to_timestamp() in
+# DuckDB would yield TIMESTAMPTZ and render differently).
+_SLIDING_ORACLE = f"""
+WITH expanded AS (
+  SELECT event_type, value,
+    TIMESTAMP '1970-01-01 00:00:00'
+      + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - s.off) * INTERVAL 1 SECOND
+      AS window_start
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1800]) AS off) s
+)
+SELECT window_start, event_type,
+  count(*) AS n_events,
+  {sql_exact_sum("value", 100.0)} AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+""".strip()
+
+
+@spec("sliding_hourly", oracle=_SLIDING_ORACLE, tags=("streaming", "window_agg", "sliding"))
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (1 h window / 30 min slide). Spark expands
+    each row to its 2 covering windows then hash-aggregates — same shuffle
+    shape as tumbling, 2x pre-aggregation input, identical at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value"), 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
