@@ -6,6 +6,7 @@ from .pipeline import (
     read_events_stream,
     run_to_memory,
     sessionize_stream,
+    stateful_user_totals,
     stream_merge_upsert,
     tumbling_event_counts,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "sessionize_stream",
+    "stateful_user_totals",
     "stream_merge_upsert",
     "tumbling_event_counts",
 ]

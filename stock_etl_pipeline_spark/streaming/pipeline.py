@@ -123,6 +123,49 @@ def sessionize_stream(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + exact running value total, maintained across
+    micro-batches in the state store and emitted (update mode) once per user
+    per batch.
+
+    This is the escape hatch for stateful logic ``session_window``/
+    ``dropDuplicatesWithinWatermark`` can't express (custom accumulators,
+    ML-ish counters, decision state). State is (count, cents) per user —
+    value totals accumulate as integer cents so replays and partitionings
+    cannot perturb the double rendered at the end.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, cents long"
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # exact: floor-to-cents grid, order-independent (astype would
+            # truncate toward zero — wrong for negatives)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_merge_upsert(
     stream: DataFrame,
     target_path: str,

@@ -580,3 +580,52 @@ def q_close_rank_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_uniq).cast("int").alias("quartile"),
         (F.floor(F.percent_rank().over(w_uniq) * 1e6 + F.lit(0.5)) / 1e6).alias("pct_rank"),
     )
+
+
+# --- RANGE-frame window: trailing 7 CALENDAR days ---------------------------
+# Distinct from the ma_5d ROWS frame: trading gaps mean "5 rows" != "5 days".
+# Spark expresses date-RANGE frames by ordering on days-since-epoch and
+# using rangeBetween; DuckDB orders on the date itself with an INTERVAL
+# RANGE frame — same semantics, both exact via integer micro-unit sums.
+_RANGE_AVG = (
+    "CAST(sum(close_price_u) OVER w7 AS BIGINT)"
+    " / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER w7)"
+)
+_RANGE_7D_ORACLE = oracle_with_prices(
+    f"""
+{_DAILY_CTE}
+SELECT symbol, date, close_price,
+  {_RANGE_AVG} AS avg_7cd,
+  CAST(count(close_price_u) OVER w7 AS BIGINT) AS n_in_window
+FROM daily2
+WINDOW w7 AS (PARTITION BY symbol ORDER BY date
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""".rstrip()
+)
+
+
+@spec("close_range_7d", oracle=_RANGE_7D_ORACLE, tags=("window", "range_frame"))
+def q_close_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day average close per symbol via a RANGE frame
+    (value-based, not row-based — rows at date d aggregate every row in
+    [d-6, d] regardless of gaps). One shuffle+sort per symbol, identical to
+    the ROWS-frame cost."""
+    from pyspark.sql import Window
+
+    daily = daily_close(load_prices(spark, sf_dir))
+    days = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date"))
+    w7 = (
+        Window.partitionBy("symbol")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    avg7 = F.sum("close_price_u").over(w7) / (
+        F.lit(1000000.0) * F.count("close_price_u").over(w7)
+    )
+    return daily.select(
+        "symbol",
+        "date",
+        (F.col("close_price_u") / F.lit(1000000.0)).alias("close_price"),
+        avg7.alias("avg_7cd"),
+        F.count("close_price_u").over(w7).alias("n_in_window"),
+    )

@@ -113,3 +113,36 @@ def test_stream_foreachbatch_merge(spark, events_dir, tmp_path):
     final = spark.read.parquet(gold)
     assert final.count() == total
     assert final.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    # 4-file source + maxFilesPerTrigger=1 → state must survive micro-batches.
+    src = str(tmp_path / "events_4files")
+    load_table(spark, SF, "events").repartition(4).write.parquet(src)
+    stream = streaming.read_events_stream(spark, src, max_files_per_trigger=1)
+    totals = streaming.stateful_user_totals(stream)
+    streaming.run_to_memory(
+        totals, "t_stateful", str(tmp_path / "ckpt6"), output_mode="update"
+    )
+    out = spark.table("t_stateful")
+    # multiple emissions per user (one per batch that saw the user); the row
+    # with the max n_events is the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("v"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
+    # state genuinely crossed batches: some user saw >1 emission
+    assert out.count() > final.count()
