@@ -629,3 +629,97 @@ def q_close_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg7.alias("avg_7cd"),
         F.count("close_price_u").over(w7).alias("n_in_window"),
     )
+
+
+# --- pivot: per-source close columns ----------------------------------------
+# Spark pivot() compiles to conditional aggregates over a fixed value list;
+# the oracle writes those conditional aggregates directly (the portable
+# two-step the engine defines for BigQuery's in-agg histograms, SURVEY §2.5).
+_PIVOT_ORACLE = oracle_with_prices("""
+SELECT symbol, date,
+  max(close) FILTER (WHERE data_source = 'alpha_vantage') AS alpha_vantage_close,
+  max(close) FILTER (WHERE data_source = 'yahoo_finance') AS yahoo_finance_close
+FROM prices
+GROUP BY symbol, date
+""".strip())
+
+
+@spec("source_close_pivot", oracle=_PIVOT_ORACLE, tags=("pivot", "reshape"))
+def q_source_close_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: one close column per source via pivot with an EXPLICIT
+    value list — omitting it would cost an extra distinct-values job and
+    make the output schema data-dependent (both wrong at scale)."""
+    p = load_prices(spark, sf_dir)
+    return (
+        p.groupBy("symbol", "date")
+        .pivot("data_source", ["alpha_vantage", "yahoo_finance"])
+        .agg(F.max("close"))
+        .withColumnsRenamed(
+            {"alpha_vantage": "alpha_vantage_close", "yahoo_finance": "yahoo_finance_close"}
+        )
+    )
+
+
+# --- set operations: INTERSECT / EXCEPT -------------------------------------
+_SET_OPS_ORACLE = oracle_with_prices("""
+, av AS (SELECT DISTINCT symbol, date FROM prices WHERE data_source = 'alpha_vantage'),
+yf AS (SELECT DISTINCT symbol, date FROM prices WHERE data_source = 'yahoo_finance'),
+both_src AS (SELECT * FROM av INTERSECT SELECT * FROM yf),
+av_only AS (SELECT * FROM av EXCEPT SELECT * FROM yf)
+SELECT symbol,
+  CAST((SELECT count(*) FROM both_src b WHERE b.symbol = s.symbol) AS BIGINT) AS n_both,
+  CAST((SELECT count(*) FROM av_only a WHERE a.symbol = s.symbol) AS BIGINT) AS n_av_only
+FROM (SELECT DISTINCT symbol FROM prices) s
+""".strip())
+
+
+@spec("source_set_ops", oracle=_SET_OPS_ORACLE, tags=("set_ops", "intersect", "except"))
+def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over per-source (symbol, date) sets — Catalyst
+    plans both as aggregates + semi/anti joins on co-partitioned keys."""
+    p = load_prices(spark, sf_dir)
+    av = p.filter(F.col("data_source") == "alpha_vantage").select("symbol", "date").distinct()
+    yf = p.filter(F.col("data_source") == "yahoo_finance").select("symbol", "date").distinct()
+    both_src = av.intersect(yf).groupBy("symbol").agg(F.count("*").alias("n_both"))
+    av_only = av.exceptAll(yf).groupBy("symbol").agg(F.count("*").alias("n_av_only"))
+    symbols = p.select("symbol").distinct()
+    return (
+        symbols.join(both_src, "symbol", "left")
+        .join(av_only, "symbol", "left")
+        .select(
+            "symbol",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.coalesce("n_av_only", F.lit(0)).alias("n_av_only"),
+        )
+    )
+
+
+# --- exact percentiles -------------------------------------------------------
+# Spark percentile() and DuckDB quantile_cont() share the same linear
+# interpolation over sorted values; computed on integer cents cast to double
+# so inputs are bit-identical, making the interpolated doubles identical too.
+_MEDIAN_ORACLE = oracle_with_prices("""
+SELECT symbol,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.5) / 100.0 AS median_close,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.9) / 100.0 AS p90_close,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.99) / 100.0 AS p99_close
+FROM (SELECT symbol, CAST(floor(close * 100 + 0.5) AS BIGINT) AS close_c FROM prices) t
+GROUP BY symbol
+""".strip())
+
+
+@spec("close_percentiles", oracle=_MEDIAN_ORACLE, tags=("percentile", "agg"))
+def q_close_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) per symbol. Exact percentile
+    needs the sorted group in memory — fine per symbol-group here; at 100 TB
+    switch to approx_percentile (t-digest) and accept the documented error
+    bound, or pre-aggregate to a value histogram (cents grid → bounded
+    cardinality) and interpolate from counts."""
+    p = load_prices(spark, sf_dir)
+    cents = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long").cast("double")
+    t = p.select("symbol", cents.alias("close_c"))
+    return t.groupBy("symbol").agg(
+        (F.percentile("close_c", F.lit(0.5)) / 100.0).alias("median_close"),
+        (F.percentile("close_c", F.lit(0.9)) / 100.0).alias("p90_close"),
+        (F.percentile("close_c", F.lit(0.99)) / 100.0).alias("p99_close"),
+    )

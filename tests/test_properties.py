@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis): operator invariants that must hold for
+ANY input, not just fixtures — upsert key algebra, as-of join vs. a
+brute-force reference, keep-first dedup determinism, partitioning-invariant
+exact sums, and portable-rounding equivalence.
+
+max_examples is kept small: every example round-trips through a Spark job,
+so these buy breadth per example, not example count.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stock_etl_pipeline_spark.functions import pround
+from stock_etl_pipeline_spark.operators.asof import asof_join
+from stock_etl_pipeline_spark.operators.merge import dedup_keep_first
+from stock_etl_pipeline_spark.operators.upsert import merge_upsert
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.integers(min_value=-1000, max_value=1000)
+kv_rows = st.lists(st.tuples(keys, vals), max_size=15)
+
+
+@SETTINGS
+@given(target=kv_rows, source=kv_rows)
+def test_merge_upsert_key_algebra(spark, target, source):
+    t = spark.createDataFrame(target or [(99, 0)], "k long, v long")
+    s = spark.createDataFrame(source or [(98, 0)], "k long, v long")
+    out = merge_upsert(t, s, ["k"]).collect()
+    t_keys = {k for k, _ in (target or [(99, 0)])}
+    s_map = dict(source or [(98, 0)])  # later dup wins in dict — any is legal
+    # result keys = target ∪ source keys
+    assert {r["k"] for r in out} == t_keys | set(s_map)
+    # every source key carries a source value (source-wins)
+    src_rows = {r["k"]: r["v"] for r in out if r["k"] in s_map}
+    src_legal = {k: {v for kk, v in (source or [(98, 0)]) if kk == k} for k in s_map}
+    for k, v in src_rows.items():
+        assert v in src_legal[k]
+    # no duplicate keys when source is deduped and target unique per key
+    if len(t_keys) == len(target or [(99, 0)]):
+        assert len(out) == len({r["k"] for r in out})
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=12),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=60), vals), max_size=12, unique_by=lambda t: t[0]
+    ),
+)
+def test_asof_matches_bruteforce(spark, left, right):
+    base = dt.date(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [("K", base + dt.timedelta(days=d), i) for i, d in enumerate(left)],
+        "k string, d date, idx long",
+    )
+    rdf = spark.createDataFrame(
+        [("K", base + dt.timedelta(days=d), float(v)) for d, v in right] or [("X", base, 0.0)],
+        "k string, d date, q double",
+    )
+    out = asof_join(ldf, rdf, on=["k"], ts="d", value_cols=["q"]).collect()
+    rmap = sorted(((d, float(v)) for d, v in right), key=lambda t: t[0])
+
+    def brute(day):
+        best = None
+        for d, v in rmap:
+            if d <= day:
+                best = v
+        return best
+
+    assert len(out) == len(left)
+    for r in out:
+        day = (r["d"] - base).days
+        assert r["q_asof"] == brute(day), (day, rmap)
+
+
+@SETTINGS
+@given(rows=st.lists(st.tuples(keys, vals, vals), min_size=1, max_size=20))
+def test_dedup_keep_first_deterministic(spark, rows):
+    df = spark.createDataFrame(rows, "k long, tie long, payload long")
+    out = dedup_keep_first(df, ["k"], tiebreak_cols=["tie", "payload"]).collect()
+    # unique per key, and the kept row is the lexicographic minimum
+    got = {r["k"]: (r["tie"], r["payload"]) for r in out}
+    assert len(out) == len(got)
+    for k, kept in got.items():
+        assert kept == min((t, p) for kk, t, p in rows if kk == k)
+
+
+@SETTINGS
+@given(cents=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=30))
+def test_exact_sum_partitioning_invariant(spark, cents):
+    rows = [(c / 100.0,) for c in cents]
+    vals_a = (
+        spark.createDataFrame(rows, "v double").repartition(1)
+        .agg((F.sum(F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("s"))
+        .collect()[0]["s"]
+    )
+    vals_b = (
+        spark.createDataFrame(rows, "v double").repartition(7)
+        .agg((F.sum(F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert vals_a == vals_b == sum(cents) / 100.0
+
+
+@SETTINGS
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=20,
+    ),
+    digits=st.integers(min_value=0, max_value=6),
+)
+def test_pround_matches_ieee_reference(spark, xs, digits):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = [r["p"] for r in df.select(pround(F.col("x"), digits).alias("p")).collect()]
+    scale = float(10**digits)
+    want = [math.floor(x * scale + 0.5) / scale for x in xs]
+    assert out == want
