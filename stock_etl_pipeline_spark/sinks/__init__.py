@@ -142,6 +142,34 @@ def merge_write(
     return _report(out, target_path, "merge-full")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = WRITE_TRUNCATE,
+) -> dict:
+    """K8 clustering, join-locality variant: a catalog table bucketed (and
+    optionally sorted) by the join/agg key.
+
+    Two tables bucketed the same way join with NO exchange on either side —
+    at 100 TB that turns the recurring fact⋈fact shuffle into a local
+    zip-per-bucket. The price is paid once at write (hash-distribute into
+    n_buckets files per partition); pick ``n_buckets`` so a bucket of the
+    LARGER table fits an executor core's working set.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return _report(df, table, mode)
+
+
 def create_table_if_not_exists(
     spark: SparkSession,
     table: str,

@@ -3,6 +3,7 @@
 from .pipeline import (
     EVENTS_STREAM_SCHEMA,
     dedup_events_within_watermark,
+    interval_join_streams,
     read_events_stream,
     run_to_memory,
     sessionize_stream,
@@ -14,6 +15,7 @@ from .pipeline import (
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "dedup_events_within_watermark",
+    "interval_join_streams",
     "read_events_stream",
     "run_to_memory",
     "sessionize_stream",

@@ -166,6 +166,44 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: same key, right event within ±``within`` of
+    the left event. Both sides carry watermarks and the join condition bounds
+    event-time distance, so the state store can evict rows once the watermark
+    passes — without the time bound, stream-stream join state grows forever.
+
+    Scale notes: the join shuffles both streams on the key once; state per
+    key is bounded by (rate × 2×within). This is the streaming twin of a
+    batch self-join with a time-band predicate.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        F.col("ts").alias(f"{left_prefix}ts"),
+        F.col("event_id").alias(f"{left_prefix}event_id"),
+        F.col("value").alias(f"{left_prefix}value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias(f"{right_prefix}{key}"),
+        F.col("ts").alias(f"{right_prefix}ts"),
+        F.col("event_id").alias(f"{right_prefix}event_id"),
+    )
+    cond = (
+        (F.col(key) == F.col(f"{right_prefix}{key}"))
+        & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(f"{right_prefix}{key}")
+
+
 def stream_merge_upsert(
     stream: DataFrame,
     target_path: str,
