@@ -723,3 +723,69 @@ def q_close_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile("close_c", F.lit(0.9)) / 100.0).alias("p90_close"),
         (F.percentile("close_c", F.lit(0.99)) / 100.0).alias("p99_close"),
     )
+
+
+# --- correlation / covariance aggregates ------------------------------------
+# Pearson corr & sample covariance per symbol. Both engines accumulate
+# co-moments in doubles with potentially different orders; rounding to 6
+# digits absorbs the ulp-level accumulation noise (inputs are exact-cents
+# doubles, correlations are O(1) — boundary collisions are measure-zero).
+_CORR_ORACLE = oracle_with_prices(f"""
+SELECT symbol,
+  count(*) AS n_days,
+  {sql_pround("corr(open, close)", 6)} AS corr_open_close,
+  {sql_pround("corr(volume, close)", 6)} AS corr_volume_close,
+  {sql_pround("covar_samp(open, close)", 6)} AS covar_open_close
+FROM prices
+GROUP BY symbol
+""".strip())
+
+
+@spec("price_correlations", oracle=_CORR_ORACLE, tags=("agg", "statistics"))
+def q_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Pearson correlation + sample covariance — one partial+final
+    co-moment aggregate (Spark's corr/covar maintain mergeable moment
+    sketches, so the shuffle carries O(1) state per group)."""
+    p = load_prices(spark, sf_dir)
+    return p.groupBy("symbol").agg(
+        F.count("*").alias("n_days"),
+        pround(F.corr("open", "close"), 6).alias("corr_open_close"),
+        pround(F.corr("volume", "close"), 6).alias("corr_volume_close"),
+        pround(F.covar_samp("open", "close"), 6).alias("covar_open_close"),
+    )
+
+
+# --- histogram: integer-bucketed volume distribution ------------------------
+# Buckets via exact integer division (portable — float log/width_bucket
+# would risk libm ulp differences at bucket boundaries).
+_VOLUME_BUCKET = 500
+_HISTOGRAM_ORACLE = oracle_with_prices(f"""
+SELECT CAST(volume // {_VOLUME_BUCKET} AS BIGINT) AS bucket,
+  CAST(volume // {_VOLUME_BUCKET} AS BIGINT) * {_VOLUME_BUCKET} AS bucket_low,
+  count(*) AS n_rows,
+  CAST(sum(volume) AS BIGINT) AS total_volume
+FROM prices
+GROUP BY volume // {_VOLUME_BUCKET}
+""".strip())
+
+
+@spec("volume_histogram", oracle=_HISTOGRAM_ORACLE, tags=("agg", "histogram"))
+def q_volume_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width volume histogram by exact integer division: a bounded-
+    cardinality groupBy (the scale-safe shape for distribution profiling —
+    bucket count is fixed no matter the row count)."""
+    p = load_prices(spark, sf_dir)
+    bucket = F.floor(F.col("volume") / _VOLUME_BUCKET).cast("long")
+    return (
+        p.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("volume").alias("total_volume"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _VOLUME_BUCKET).alias("bucket_low"),
+            "n_rows",
+            "total_volume",
+        )
+    )
