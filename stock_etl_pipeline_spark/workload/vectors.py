@@ -188,3 +188,121 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("centroid_dim1"),
         pround(F.avg(comp_sum), 4).alias("avg_component_sum"),
     )
+
+
+# --- multi-probe ANN ---------------------------------------------------------
+# Home bucket + every 1-bit-flip bucket (7 probes at 6 planes): a true
+# neighbor escapes only if >= 2 hyperplanes separate it from the query.
+# Oracle replays the identical probe expansion.
+_probe_exprs = ["b.bucket"] + [
+    similarity.sql_flip_bit("b.bucket", i, _N_PLANES) for i in range(_N_PLANES)
+]
+_ANN_MP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, {_ANN_BUCKET_SQL} AS bucket,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, bucket,
+    list_transform(emb_d, x -> x / sqrt(list_dot_product(emb_d, emb_d))) AS unit
+  FROM b
+),
+q AS (
+  SELECT b.vec_id AS query_id, u.unit AS unit_q,
+    unnest([{", ".join(_probe_exprs)}]) AS bucket
+  FROM b JOIN u ON b.vec_id = u.vec_id
+  WHERE b.vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {sql_pround("list_dot_product(q.unit_q, c.unit)", 4)} AS cosine
+  FROM q JOIN u c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+""".strip()
+
+
+@spec("embedding_ann_multiprobe", oracle=_ANN_MP_ORACLE, tags=("similarity", "ann", "lsh", "multiprobe"))
+def q_embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: 7 probes per query (home + 1-bit flips) against
+    single-bucket corpus placement — recall close to exact top-k at ~7/64 of
+    the brute-force candidate work, still a plain co-partitioned equi-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
+    topk = similarity.ann_bucketed_topk(
+        e, q, _PLANES, _TOP_K, id_col="vec_id", query_id_col="query_id",
+        rank_digits=4, multiprobe=True,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+# --- multi-table LSH ANN (OR-construction) ----------------------------------
+_MT_BITS = 5
+_MT_TABLES = 8
+_MT_PLANES = [
+    similarity.make_planes(dim=64, n_planes=_MT_BITS, seed=42 + 1000 * t)
+    for t in range(_MT_TABLES)
+]
+_mt_idx_selects = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_id,"
+    f" {similarity.sql_hyperplane_bucket('embedding', _MT_PLANES[t])} AS bucket"
+    f" FROM embeddings"
+    for t in range(_MT_TABLES)
+)
+_ANN_MT_ORACLE = f"""
+WITH idx AS (
+  {_mt_idx_selects}
+),
+u AS (
+  SELECT vec_id,
+    list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      x -> x / sqrt(list_dot_product(list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                                     list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS unit
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT qi.vec_id AS query_id, ci.vec_id AS neighbor_id
+  FROM idx qi
+  JOIN idx ci ON qi.table_id = ci.table_id AND qi.bucket = ci.bucket
+  WHERE qi.vec_id < {_N_QUERIES} AND ci.vec_id <> qi.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    {sql_pround("list_dot_product(uq.unit, un.unit)", 4)} AS cosine
+  FROM cand c
+  JOIN u uq ON uq.vec_id = c.query_id
+  JOIN u un ON un.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+""".strip()
+
+
+@spec("embedding_ann_multitable", oracle=_ANN_MT_ORACLE, tags=("similarity", "ann", "lsh", "multitable"))
+def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (8 tables × 5 sign bits, OR-construction): a
+    neighbor is a candidate if ANY table agrees — recall ≈ 1-(1-p^5)^8 vs
+    p^6 single-table, at the cost of indexing the corpus 8×. The scale
+    shape stays a co-partitioned equi-join on (table_id, bucket)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
+    topk = similarity.ann_multitable_topk(
+        e, q, dim=64, bits_per_table=_MT_BITS, n_tables=_MT_TABLES, k=_TOP_K,
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -108,3 +108,27 @@ def test_lsh_paths_avoid_cross_joins(spark, name):
     p = plan(spark, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# --- golden shuffle budget ---------------------------------------------------
+# tests/golden_plans.json records each query's Exchange and cartesian-product
+# node counts at sf0.001. A new plan may use FEWER shuffles (improvement —
+# regenerate the file) but never more without an explicit golden update.
+import json
+import pathlib
+
+_GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "golden_plans.json").read_text()
+)
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN))
+def test_shuffle_budget(spark, name):
+    from stock_etl_pipeline_spark.plans import summarize
+
+    ps = summarize(REGISTRY[name].fn(spark, SF))
+    want = _GOLDEN[name]
+    assert ps.shuffles <= want["shuffles"], (
+        f"{name}: plan now uses {ps.shuffles} shuffles (golden {want['shuffles']})"
+    )
+    assert ps.cartesian_products <= want["cartesian"]
