@@ -190,6 +190,151 @@ def matmul_near_dup_pairs(
     return replicated.groupBy("gi", "gj").applyInPandas(block_pair_cosines, out_schema)
 
 
+# --- IVF: inverted-file ANN over exact deterministic k-means ----------------
+
+MICRO = 1_000_000.0
+
+
+def _as_micro_int(vec_col: str) -> str:
+    return (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {MICRO} + 0.5)"
+        f" AS BIGINT))"
+    )
+
+
+def with_micro_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``v_int`` (micro-unit int64 array — the exact representation),
+    ``v_dbl`` (v_int / 1e6 — identical doubles in every engine), and ``vv``
+    (squared norm)."""
+    out = df.withColumn("v_int", F.expr(_as_micro_int(vec_col)))
+    out = out.withColumn("v_dbl", F.expr(f"transform(v_int, x -> x / {MICRO})"))
+    return out.withColumn("vv", F.expr(_DOT_D.format(a="v_dbl", b="v_dbl")))
+
+
+def kmeans_exact(
+    vecs: DataFrame,
+    *,
+    k_clusters: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration k-means whose every step is engine-portable exact:
+
+    - inputs quantized to micro-unit int64 (``with_micro_vectors``);
+    - centroid update sums int64 per dimension (order-independent exact) and
+      divides once → identical centroid doubles everywhere;
+    - assignment distance ‖v‖² + ‖c‖² − 2⟨v,c⟩ rounded to 1e-6 with centroid-id
+      tiebreak → identical argmin everywhere.
+
+    Initialization: the first ``k_clusters`` ids (deterministic). Iteration is
+    a driver loop over lazy plans — assignment is a broadcast cross join
+    (n×K rows, the standard IVF shape), update is one posexplode aggregate.
+    Expects ``vecs`` to already carry v_int/v_dbl/vv.
+
+    Returns centroids (cid, c_dbl, cc).
+    """
+    centroids = vecs.filter(F.col(id_col) < k_clusters).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col("v_dbl").alias("c_dbl"),
+        F.col("vv").alias("cc"),
+    )
+    for _ in range(iters):
+        assigned = assign_to_centroids(vecs, centroids, id_col=id_col)
+        per_dim = (
+            assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"))
+        )
+        counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+        dims = per_dim.join(counts, "cid").select(
+            "cid", "pos",
+            (F.col("s").cast("double") / (F.lit(MICRO) * F.col("n"))).alias("dv"),
+        )
+        centroids = (
+            dims.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "dv"))),
+                    lambda s: s.dv,
+                ).alias("c_dbl")
+            )
+            .withColumn("cc", F.expr(_DOT_D.format(a="c_dbl", b="c_dbl")))
+        )
+    return centroids
+
+
+def assign_to_centroids(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest (or nprobe-nearest) centroid per vector: broadcast cross join
+    + windowed argmin on the quantized distance."""
+    from pyspark.sql import Window
+
+    vc = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
+    dist = F.floor((F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)) / 1e6
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cid").asc())
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn("dist", dist)
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .drop("__r", "c_dbl", "cc", "dist")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    rank_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus assigned to ONE cell each →
+    queries probe their ``nprobe`` nearest cells → exact cosine top-k within
+    probed cells.
+
+    The 100 TB shape: centroids are tiny and broadcast; the corpus shuffles
+    once on cell id to build the inverted file; a query touches nprobe/K of
+    the data. Unlike sign-LSH, cells adapt to the data distribution —
+    the right tool when neighbor similarity is moderate (see
+    tests/test_ann_recall.py for the measured comparison).
+    """
+    from pyspark.sql import Window
+
+    cu = with_micro_vectors(corpus, vec_col)
+    qu = with_micro_vectors(queries, vec_col)
+    centroids = kmeans_exact(cu, k_clusters=k_clusters, iters=iters, id_col=id_col)
+    c_cells = assign_to_centroids(cu, centroids, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), "cid",
+        F.col("v_dbl").alias("n_dbl"), F.col("vv").alias("n_vv"),
+    )
+    q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
+        query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
+    )
+    dot = F.expr(_DOT_D.format(a="q_dbl", b="n_dbl"))
+    cos = dot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("n_vv")))
+    scale = float(10**rank_digits)
+    qcos = F.floor(cos * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    scored = (
+        q_cells.join(c_cells, "cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", qcos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 # --- random-hyperplane LSH buckets ------------------------------------------
 
 

@@ -306,3 +306,107 @@ def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# --- IVF ANN over exact deterministic k-means -------------------------------
+# Even the ITERATIVE algorithm carries a full oracle: micro-unit integer
+# quantization makes every k-means step (centroid sums, means, argmin
+# assignment) bit-identical across engines, so DuckDB replays the exact same
+# 2 iterations the Spark side runs.
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+_IVF_DIST = (
+    "floor((t.vv + c.cc - 2 * list_dot_product(t.v_dbl, c.c_dbl)) * 1000000.0 + 0.5)"
+    " / 1000000.0"
+)
+
+
+def _ivf_iteration(i: int, prev_c: str) -> str:
+    return f"""
+a{i} AS (
+  SELECT vec_id, v_int, cid FROM (
+    SELECT t.vec_id, t.v_int, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN {prev_c} c
+  ) WHERE r = 1
+),
+s{i} AS (
+  SELECT cid, i, CAST(sum(v_int[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a{i}, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY cid, i
+),
+c{i} AS (
+  SELECT cid, list(dv ORDER BY i) AS c_dbl FROM (
+    SELECT cid, i, CAST(s AS DOUBLE) / (1000000.0 * n) AS dv FROM s{i}
+  ) GROUP BY cid
+),
+c{i}x AS (SELECT cid, c_dbl, list_dot_product(c_dbl, c_dbl) AS cc FROM c{i})
+""".strip()
+
+
+_ivf_iters_sql = ",\n".join(
+    _ivf_iteration(i + 1, "c0" if i == 0 else f"c{i}x") for i in range(_IVF_ITERS)
+)
+_IVF_ORACLE = f"""
+WITH vx AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v_int,
+    list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
+  FROM embeddings
+),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
+       FROM vv0 WHERE vec_id < {_IVF_K}),
+{_ivf_iters_sql},
+ca AS (
+  SELECT vec_id AS neighbor_id, cid, v_dbl AS n_dbl, vv AS n_vv FROM (
+    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
+  ) WHERE r = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv FROM (
+    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
+    WHERE t.vec_id < {_N_QUERIES}
+  ) WHERE r <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+    floor(list_dot_product(q.q_dbl, c.n_dbl) / (sqrt(q.q_vv) * sqrt(c.n_vv)) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM qa q JOIN ca c ON q.cid = c.cid AND c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+""".strip()
+
+# Note: vx computes v_int twice textually — DuckDB CSE handles it; keeping
+# the CTE single-pass matters less than keeping it mechanically generated.
+
+
+@spec("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "kmeans"))
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 2-iteration exact k-means (8 cells) coarse quantizer, 2-cell
+    probes, exact cosine within probed cells. Data-adaptive cells beat
+    data-oblivious hyperplanes at moderate neighbor similarity; the corpus
+    shuffles once on cell id, queries touch nprobe/K of the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
+    topk = similarity.ivf_topk(
+        e, q, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE, k=_TOP_K,
+        id_col="vec_id", query_id_col="query_id",
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
+    )
