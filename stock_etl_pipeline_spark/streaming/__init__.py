@@ -1,5 +1,11 @@
-"""Structured Streaming surface — see pipeline.py."""
+"""Structured Streaming surface — see pipeline.py; lateness/freshness
+observability in metrics.py."""
 
+from .metrics import (
+    freshness_report,
+    lateness_listener,
+    observe_freshness,
+)
 from .pipeline import (
     EVENTS_STREAM_SCHEMA,
     dedup_events_within_watermark,
@@ -15,6 +21,9 @@ from .pipeline import (
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "dedup_events_within_watermark",
+    "freshness_report",
+    "lateness_listener",
+    "observe_freshness",
     "interval_join_streams",
     "read_events_stream",
     "run_to_memory",

@@ -243,9 +243,11 @@ def run_to_memory(
     *,
     output_mode: str = "append",
     timeout_s: int = 120,
-) -> None:
+):
     """Drain a finite stream into an in-memory table (tests/backfills):
-    availableNow processes the whole backlog then stops."""
+    availableNow processes the whole backlog then stops. Returns the
+    (terminated) StreamingQuery — its ``recentProgress`` carries the
+    per-micro-batch metrics that metrics.freshness_report folds."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -258,3 +260,4 @@ def run_to_memory(
     if q.isActive:
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
+    return q

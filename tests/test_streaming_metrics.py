@@ -1,0 +1,138 @@
+"""Watermark-lateness observability: observed per-batch metrics, dropped-
+late-row counters, and the freshness-gate report contract
+(streaming/metrics.py)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from stock_etl_pipeline_spark import streaming
+from stock_etl_pipeline_spark.datasets import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pure fold over synthetic progress dicts (no Spark) ----------------------
+
+
+def _progress(n_rows, min_ts, max_ts, dropped=0, watermark=None):
+    return {
+        "observedMetrics": {
+            "freshness": {
+                "n_rows": n_rows,
+                "min_event_ts": min_ts,
+                "max_event_ts": max_ts,
+            }
+        },
+        "stateOperators": [{"numRowsDroppedByWatermark": dropped}],
+        "eventTime": {"watermark": watermark},
+    }
+
+
+def test_report_folds_batches_and_flags_lateness():
+    passed, rep = streaming.freshness_report(
+        [
+            _progress(100, "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z"),
+            _progress(
+                50,
+                "2024-01-01T12:00:00Z",
+                "2024-01-03T00:00:00Z",
+                dropped=7,
+                watermark="2024-01-02T22:00:00Z",
+            ),
+        ],
+        as_of="2024-01-03 01:00:00",
+        max_behind_s=7200,
+    )
+    assert passed  # only 1h behind; lateness is a warning, not an error
+    m = rep["metrics"]
+    assert m["n_rows"] == 150
+    assert m["rows_dropped_late"] == 7
+    assert m["max_event_ts"] == "2024-01-03T00:00:00"
+    assert m["min_event_ts"] == "2024-01-01T00:00:00"
+    assert m["watermark"] == "2024-01-02T22:00:00"
+    assert m["seconds_behind"] == 3600
+    assert rep["warnings"] and "7 rows dropped" in rep["warnings"][0]
+
+
+def test_report_staleness_gate_errors():
+    passed, rep = streaming.freshness_report(
+        [_progress(10, "2024-01-01T00:00:00Z", "2024-01-01T00:00:00Z")],
+        as_of="2024-01-08 00:00:00",
+        max_behind_s=86400,
+    )
+    assert not passed
+    assert "behind" in rep["errors"][0]
+
+
+def test_report_empty_stream_errors():
+    passed, rep = streaming.freshness_report([])
+    assert not passed
+    assert rep["metrics"]["n_rows"] == 0
+
+
+# --- live stream: late batch dropped by the watermark ------------------------
+
+
+def _late_batch_source(spark, tmp_path):
+    """File source where the LAST batch is weeks older than the watermark.
+
+    Three files, not two: Spark's late-event filter uses the watermark in
+    effect BEFORE the batch that advances it (one-batch lag — measured on
+    this Spark version: a late batch right after the advancing batch passes
+    through with the initial 1970 watermark). Batch 0 advances the watermark,
+    batch 1 lets it take effect, batch 2's ancient rows then hit the filter.
+    """
+    src = str(tmp_path / "late_src")
+    e = load_table(spark, SF, "events")
+    e.orderBy(F.col("ts").desc()).limit(100).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # file-source processes oldest mod-time first
+    e.orderBy(F.col("ts").desc()).limit(120).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    e.orderBy("ts").limit(100).coalesce(1).write.mode("append").parquet(src)
+    return src, 100 + 120 + 100
+
+
+def test_stream_counts_dropped_late_rows(spark, tmp_path):
+    src, n_arrivals = _late_batch_source(spark, tmp_path)
+    stream = streaming.read_events_stream(spark, src, max_files_per_trigger=1)
+    agg = streaming.tumbling_event_counts(
+        streaming.observe_freshness(stream), watermark="1 hour"
+    )
+    q = streaming.run_to_memory(agg, "t_late", str(tmp_path / "ckpt_late"))
+    passed, rep = streaming.freshness_report(q.recentProgress, max_dropped_late=0)
+    m = rep["metrics"]
+    # observe sees every ARRIVED row (it sits upstream of the state store) …
+    assert m["n_rows"] == n_arrivals
+    # … but the ancient batch falls behind the settled watermark and is
+    # dropped at the state operator, which the report surfaces.
+    assert m["rows_dropped_late"] > 0
+    assert m["n_batches"] == 3
+    assert passed  # dropped-late is a warning by default
+    assert rep["warnings"] and "dropped past the watermark" in rep["warnings"][0]
+    # the dropped rows never reach the sink's finalized windows
+    emitted = spark.table("t_late").agg(F.sum("n_events")).collect()[0][0] or 0
+    assert emitted < n_arrivals
+
+
+def test_lateness_listener_live(spark, tmp_path):
+    listener = streaming.lateness_listener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "lsrc")
+        load_table(spark, SF, "events").limit(500).coalesce(1).write.parquet(src)
+        stream = streaming.read_events_stream(spark, src)
+        agg = streaming.tumbling_event_counts(streaming.observe_freshness(stream))
+        streaming.run_to_memory(agg, "t_listener", str(tmp_path / "ckpt_l"))
+        # listener events are delivered async — poll briefly
+        deadline = time.time() + 30
+        while listener.fold.n_rows == 0 and time.time() < deadline:
+            time.sleep(0.2)
+        passed, rep = listener.report()
+        assert passed
+        assert rep["metrics"]["n_rows"] == 500
+        assert rep["metrics"]["n_batches"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
