@@ -10,6 +10,11 @@ Runs every bench-flagged query from the workload registry at
 
 Each query is forced end-to-end with the no-op sink (full computation, no
 write cost). One untimed warm-up query absorbs JVM/codegen startup.
+
+``--breakdown`` instead prints a stage-level JSON line for the composite
+operators (workload/microbench.py): per-stage deltas showing where the
+LSH/SimHash/GEMM/IVF pipelines spend their time. ``--reps N`` takes the
+best of N runs per prefix (default 2 — absorbs run-to-run noise).
 """
 
 from __future__ import annotations
@@ -39,6 +44,22 @@ def main() -> int:
 
     # Warm-up (JVM, codegen, parquet footer caches) — untimed.
     run(bench_specs["pricing_summary"].fn(spark, sf_dir))
+
+    if "--breakdown" in sys.argv:
+        from stock_etl_pipeline_spark.workload.microbench import run_breakdown
+
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv
+            else 2
+        )
+        stages = run_breakdown(spark, sf_dir, reps=reps)
+        print(
+            json.dumps(
+                {"metric": "stage_breakdown", "unit": "sec", "stages": stages, "sf": sf}
+            )
+        )
+        return 0
 
     timings: dict[str, float] = {}
     for name, s in bench_specs.items():

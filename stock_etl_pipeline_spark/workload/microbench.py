@@ -1,0 +1,198 @@
+"""Stage-level micro-benchmark prefixes for the composite operators.
+
+``bench.py`` times whole queries; this module decomposes the multi-stage
+ones (LSH dedup, SimHash, block-GEMM near-dup, IVF ANN) into CUMULATIVE
+prefixes so a perf pass can see WHERE a query spends its time — signature
+build vs candidate join vs verification — instead of guessing.
+
+Method: each entry lists ``(stage_label, builder)`` where ``builder(spark,
+sf_dir)`` returns the DataFrame for the pipeline truncated at that stage.
+The runner times each prefix END-TO-END from a fresh plan and reports
+deltas (prefix[i] − prefix[i−1]). Two caveats the deltas inherit:
+
+- A fresh plan per prefix is essential: re-collecting one DataFrame object
+  reuses its registered shuffle map outputs, and the rerun would time only
+  the last stage (measured pitfall — see SCALING.md).
+- Deltas include each prefix's own planning/codegen, so a stage that adds a
+  giant expression tree (SimHash's 64-bit aggregate) shows its compile cost
+  in its delta. That is intentional: at bench scale, compile time IS part of
+  where the time goes.
+
+Parameters are imported from the workload modules, so the prefixes always
+match what the headline queries actually run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..operators import dedup, similarity
+from . import docs, vectors
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_MH_ROWS = docs._MH_K // docs._MH_BANDS
+
+
+def _mh_shingles(spark, sf_dir):
+    return dedup.word_shingles(_docs(spark, sf_dir))
+
+
+def _mh_signatures(spark, sf_dir):
+    return dedup.minhash_signature(_mh_shingles(spark, sf_dir), docs._MH_K)
+
+
+def _mh_candidates(spark, sf_dir):
+    sig = _mh_signatures(spark, sf_dir)
+    return dedup.lsh_candidate_pairs(
+        dedup.lsh_band_keys(sig, docs._MH_BANDS, _MH_ROWS)
+    )
+
+
+def _mh_verified(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=docs._MH_K,
+        bands=docs._MH_BANDS,
+        threshold=docs._MH_THRESHOLD,
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def _sh_tokfreq(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _sh_signatures(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _sh_pairs(spark, sf_dir):
+    return dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=docs._SH_MAX_HAMMING, bands=docs._SH_BANDS
+    )
+
+
+# --- embedding near-dup (block GEMM) ----------------------------------------
+
+
+def _gemm_pairs(spark, sf_dir):
+    return similarity.matmul_near_dup_pairs(
+        _emb(spark, sf_dir),
+        vectors._NEAR_DUP_THRESHOLD - 1e-4,
+        id_col="vec_id",
+        n_blocks=8,
+    )
+
+
+# --- IVF ANN -----------------------------------------------------------------
+
+
+def _ivf_centroids(spark, sf_dir):
+    cu = similarity.with_micro_vectors(_emb(spark, sf_dir))
+    return similarity.kmeans_exact(
+        cu, k_clusters=vectors._IVF_K, iters=vectors._IVF_ITERS
+    )
+
+
+def _ivf_assignments(spark, sf_dir):
+    cu = similarity.with_micro_vectors(_emb(spark, sf_dir))
+    cents = similarity.kmeans_exact(
+        cu, k_clusters=vectors._IVF_K, iters=vectors._IVF_ITERS
+    )
+    return similarity.assign_to_centroids(cu, cents)
+
+
+def _ivf_topk(spark, sf_dir):
+    return vectors.q_embedding_ivf_topk(spark, sf_dir)
+
+
+# --- LSH ANN -----------------------------------------------------------------
+
+
+def _ann_buckets(spark, sf_dir):
+    return similarity.hyperplane_signature(
+        _emb(spark, sf_dir), vectors._PLANES
+    ).select("vec_id", "bucket")
+
+
+def _ann_topk(spark, sf_dir):
+    return vectors.q_embedding_ann_lsh(spark, sf_dir)
+
+
+STAGES: dict[str, list[tuple[str, Builder]]] = {
+    "doc_minhash_lsh": [
+        ("shingles", _mh_shingles),
+        ("signatures", _mh_signatures),
+        ("candidates", _mh_candidates),
+        ("verified", _mh_verified),
+    ],
+    "doc_simhash_pairs": [
+        ("tok_freq", _sh_tokfreq),
+        ("signatures", _sh_signatures),
+        ("pairs", _sh_pairs),
+    ],
+    "embedding_near_dup": [
+        ("gemm_pairs", _gemm_pairs),
+    ],
+    "embedding_ivf_topk": [
+        ("kmeans", _ivf_centroids),
+        ("assignment", _ivf_assignments),
+        ("topk", _ivf_topk),
+    ],
+    "embedding_ann_lsh": [
+        ("buckets", _ann_buckets),
+        ("topk", _ann_topk),
+    ],
+}
+
+
+def run_breakdown(spark: SparkSession, sf_dir: str, *, reps: int = 1) -> dict:
+    """Time every prefix (best of ``reps``) and return per-stage deltas."""
+    import time
+
+    def run(builder: Builder) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            # Rebuild the plan per rep: re-collecting one DataFrame object
+            # would reuse its shuffle map outputs and time only the tail.
+            df = builder(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    out: dict[str, dict[str, float]] = {}
+    for name, stages in STAGES.items():
+        prev = 0.0
+        deltas: dict[str, float] = {}
+        for label, builder in stages:
+            t = run(builder)
+            deltas[label] = round(max(t - prev, 0.0), 3)
+            prev = t
+        deltas["total"] = round(prev, 3)
+        out[name] = deltas
+    return out

@@ -1,0 +1,26 @@
+"""Stage-breakdown harness sanity: every stage prefix builds and runs, and
+deltas cover the registered composite queries (workload/microbench.py)."""
+
+from __future__ import annotations
+
+from stock_etl_pipeline_spark.workload import load_all
+from stock_etl_pipeline_spark.workload.microbench import STAGES, run_breakdown
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_breakdown_runs_and_covers_stages(spark):
+    out = run_breakdown(spark, SF, reps=1)
+    assert set(out) == set(STAGES)
+    for name, stages in STAGES.items():
+        got = out[name]
+        assert set(got) == {label for label, _ in stages} | {"total"}
+        assert got["total"] >= 0
+        # deltas sum to the final prefix time (floored negatives aside)
+        assert sum(v for k, v in got.items() if k != "total") >= got["total"] * 0.5
+
+
+def test_breakdown_names_are_registered_queries():
+    registry = load_all()
+    for name in STAGES:
+        assert name in registry, f"{name} not a registered query"
