@@ -49,6 +49,15 @@ def spec(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench
 def load_all() -> dict[str, QuerySpec]:
     """Import all workload modules (side effect: registration) and return the
     registry."""
-    from . import docs, events, media, sql_api, stock, tpch, vectors  # noqa: F401
+    from . import (  # noqa: F401
+        docs,
+        events,
+        media,
+        sketches,
+        sql_api,
+        stock,
+        tpch,
+        vectors,
+    )
 
     return REGISTRY
