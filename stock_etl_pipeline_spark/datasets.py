@@ -71,14 +71,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized Parquet
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (matching DuckDB's ns→µs truncation) JVM-side.
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized Parquet reader rejects; read nanos as long and truncate
+        # to microseconds (matching DuckDB's ns→µs truncation) JVM-side.
+        # Schema-driven, not name-driven: a re-materialized events table
+        # (bronze layers, the soak tier) already has µs timestamps and must
+        # pass through untouched.
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))")
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -163,8 +163,12 @@ def verified_jaccard_pairs(
     """Exact-Jaccard verification of candidate pairs.
 
     Joins candidates back to the shingle relation (shuffle on doc id — small:
-    candidates only), counts intersections, and filters by true Jaccard. The
-    shingle-set sizes are broadcast (one row per doc id present in candidates).
+    candidates only), counts intersections, and filters by true Jaccard.
+
+    The shingle-count relation is joined WITHOUT a broadcast hint: it has one
+    row per document, so a forced broadcast is a driver OOM waiting for a
+    bigger corpus (found by the 10x soak — scripts/soak.py). AQE broadcasts
+    it at runtime when it is actually small.
     """
     cnt = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
@@ -180,8 +184,8 @@ def verified_jaccard_pairs(
     cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", "n_a", "n_b", "inter", jac.alias("jaccard"))
     )
@@ -263,7 +267,10 @@ def simhash_signatures(
         .withColumn("th", F.md5(F.col("tok")))
         .select("tok", *sign_cols)
     )
-    weighted = toks.join(F.broadcast(vocab), "tok")
+    # no broadcast hint: the vocabulary is sublinear in the corpus but still
+    # unbounded (web-scale text → billions of distinct tokens); AQE
+    # broadcasts it when it is actually small
+    weighted = toks.join(vocab, "tok")
     agg = weighted.groupBy(id_col).agg(
         *[F.sum(F.col("freq") * F.col(f"b{i}")).alias(f"s{i}") for i in range(SIMHASH_BITS)]
     )

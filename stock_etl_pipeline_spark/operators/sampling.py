@@ -1,0 +1,71 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+The training-data op Spark's ``df.sample`` cannot give you: ``sample`` is
+seeded per-partition, so the SAME row flips in/out of the sample when the
+input is repartitioned, compacted, or re-ingested. Hashing the row KEY
+instead makes membership a pure function of the data — stable across
+partitionings, engines, and re-runs, and automatically consistent between
+tables that share the key (join a sampled fact to its sampled dim and the
+keys line up).
+
+Mechanics: u(key) = first 60 md5 bits / 2^60 ∈ [0,1) (same hash discipline
+as operators/sketches.py); a p-sample keeps u < p; a train/val/test split
+cuts [0,1) at the cumulative fractions. All comparisons are against exact
+dyadic doubles — cross-engine identical, no rounding grid needed.
+
+Reference parity: the reference has no sampling at all; this is part of the
+training-data extension surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sketches import _rank_value, sql_rank_value
+
+_SCALE = float(1 << 60)
+
+
+def hash_unit(col: str) -> Column:
+    """Deterministic uniform u ∈ [0,1) from a key column."""
+    return _rank_value(col) / F.lit(_SCALE)
+
+
+def sql_hash_unit(col: str) -> str:
+    return f"(CAST({sql_rank_value(col)} AS DOUBLE) / CAST({_SCALE!r} AS DOUBLE))"
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows with u(key) < fraction — repartition/rerun-stable."""
+    return df.filter(hash_unit(key_col) < F.lit(float(fraction)))
+
+
+def split_column(key_col: str, fractions: dict[str, float]) -> Column:
+    """Label each row with its split by cutting [0,1) at cumulative
+    fractions; the last split absorbs the remainder (fractions may sum to
+    < 1, never > 1)."""
+    names = list(fractions)
+    total = sum(fractions.values())
+    assert total <= 1.0 + 1e-12, f"split fractions sum to {total} > 1"
+    u = hash_unit(key_col)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    cuts = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        cuts.append((name, cum))
+    for name, cut in reversed(cuts):
+        expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def sql_split_column(key_col: str, fractions: dict[str, float]) -> str:
+    names = list(fractions)
+    u = sql_hash_unit(key_col)
+    cum = 0.0
+    whens = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        whens.append(f"WHEN {u} < CAST({cum!r} AS DOUBLE) THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"

@@ -177,6 +177,97 @@ FROM e
 # --- KMV ---------------------------------------------------------------------
 
 
+# --- fixed-grid histogram quantiles -----------------------------------------
+
+HIST_BUCKETS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, qs: list[float], n_buckets: int = HIST_BUCKETS
+) -> DataFrame:
+    """Approximate quantiles from a fixed-grid histogram: two aggregate
+    passes (global min/max/count, then bucket counts), rank error ≤ one
+    bucket's mass, value error ≤ (max−min)/n_buckets.
+
+    This is the scale path sketched in close_percentiles' docstring: exact
+    percentile sorts the group; the histogram shuffles ≤ n_buckets longs
+    TOTAL with map-side combine, and merges across partitions by addition.
+    Estimate = right edge of the first bucket whose cumulative count reaches
+    ceil(q·n) — pure integer compare over exact-double bucket edges, so the
+    DuckDB twin reproduces it bit-identically (no interpolation, whose
+    division could round differently from a different factoring).
+
+    Returns (q, approx_value) — one row per requested quantile.
+    """
+    rng = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.col("lo")) / width).cast("long"), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        df.join(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "lo", "hi", "n")
+        .groupBy("bucket", "lo", "hi", "n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    # first bucket whose cumulative count reaches ceil(q*n)
+    hit = qdf.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    edge = F.col("lo") + (F.min("bucket") + 1) * (
+        (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    )
+    return (
+        hit.groupBy("q", "lo", "hi")
+        .agg(edge.alias("approx_value"))
+        .select("q", "approx_value")
+    )
+
+
+def sql_histogram_quantiles(
+    table: str, col: str, qs: list[float], n_buckets: int = HIST_BUCKETS
+) -> str:
+    """DuckDB twin of histogram_quantiles (identical bucket/edge arithmetic)."""
+    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    nb = f"CAST({float(n_buckets)} AS DOUBLE)"
+    return f"""
+WITH rng AS (
+  SELECT min({col}) AS lo, max({col}) AS hi, count(*) AS n FROM {table}
+),
+h AS (
+  SELECT least(greatest(CAST(floor(({col} - lo) / ((hi - lo) / {nb})) AS BIGINT),
+               0), {n_buckets - 1}) AS bucket,
+         lo, hi, n
+  FROM {table}, rng
+),
+c AS (
+  SELECT bucket, lo, hi, n, count(*) AS cnt FROM h GROUP BY bucket, lo, hi, n
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+),
+qq AS (SELECT unnest([{q_list}]) AS q),
+hit AS (
+  SELECT qq.q, cum.lo, cum.hi, cum.bucket
+  FROM cum, qq WHERE cum.cum >= ceil(qq.q * cum.n)
+)
+SELECT q, lo + (min(bucket) + 1) * ((hi - lo) / {nb}) AS approx_value
+FROM hit GROUP BY q, lo, hi
+""".strip()
+
+
 def kmv_estimate(
     df: DataFrame, col: str, group_cols: list[str] | None = None, k: int = KMV_K
 ) -> DataFrame:

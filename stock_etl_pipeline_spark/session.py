@@ -44,6 +44,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] is a single JVM acting as driver AND all executors; the
+        # 1g default driver heap is sized for a thin cluster driver, not for
+        # N executor threads' worth of hash tables + broadcasts (the 10x
+        # soak OOMed it). Inert if a session already exists.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

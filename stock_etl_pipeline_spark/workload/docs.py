@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load_table
 from ..functions import pround, sql_pround
-from ..operators import dedup
+from ..operators import dedup, sampling
 from . import spec
 
 _TOKEN_RE = r"\S+"
@@ -210,8 +210,10 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        pairs.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        # per-doc count relation: one row per document — unbounded, so no
+        # forced broadcast (soak finding; AQE broadcasts when actually small)
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_a", "n_b", "inter", pround(jac, 6).alias("jaccard"))
     )
@@ -449,3 +451,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("fp_max"),
         )
     )
+
+
+# --- deterministic train/val/test split -------------------------------------
+# Spark's df.sample is seeded per-partition: the same row flips in/out when
+# the input is repartitioned or compacted. Hash-based assignment is a pure
+# function of doc_id — stable across partitionings, re-runs, and engines
+# (operators/sampling.py).
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_SPLIT_ORACLE = f"""
+WITH labeled AS (
+  SELECT doc_id, lang, {sampling.sql_split_column("doc_id", _SPLITS)} AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY split, lang
+""".strip()
+
+
+@spec("doc_train_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashing doc_id, counted per
+    (split, lang). Same doc lands in the same split no matter how the corpus
+    is partitioned, grown, or re-ingested — the property per-partition-seeded
+    sampling cannot give a training pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        sampling.split_column("doc_id", _SPLITS).alias("split"), "lang"
+    )
+    return labeled.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))

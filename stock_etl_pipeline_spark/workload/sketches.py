@@ -88,3 +88,76 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     est = sketches.kmv_estimate(e, "user_id", ["event_type"])
     return _with_exact_and_err(est, e, "kmv_distinct")
+
+
+# --- histogram quantile sketch ----------------------------------------------
+# Exact twin uses the close_percentiles cents-grid discipline so both
+# engines interpolate over bit-identical integer-valued doubles.
+_QS = [0.5, 0.9, 0.99]
+_HQ_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+),
+approx AS (
+  {sketches.sql_histogram_quantiles("cents", "price_c", _QS)}
+),
+ex AS (
+  SELECT unnest([{", ".join(f"CAST({q!r} AS DOUBLE)" for q in _QS)}]) AS q,
+         unnest([{", ".join(f"e{i}" for i in range(len(_QS)))}]) AS exact_c
+  FROM (
+    SELECT {", ".join(f"quantile_cont(CAST(price_c AS DOUBLE), {q!r}) AS e{i}" for i, q in enumerate(_QS))}
+    FROM cents
+  )
+)
+SELECT a.q, a.approx_value / 100.0 AS approx_price, ex.exact_c / 100.0 AS exact_price,
+  floor(abs(a.approx_value - ex.exact_c) / ex.exact_c * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+FROM approx a JOIN ex ON a.q = ex.q
+""".strip()
+
+
+@spec("price_quantile_sketch", oracle=_HQ_ORACLE, tags=("sketch", "quantile", "approx"))
+def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of lineitem extended price from a 1024-bucket
+    fixed-grid histogram, next to the exact percentile. The histogram
+    shuffles ≤ 1024 longs total (map-side combined) where exact percentile
+    shuffles every value — the promised scale path beside close_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c")
+    )
+    approx = sketches.histogram_quantiles(cents, "price_c", _QS)
+    # percentile()'s percentage must be foldable → one agg column per q,
+    # unpivoted to (q, exact_c) rows
+    wide = cents.select(F.col("price_c").cast("double").alias("pc")).agg(
+        *[F.percentile("pc", F.lit(float(q))).alias(f"e{i}") for i, q in enumerate(_QS)]
+    )
+    exact = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"e{i}").alias("exact_c")
+                    )
+                    for i, q in enumerate(_QS)
+                ]
+            )
+        ).alias("x")
+    ).select("x.q", "x.exact_c")
+    err = (
+        F.floor(
+            F.abs(F.col("approx_value") - F.col("exact_c"))
+            / F.col("exact_c")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return approx.join(exact, "q").select(
+        "q",
+        (F.col("approx_value") / 100.0).alias("approx_price"),
+        (F.col("exact_c") / 100.0).alias("exact_price"),
+        err.alias("rel_err"),
+    )

@@ -113,7 +113,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        rev.join(c, rev.o_custkey == c.c_custkey)  # customer scales with SF — let AQE pick
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("customer_name"),
@@ -157,7 +157,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)  # customer-sized — let AQE pick
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             _revenue_agg().alias("revenue"),
@@ -226,7 +226,7 @@ def q_regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)  # customer-sized — let AQE pick
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             _revenue_agg().alias("revenue"),
