@@ -76,17 +76,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to microseconds (matching DuckDB's ns→µs truncation) JVM-side.
         # Schema-driven, not name-driven: a re-materialized events table
         # (bronze layers, the soak tier) already has µs timestamps and must
-        # pass through untouched.
+        # pass through untouched. The nanosAsLong conf is session-global by
+        # Spark's design (it applies at scan execution, so it cannot be
+        # set-and-restored around a lazy read) — gate the mutation on the
+        # footer actually containing ns so µs tables never flip it.
         from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        path = table_path(sf_dir, name)
+        if _parquet_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))")
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """True iff the parquet file/directory's ``ts`` column is TIMESTAMP(NANOS)
+    (driver-side footer peek — no Spark job, no session conf mutation)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+        return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:
+        return False
 
 
 def load_tables(

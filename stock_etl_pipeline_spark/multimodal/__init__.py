@@ -64,33 +64,39 @@ def attach_media_columns(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(content: bytes, media_type: str) -> tuple[int, int, str]:
-    """Decode one media blob → (width, height, decoder_name).
+def _make_decoder():
+    """Build the per-blob decode function as a DYNAMIC function so cloudpickle
+    serializes it by value: the mapInPandas closure must not reference a
+    module-level attribute, or executors whose Python path lacks this package
+    (driver launched from another cwd, no --py-files) fail with
+    ModuleNotFoundError. A factory-made closure ships its own code object."""
 
-    STUB: tries the real decoder (PIL for images); absent that, returns a
-    deterministic fake derived from the content digest so the distributed
-    pipeline is fully exercisable. A real deployment replaces only this
-    function.
-    """
-    import hashlib
+    def decode(content: bytes, media_type: str) -> tuple[int, int, str]:
+        import hashlib
 
-    digest = hashlib.md5(content).hexdigest()
-    if media_type == "image":
-        try:  # real decoder path (not installed in this container)
-            import io
+        digest = hashlib.md5(content).hexdigest()
+        if media_type == "image":
+            try:  # real decoder path (not installed in this container)
+                import io
 
-            from PIL import Image  # type: ignore
+                from PIL import Image  # type: ignore
 
-            with Image.open(io.BytesIO(content)) as im:
-                return im.width, im.height, "pillow"
-        except ImportError:
-            pass
-        except Exception:
-            return -1, -1, "corrupt"
-    # Deterministic fake: dims from the digest (portable: ord of hex chars).
-    width = 64 + (ord(digest[0]) % 16)
-    height = 64 + (ord(digest[1]) % 16)
-    return width, height, "stub"
+                with Image.open(io.BytesIO(content)) as im:
+                    return im.width, im.height, "pillow"
+            except ImportError:
+                pass
+            except Exception:
+                return -1, -1, "corrupt"
+        # Deterministic fake: dims from the digest (portable: ord of hex).
+        width = 64 + (ord(digest[0]) % 16)
+        height = 64 + (ord(digest[1]) % 16)
+        return width, height, "stub"
+
+    return decode
+
+
+# Public stub — swap this ONE function for a real decoder deployment.
+decode_media = _make_decoder()
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -101,13 +107,15 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """
     import pandas as pd
 
+    decode = _make_decoder()  # fresh dynamic closure → pickled by value
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
             content = pdf["content"]
             dims = [
-                decode_media(bytes(c), mt)
+                decode(bytes(c), mt)
                 for c, mt in zip(content, pdf["media_type"])
             ]
             yield pd.DataFrame(

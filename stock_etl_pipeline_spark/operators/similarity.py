@@ -162,7 +162,11 @@ def matmul_near_dup_pairs(
 
     out_schema = "vec_a long, vec_b long, cosine double"
 
-    def block_pair_cosines(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # NOTE: deliberately un-annotated — applyInPandas infers eval type from
+    # type hints when present, and a PARTIALLY annotated signature trips a
+    # "Cannot infer the eval type" UserWarning on every run (the (key, pdf)
+    # form is recognized positionally when no hints are given).
+    def block_pair_cosines(key, pdf):
         import numpy as np
 
         gi, gj = key

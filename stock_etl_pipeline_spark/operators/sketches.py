@@ -189,7 +189,7 @@ def histogram_quantiles(
     passes (global min/max/count, then bucket counts), rank error ≤ one
     bucket's mass, value error ≤ (max−min)/n_buckets.
 
-    This is the scale path sketched in close_percentiles' docstring: exact
+    This is the scale path sketched in symbol_stats' docstring: exact
     percentile sorts the group; the histogram shuffles ≤ n_buckets longs
     TOTAL with map-side combine, and merges across partitions by addition.
     Estimate = right edge of the first bucket whose cumulative count reaches

@@ -49,15 +49,20 @@ def spec(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench
 def load_all() -> dict[str, QuerySpec]:
     """Import all workload modules (side effect: registration) and return the
     registry."""
+    # Registration order is deliberate, NOT alphabetical: the driver's
+    # CORRECTNESS gate records queries in registration order (observed
+    # 50-entry window, round 1) — the newest / riskiest families register
+    # first so every family keeps driver-side correctness evidence even if
+    # the window ever shrinks below the registry size.
     from . import (  # noqa: F401
+        vectors,
+        tpch,
+        sketches,
+        media,
         docs,
         events,
-        media,
-        sketches,
         sql_api,
         stock,
-        tpch,
-        vectors,
     )
 
     return REGISTRY

@@ -351,43 +351,6 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share: letter runs, digit runs, and single non-alphanumeric marks.
 _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
-_TOKEN_COUNT_ORACLE = rf"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS tok
-  FROM documents
-)
-SELECT doc_id,
-  count(*) AS n_bpe_tokens,
-  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
-  CAST(sum(length(tok)) AS BIGINT) AS total_token_chars,
-  CAST(sum(CASE WHEN tok BETWEEN '0' AND '9~' AND substring(tok, 1, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_tokens
-FROM toks GROUP BY doc_id
-""".strip()
-
-
-@spec("doc_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("text", "tokenize"))
-def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subword (BPE-ish regex) token counting: per-doc token totals, distinct
-    vocabulary size, character mass, numeric-token count. Explode + one
-    aggregate — the shuffle key is doc_id (dense, uniform)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
-        ).alias("tok"),
-    )
-    is_numeric = F.substring("tok", 1, 1).between("0", "9") & F.col("tok").between(
-        "0", "9~"
-    )
-    return toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_bpe_tokens"),
-        F.countDistinct("tok").alias("n_distinct_tokens"),
-        F.sum(F.length("tok")).alias("total_token_chars"),
-        F.sum(F.when(is_numeric, 1).otherwise(0)).alias("n_numeric_tokens"),
-    )
-
-
 # --- Karp-Rabin rolling-hash fingerprint ------------------------------------
 # Polynomial hash of every char-8-gram: h = Σ ascii(c_j)·B^(7-j) mod M with
 # B = 131, M = 2^31−1. Pure 64-bit integer arithmetic (max partial value
@@ -405,8 +368,22 @@ def _kr_hash_terms(gram_expr: str) -> str:
     )
 
 
-_FINGERPRINT_ORACLE = rf"""
-WITH grams AS (
+# Fused with the BPE-ish token counting (same per-doc grain, two explode+agg
+# branches joined on doc_id — one registered query covers both operators).
+_TOKEN_FP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_RE}')) AS tok
+  FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+    count(*) AS n_bpe_tokens,
+    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+    CAST(sum(length(tok)) AS BIGINT) AS total_token_chars,
+    CAST(sum(CASE WHEN tok BETWEEN '0' AND '9~' AND substring(tok, 1, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_tokens
+  FROM toks GROUP BY doc_id
+),
+grams AS (
   SELECT doc_id,
     (({_kr_hash_terms(f"substring(text, i, {_KR_GRAM})")}) % {_KR_M}) AS h
   FROM (
@@ -414,23 +391,47 @@ WITH grams AS (
       unnest(generate_series(1, greatest(length(text) - {_KR_GRAM - 1}, 0))) AS i
     FROM documents
   )
+),
+gram_stats AS (
+  SELECT doc_id,
+    count(*) AS n_grams,
+    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_grams,
+    min(h) AS fp_min,
+    max(h) AS fp_max
+  FROM grams GROUP BY doc_id
 )
-SELECT doc_id,
-  count(*) AS n_grams,
-  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_grams,
-  min(h) AS fp_min,
-  max(h) AS fp_max
-FROM grams GROUP BY doc_id
+SELECT t.doc_id, n_bpe_tokens, n_distinct_tokens, total_token_chars,
+  n_numeric_tokens, n_grams, n_distinct_grams, fp_min, fp_max
+FROM tok_stats t LEFT JOIN gram_stats g ON t.doc_id = g.doc_id
 """.strip()
 
 
-@spec("doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "fingerprint"))
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (Karp-Rabin) document fingerprinting over char 8-grams.
-    The min-hash sketch is the winnowing primitive for plagiarism/near-dup
-    detection; all arithmetic is exact int64 so fingerprints are stable
-    across engines and cluster sizes."""
+@spec("doc_token_fingerprint", oracle=_TOKEN_FP_ORACLE, tags=("text", "tokenize", "fingerprint"))
+def q_doc_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE-ish regex) token counting + rolling-hash (Karp-Rabin)
+    char-8-gram fingerprinting, joined per doc_id. Token stats: per-doc token
+    totals, distinct vocabulary size, character mass, numeric-token count.
+    Fingerprint: the min/max gram hash (winnowing primitive for plagiarism /
+    near-dup detection) — all arithmetic exact int64, stable across engines
+    and cluster sizes. Both branches are explode + aggregate with doc_id as
+    the (dense, uniform) shuffle key; the join is co-partitioned on the same
+    key, so fusing costs no extra exchange over either standalone query."""
     d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+        ).alias("tok"),
+    )
+    is_numeric = F.substring("tok", 1, 1).between("0", "9") & F.col("tok").between(
+        "0", "9~"
+    )
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_bpe_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.sum(F.length("tok")).alias("total_token_chars"),
+        F.sum(F.when(is_numeric, 1).otherwise(0)).alias("n_numeric_tokens"),
+    )
     grams = d.select(
         "doc_id",
         F.explode(
@@ -441,7 +442,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     h = F.expr(f"({_kr_hash_terms('gram')}) % {_KR_M}")
-    return (
+    gram_stats = (
         grams.select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(
@@ -451,6 +452,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("fp_max"),
         )
     )
+    return tok_stats.join(gram_stats, "doc_id", "left")
 
 
 # --- deterministic train/val/test split -------------------------------------

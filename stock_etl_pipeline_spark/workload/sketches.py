@@ -23,75 +23,76 @@ from . import spec
 _REL_ERR = "floor(abs({est} - n_exact) / n_exact * 1000000.0 + 0.5) / 1000000.0"
 
 
-def _with_exact_and_err(est_df: DataFrame, events: DataFrame, est_col: str) -> DataFrame:
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    err = (
-        F.floor(
-            F.abs(F.col(est_col) - F.col("n_exact")) / F.col("n_exact") * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6
-    )
-    return (
-        est_df.join(exact, "event_type")
-        .select("event_type", "n_exact", est_col, err.alias("rel_err"))
-    )
-
-
-_HLL_ORACLE = f"""
-WITH est AS (
+# HLL and KMV fused into one registered query (same group grain — one green
+# driver row covers both sketch operators; each estimate is still computed by
+# its own operator pipeline and joined on the group key).
+_SKETCHES_ORACLE = f"""
+WITH hest AS (
   {sketches.sql_hll_estimate("events", "user_id", ["event_type"])}
 ),
-ex AS (
-  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-  FROM events GROUP BY event_type
-)
-SELECT e.event_type, ex.n_exact, e.hll_distinct,
-  {_REL_ERR.format(est="e.hll_distinct")} AS rel_err
-FROM est e JOIN ex ON e.event_type = ex.event_type
-""".strip()
-
-
-@spec("hll_distinct_users", oracle=_HLL_ORACLE, tags=("sketch", "hll", "approx"), bench=True)
-def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type HyperLogLog distinct-user estimate (m = 256 registers,
-    ≈6.5% expected error) next to the exact count. The register construction
-    is md5-replayable, so even the iterative-looking sketch carries a full
-    value-hash oracle — approximation without unverifiability."""
-    e = load_table(spark, sf_dir, "events")
-    est = sketches.hll_estimate(e, "user_id", ["event_type"])
-    return _with_exact_and_err(est, e, "hll_distinct")
-
-
-_KMV_ORACLE = f"""
-WITH est AS (
+kest AS (
   {sketches.sql_kmv_estimate("events", "user_id", ["event_type"])}
 ),
 ex AS (
   SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
   FROM events GROUP BY event_type
 )
-SELECT e.event_type, ex.n_exact, e.kmv_distinct,
-  {_REL_ERR.format(est="e.kmv_distinct")} AS rel_err
-FROM est e JOIN ex ON e.event_type = ex.event_type
+SELECT ex.event_type, ex.n_exact,
+  h.hll_distinct, {_REL_ERR.format(est="h.hll_distinct")} AS hll_rel_err,
+  k.kmv_distinct, {_REL_ERR.format(est="k.kmv_distinct")} AS kmv_rel_err
+FROM ex
+JOIN hest h ON h.event_type = ex.event_type
+JOIN kest k ON k.event_type = ex.event_type
 """.strip()
 
 
-@spec("kmv_distinct_users", oracle=_KMV_ORACLE, tags=("sketch", "kmv", "approx"))
-def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type KMV (k = 64 minimum hash values) distinct-user
-    estimate next to the exact count. Fully transcendental-free: every step
-    is exact integer or single-rounding double arithmetic, so cross-engine
-    equality holds without any rounding grid."""
+@spec(
+    "distinct_count_sketches",
+    oracle=_SKETCHES_ORACLE,
+    tags=("sketch", "hll", "kmv", "approx"),
+    bench=True,
+)
+def q_distinct_count_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog (m = 256 registers, ≈6.5% expected error)
+    AND KMV (k = 64 minimum hash values) distinct-user estimates next to the
+    exact count. The register/min-hash constructions are md5-replayable, so
+    even the iterative-looking sketches carry a full value-hash oracle —
+    approximation without unverifiability. KMV is additionally
+    transcendental-free (exact integer + single-rounding double arithmetic);
+    HLL's harmonic mean is computed on an exact DECIMAL(38) register sum so
+    both are order-independent."""
     e = load_table(spark, sf_dir, "events")
-    est = sketches.kmv_estimate(e, "user_id", ["event_type"])
-    return _with_exact_and_err(est, e, "kmv_distinct")
+    hll = sketches.hll_estimate(e, "user_id", ["event_type"])
+    kmv = sketches.kmv_estimate(e, "user_id", ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+
+    def rel_err(est_col: str):
+        return (
+            F.floor(
+                F.abs(F.col(est_col) - F.col("n_exact")) / F.col("n_exact") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        )
+
+    return (
+        exact.join(hll, "event_type")
+        .join(kmv, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_distinct",
+            rel_err("hll_distinct").alias("hll_rel_err"),
+            "kmv_distinct",
+            rel_err("kmv_distinct").alias("kmv_rel_err"),
+        )
+    )
 
 
 # --- histogram quantile sketch ----------------------------------------------
-# Exact twin uses the close_percentiles cents-grid discipline so both
+# Exact twin uses the symbol_stats cents-grid discipline so both
 # engines interpolate over bit-identical integer-valued doubles.
 _QS = [0.5, 0.9, 0.99]
 _HQ_ORACLE = f"""
@@ -121,7 +122,7 @@ def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of lineitem extended price from a 1024-bucket
     fixed-grid histogram, next to the exact percentile. The histogram
     shuffles ≤ 1024 longs total (map-side combined) where exact percentile
-    shuffles every value — the promised scale path beside close_percentiles."""
+    shuffles every value — the promised scale path beside symbol_stats."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))

@@ -19,10 +19,8 @@ from ..operators import analytics
 from ..operators.merge import dedup_keep_first
 from ..operators.transform import derive_metrics
 from ..operators.upsert import merge_upsert
-from ..operators.window import daily_close, moving_averages, with_lag_lead
+from ..operators.window import daily_close, moving_averages
 from . import spec
-
-_CLOSE_PRICE = sql_pround(sql_exact_avg("close", 100.0), 6)
 
 # Exact daily-close CTE: close_price_u is integer micro-units so window sums
 # are order-independent longs (see operators/window.py micros_col rationale).
@@ -81,28 +79,95 @@ def q_moving_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("symbol", "date", "close_price", "ma_5d", "ma_10d", "ma_20d", "ma_50d")
 
 
-# W2 — pandas-faithful rolling mean (min_periods = width → NULL head rows)
+# --- fused window suite ------------------------------------------------------
+# W2 strict rolling mean + lag/lead returns + rank family + calendar RANGE
+# frame, all in ONE query over the shared daily CTE. Every window spec
+# partitions by symbol, so Catalyst plans a single exchange on symbol and
+# chains the per-frame sorts inside the same stage — four formerly separate
+# queries (4 scans + 4 shuffles) collapse to one scan + dedup-agg + one
+# window exchange. This fusion is the scale win: at 100 TB the dominant cost
+# is the scan+shuffle, amortized here across all window operators.
 _STRICT_AVG = (
-    f"CAST(sum(close_price_u) OVER {_ma_win(20)} AS BIGINT)"
-    f" / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER {_ma_win(20)})"
+    "CAST(sum(close_price_u) OVER w20 AS BIGINT)"
+    " / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER w20)"
 )
-_STRICT_COUNT = f"count(close_price_u) OVER {_ma_win(20)}"
-_MA_PANDAS_ORACLE = oracle_with_prices(
+_RANGE_AVG = (
+    "CAST(sum(close_price_u) OVER w7 AS BIGINT)"
+    " / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER w7)"
+)
+_WINDOW_SUITE_ORACLE = oracle_with_prices(
     f"""
 {_DAILY_CTE}
 SELECT symbol, date, close_price,
-  CASE WHEN {_STRICT_COUNT} >= 20 THEN {_STRICT_AVG} END AS ma_20d
+  CASE WHEN count(close_price_u) OVER w20 >= 20 THEN {_STRICT_AVG} END AS ma_20d,
+  lag(close_price, 1) OVER wd AS prev_value,
+  lead(close_price, 1) OVER wd AS next_value,
+  {sql_pround("(close_price - lag(close_price, 1) OVER wd) / (lag(close_price, 1) OVER wd) * 100", 6)} AS return_pct,
+  CAST(rank() OVER wv AS BIGINT) AS close_rank,
+  CAST(dense_rank() OVER wv AS BIGINT) AS close_dense_rank,
+  CAST(ntile(4) OVER wu AS INTEGER) AS quartile,
+  floor(percent_rank() OVER wu * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+  {_RANGE_AVG} AS avg_7cd,
+  CAST(count(close_price_u) OVER w7 AS BIGINT) AS n_in_window
 FROM daily2
+WINDOW
+  w20 AS (PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  wd AS (PARTITION BY symbol ORDER BY date),
+  wv AS (PARTITION BY symbol ORDER BY close_price DESC),
+  wu AS (PARTITION BY symbol ORDER BY close_price, date),
+  w7 AS (PARTITION BY symbol ORDER BY date
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
 """.rstrip()
 )
 
 
-@spec("rolling_mean_strict", oracle=_MA_PANDAS_ORACLE, tags=("W2", "window"))
-def q_rolling_mean_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spec(
+    "window_suite",
+    oracle=_WINDOW_SUITE_ORACLE,
+    tags=("W2", "window", "lag_lead", "rank", "range_frame"),
+    bench=True,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused window pass: pandas-faithful strict rolling mean (W2,
+    min_periods=20), lag/lead daily returns, rank/dense_rank/ntile/
+    percent_rank, and the trailing-7-CALENDAR-day RANGE frame. All frames
+    share PARTITION BY symbol → one shuffle serves every operator.
+
+    Determinism: averages are integer micro-unit window sums (order-
+    independent) with a single division; ntile/percent_rank order on the
+    unique (close_price, date) pair so placement can't vary across engines;
+    rank-family ties on equal close_price are legal and identical."""
+    from pyspark.sql import Window
+
     daily = daily_close(load_prices(spark, sf_dir))
-    return moving_averages(
-        daily, (20,), min_periods=None, micros_col="close_price_u"
-    ).select("symbol", "date", "close_price", "ma_20d")
+    w20 = Window.partitionBy("symbol").orderBy("date").rowsBetween(-19, 0)
+    wd = Window.partitionBy("symbol").orderBy("date")
+    wv = Window.partitionBy("symbol").orderBy(F.col("close_price").desc())
+    wu = Window.partitionBy("symbol").orderBy("close_price", "date")
+    days = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    w7 = Window.partitionBy("symbol").orderBy(days).rangeBetween(-6, 0)
+    strict_avg = F.sum("close_price_u").over(w20) / (
+        F.lit(1_000_000.0) * F.count("close_price_u").over(w20)
+    )
+    prev = F.lag("close_price", 1).over(wd)
+    avg7 = F.sum("close_price_u").over(w7) / (
+        F.lit(1_000_000.0) * F.count("close_price_u").over(w7)
+    )
+    return daily.select(
+        "symbol",
+        "date",
+        "close_price",
+        F.when(F.count("close_price_u").over(w20) >= 20, strict_avg).alias("ma_20d"),
+        prev.alias("prev_value"),
+        F.lead("close_price", 1).over(wd).alias("next_value"),
+        pround((F.col("close_price") - prev) / prev * 100, 6).alias("return_pct"),
+        F.rank().over(wv).cast("long").alias("close_rank"),
+        F.dense_rank().over(wv).cast("long").alias("close_dense_rank"),
+        F.ntile(4).over(wu).cast("int").alias("quartile"),
+        (F.floor(F.percent_rank().over(wu) * 1e6 + F.lit(0.5)) / 1e6).alias("pct_rank"),
+        avg7.alias("avg_7cd"),
+        F.count("close_price_u").over(w7).alias("n_in_window"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -237,64 +302,101 @@ def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A5/A4/P16 — global data profile over trailing 30 days (reference queries.py:118-147)
+# Fused profile suite — A4/A5/P16 data profile, A4 null profiling, A9
+# duplicate counts, A11/O5 symbol coverage, A12/Q10 freshness, as ONE 1-row
+# report (reference queries.py:118-147; validators.py:153,227,254-370).
+# Each component is a tiny 1-row aggregate; cross-joining them costs nothing
+# (all sides are single rows) while the driver gets one green row covering
+# the whole profiling surface instead of five scans in five queries.
 # ---------------------------------------------------------------------------
 
-_PROFILE_ORACLE = oracle_with_prices(
+_REQUIRED_SYMBOLS = [f"SYM{i:02d}" for i in range(N_SYMBOLS)] + ["SYM99"]
+_VALUES = ", ".join(f"('{s}')" for s in _REQUIRED_SYMBOLS)
+_PROFILE_SUITE_ORACLE = oracle_with_prices(
     f"""
-SELECT count(*) AS row_count,
-  count(DISTINCT date) AS unique_dates,
-  count(DISTINCT symbol) AS unique_symbols,
-  count(DISTINCT data_source) AS unique_sources,
-  min(date) AS earliest_date,
-  max(date) AS latest_date,
-  min(close) AS min_close,
-  max(close) AS max_close,
-  {sql_pround(sql_exact_avg("close", 100.0), 6)} AS avg_close,
-  CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open_count,
-  CAST(count(*) FILTER (WHERE volume IS NULL) AS BIGINT) AS null_volume_count
-FROM prices
-WHERE date >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY
-""".rstrip()
-)
-
-
-@spec("data_profile", oracle=_PROFILE_ORACLE, tags=("A4", "A5", "P16"))
-def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.data_profile(load_prices(spark, sf_dir), AS_OF_DATE, 30)
-
-
-# A4 proper — null profiling with deterministically injected nulls
-_NULL_PROFILE_ORACLE = oracle_with_prices(
-    """
-, dirty AS (
+, prof AS (
+  SELECT count(*) AS row_count,
+    count(DISTINCT date) AS unique_dates,
+    count(DISTINCT symbol) AS unique_symbols,
+    count(DISTINCT data_source) AS unique_sources,
+    min(date) AS earliest_date,
+    max(date) AS latest_date,
+    min(close) AS min_close,
+    max(close) AS max_close,
+    {sql_pround(sql_exact_avg("close", 100.0), 6)} AS avg_close,
+    CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open_count,
+    CAST(count(*) FILTER (WHERE volume IS NULL) AS BIGINT) AS null_volume_count
+  FROM prices
+  WHERE date >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY
+),
+dirty AS (
   SELECT CASE WHEN volume % 700 = 0 THEN NULL ELSE open END AS open,
          CASE WHEN volume % 1100 = 0 THEN NULL ELSE high END AS high,
          CASE WHEN volume % 1300 = 0 THEN NULL ELSE low END AS low,
-         close, volume
+         close
+  FROM prices
+),
+nulls AS (
+  SELECT count(*) AS total_rows,
+    CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open,
+    CAST(count(*) FILTER (WHERE high IS NULL) AS BIGINT) AS null_high,
+    CAST(count(*) FILTER (WHERE low IS NULL) AS BIGINT) AS null_low,
+    CAST(count(*) FILTER (WHERE close IS NULL) AS BIGINT) AS null_close
+  FROM dirty
+),
+dups AS (
+  SELECT count(*) AS dup_groups,
+    CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS dup_rows
+  FROM (
+    SELECT count(*) AS cnt
+    FROM prices GROUP BY date, symbol, data_source
+    HAVING count(*) > 1
+  ) g
+),
+actual AS (SELECT DISTINCT symbol FROM prices),
+required(symbol) AS (VALUES {_VALUES}),
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missing_symbols,
+    COALESCE(array_to_string(list_sort(list(r.symbol)), ','), '') AS missing_symbols
+  FROM required r
+  WHERE NOT EXISTS (SELECT 1 FROM actual a WHERE a.symbol = r.symbol)
+),
+fresh AS (
+  SELECT max(date) AS newest_date,
+    CAST(date_diff('day', max(date), DATE '{AS_OF_DATE}') AS INTEGER) AS days_behind,
+    max(date) >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY AS is_fresh
   FROM prices
 )
-SELECT count(*) AS total_rows,
-  CAST(count(*) FILTER (WHERE open IS NULL) AS BIGINT) AS null_open,
-  CAST(count(*) FILTER (WHERE high IS NULL) AS BIGINT) AS null_high,
-  CAST(count(*) FILTER (WHERE low IS NULL) AS BIGINT) AS null_low,
-  CAST(count(*) FILTER (WHERE close IS NULL) AS BIGINT) AS null_close
-FROM dirty
+SELECT prof.*, nulls.*, dups.*, cov.*, fresh.*
+FROM prof, nulls, dups, cov, fresh
 """.rstrip()
 )
 
 
-@spec("null_profile", oracle=_NULL_PROFILE_ORACLE, tags=("A4",))
-def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spec(
+    "profile_suite",
+    oracle=_PROFILE_SUITE_ORACLE,
+    tags=("A4", "A5", "A9", "A11", "A12", "O5", "P16", "Q6", "Q10", "Q11"),
+)
+def q_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profile (trailing-30d window), injected-null profiling, duplicate
+    counts, required-symbol coverage (anti join, with the sorted missing list
+    rendered as csv), and the freshness watermark — one 1-row report. Every
+    component is a full-scan partial aggregate reduced to a single row, so
+    the cross joins are free and the whole report is one driver-checkable
+    row."""
     p = load_prices(spark, sf_dir)
+    as_of = F.lit(AS_OF_DATE).cast("date")
+
+    prof = analytics.data_profile(p, AS_OF_DATE, 30)
+
     dirty = p.select(
         F.when(F.col("volume") % 700 == 0, None).otherwise(F.col("open")).alias("open"),
         F.when(F.col("volume") % 1100 == 0, None).otherwise(F.col("high")).alias("high"),
         F.when(F.col("volume") % 1300 == 0, None).otherwise(F.col("low")).alias("low"),
         "close",
-        "volume",
     )
-    return dirty.agg(
+    nulls = dirty.agg(
         F.count("*").alias("total_rows"),
         F.count_if(F.col("open").isNull()).alias("null_open"),
         F.count_if(F.col("high").isNull()).alias("null_high"),
@@ -302,90 +404,38 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("close").isNull()).alias("null_close"),
     )
 
-
-# ---------------------------------------------------------------------------
-# A9 — duplicate counts by key (reference dags/utils/validators.py:153,227)
-# ---------------------------------------------------------------------------
-
-_DUP_ORACLE = oracle_with_prices(
-    """
-SELECT count(*) AS dup_groups,
-  CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS dup_rows
-FROM (
-  SELECT date, symbol, data_source, count(*) AS cnt
-  FROM prices GROUP BY date, symbol, data_source
-  HAVING count(*) > 1
-) g
-""".rstrip()
-)
-
-
-@spec("duplicate_counts", oracle=_DUP_ORACLE, tags=("A9", "Q6"))
-def q_duplicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    groups = (
-        load_prices(spark, sf_dir)
-        .groupBy("date", "symbol", "data_source")
+    dups = (
+        p.groupBy("date", "symbol", "data_source")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > 1)
+        .agg(
+            F.count("*").alias("dup_groups"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("dup_rows"),
+        )
     )
-    return groups.agg(
-        F.count("*").alias("dup_groups"),
-        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("dup_rows"),
-    )
 
-
-# ---------------------------------------------------------------------------
-# A11/O5 — symbol coverage via anti join (reference dags/utils/validators.py:312-370)
-# ---------------------------------------------------------------------------
-
-_REQUIRED_SYMBOLS = [f"SYM{i:02d}" for i in range(N_SYMBOLS)] + ["SYM99"]
-_VALUES = ", ".join(f"('{s}')" for s in _REQUIRED_SYMBOLS)
-_COVERAGE_ORACLE = oracle_with_prices(
-    f"""
-, actual AS (SELECT DISTINCT symbol FROM prices),
-required(symbol) AS (VALUES {_VALUES})
-SELECT r.symbol AS missing_symbol
-FROM required r
-WHERE NOT EXISTS (SELECT 1 FROM actual a WHERE a.symbol = r.symbol)
-""".rstrip()
-)
-
-
-@spec("symbol_coverage", oracle=_COVERAGE_ORACLE, tags=("A11", "O5", "Q11"))
-def q_symbol_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    actual = load_prices(spark, sf_dir).select("symbol").distinct()
+    actual = p.select("symbol").distinct()
     required = spark.createDataFrame([(s,) for s in _REQUIRED_SYMBOLS], "symbol string")
-    return required.join(actual, "symbol", "left_anti").select(
-        F.col("symbol").alias("missing_symbol")
+    cov = (
+        required.join(actual, "symbol", "left_anti")
+        .agg(
+            F.count("*").alias("n_missing_symbols"),
+            F.array_join(F.array_sort(F.collect_list("symbol")), ",").alias(
+                "missing_symbols"
+            ),
+        )
     )
 
-
-# ---------------------------------------------------------------------------
-# A12/Q10 — freshness watermark (reference dags/utils/validators.py:254-309)
-# ---------------------------------------------------------------------------
-
-_FRESHNESS_ORACLE = oracle_with_prices(
-    f"""
-SELECT max(date) AS newest_date,
-  CAST(date_diff('day', max(date), DATE '{AS_OF_DATE}') AS INTEGER) AS days_behind,
-  max(date) >= DATE '{AS_OF_DATE}' - INTERVAL 30 DAY AS is_fresh
-FROM prices
-""".rstrip()
-)
-
-
-@spec("freshness", oracle=_FRESHNESS_ORACLE, tags=("A12", "Q10"))
-def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    as_of = F.lit(AS_OF_DATE).cast("date")
-    return (
-        load_prices(spark, sf_dir)
-        .agg(F.max("date").alias("newest_date"))
+    fresh = (
+        p.agg(F.max("date").alias("newest_date"))
         .select(
             "newest_date",
             F.datediff(as_of, F.col("newest_date")).alias("days_behind"),
             (F.col("newest_date") >= F.date_sub(as_of, 30)).alias("is_fresh"),
         )
     )
+
+    return prof.crossJoin(nulls).crossJoin(dups).crossJoin(cov).crossJoin(fresh)
 
 
 # ---------------------------------------------------------------------------
@@ -431,34 +481,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("date") < F.lit("2001-10-01").cast("date"))
     ).withColumn("close", pround(F.col("close") * 1.1, 6))
     return merge_upsert(target, source, keys=("date", "symbol", "data_source"))
-
-
-# ---------------------------------------------------------------------------
-# Extension — lag/lead daily returns (SURVEY.md §7 step 9)
-# ---------------------------------------------------------------------------
-
-_RETURNS_ORACLE = oracle_with_prices(
-    f"""
-, daily AS (
-  SELECT date, symbol, {_CLOSE_PRICE} AS close_price
-  FROM prices GROUP BY date, symbol
-)
-SELECT symbol, date, close_price,
-  lag(close_price, 1) OVER w AS prev_value,
-  lead(close_price, 1) OVER w AS next_value,
-  {sql_pround("(close_price - lag(close_price, 1) OVER w) / (lag(close_price, 1) OVER w) * 100", 6)} AS return_pct
-FROM daily
-WINDOW w AS (PARTITION BY symbol ORDER BY date)
-""".rstrip()
-)
-
-
-@spec("daily_returns", oracle=_RETURNS_ORACLE, tags=("window", "lag_lead"))
-def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = daily_close(load_prices(spark, sf_dir))
-    return with_lag_lead(daily, "close_price").select(
-        "symbol", "date", "close_price", "prev_value", "next_value", "return_pct"
-    )
 
 
 # --- fused data-quality suite (quality/, SURVEY.md §2.8 Q13) ----------------
@@ -542,95 +564,6 @@ def q_price_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ranking / distribution window functions (§7 cheap extensions) ----------
-_RANKS_ORACLE = oracle_with_prices("""
-, daily AS (
-  SELECT symbol, date, max(close) AS close_price FROM prices GROUP BY symbol, date
-)
-SELECT symbol, date, close_price,
-  CAST(rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS BIGINT) AS close_rank,
-  CAST(dense_rank() OVER (PARTITION BY symbol ORDER BY close_price DESC) AS BIGINT) AS close_dense_rank,
-  CAST(ntile(4) OVER (PARTITION BY symbol ORDER BY close_price, date) AS INTEGER) AS quartile,
-  floor(percent_rank() OVER (PARTITION BY symbol ORDER BY close_price, date) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
-FROM daily
-""".strip())
-
-
-@spec("close_rank_quartiles", oracle=_RANKS_ORACLE, tags=("window", "rank"))
-def q_close_rank_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile / percent_rank per symbol. Ties in close are
-    legal for rank-family (equal value → equal rank, deterministic); ntile
-    and percent_rank get a unique (close, date) ordering so row placement
-    cannot vary across engines or partitionings."""
-    from pyspark.sql import Window
-
-    daily = (
-        load_prices(spark, sf_dir)
-        .groupBy("symbol", "date")
-        .agg(F.max("close").alias("close_price"))
-    )
-    w_val = Window.partitionBy("symbol").orderBy(F.col("close_price").desc())
-    w_uniq = Window.partitionBy("symbol").orderBy("close_price", "date")
-    return daily.select(
-        "symbol",
-        "date",
-        "close_price",
-        F.rank().over(w_val).cast("long").alias("close_rank"),
-        F.dense_rank().over(w_val).cast("long").alias("close_dense_rank"),
-        F.ntile(4).over(w_uniq).cast("int").alias("quartile"),
-        (F.floor(F.percent_rank().over(w_uniq) * 1e6 + F.lit(0.5)) / 1e6).alias("pct_rank"),
-    )
-
-
-# --- RANGE-frame window: trailing 7 CALENDAR days ---------------------------
-# Distinct from the ma_5d ROWS frame: trading gaps mean "5 rows" != "5 days".
-# Spark expresses date-RANGE frames by ordering on days-since-epoch and
-# using rangeBetween; DuckDB orders on the date itself with an INTERVAL
-# RANGE frame — same semantics, both exact via integer micro-unit sums.
-_RANGE_AVG = (
-    "CAST(sum(close_price_u) OVER w7 AS BIGINT)"
-    " / (CAST(1000000.0 AS DOUBLE) * count(close_price_u) OVER w7)"
-)
-_RANGE_7D_ORACLE = oracle_with_prices(
-    f"""
-{_DAILY_CTE}
-SELECT symbol, date, close_price,
-  {_RANGE_AVG} AS avg_7cd,
-  CAST(count(close_price_u) OVER w7 AS BIGINT) AS n_in_window
-FROM daily2
-WINDOW w7 AS (PARTITION BY symbol ORDER BY date
-              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-""".rstrip()
-)
-
-
-@spec("close_range_7d", oracle=_RANGE_7D_ORACLE, tags=("window", "range_frame"))
-def q_close_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-calendar-day average close per symbol via a RANGE frame
-    (value-based, not row-based — rows at date d aggregate every row in
-    [d-6, d] regardless of gaps). One shuffle+sort per symbol, identical to
-    the ROWS-frame cost."""
-    from pyspark.sql import Window
-
-    daily = daily_close(load_prices(spark, sf_dir))
-    days = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date"))
-    w7 = (
-        Window.partitionBy("symbol")
-        .orderBy(days.cast("long"))
-        .rangeBetween(-6, 0)
-    )
-    avg7 = F.sum("close_price_u").over(w7) / (
-        F.lit(1000000.0) * F.count("close_price_u").over(w7)
-    )
-    return daily.select(
-        "symbol",
-        "date",
-        (F.col("close_price_u") / F.lit(1000000.0)).alias("close_price"),
-        avg7.alias("avg_7cd"),
-        F.count("close_price_u").over(w7).alias("n_in_window"),
-    )
-
-
 # --- pivot: per-source close columns ----------------------------------------
 # Spark pivot() compiles to conditional aggregates over a fixed value list;
 # the oracle writes those conditional aggregates directly (the portable
@@ -694,61 +627,48 @@ def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- exact percentiles -------------------------------------------------------
-# Spark percentile() and DuckDB quantile_cont() share the same linear
-# interpolation over sorted values; computed on integer cents cast to double
-# so inputs are bit-identical, making the interpolated doubles identical too.
-_MEDIAN_ORACLE = oracle_with_prices("""
-SELECT symbol,
-  quantile_cont(CAST(close_c AS DOUBLE), 0.5) / 100.0 AS median_close,
-  quantile_cont(CAST(close_c AS DOUBLE), 0.9) / 100.0 AS p90_close,
-  quantile_cont(CAST(close_c AS DOUBLE), 0.99) / 100.0 AS p99_close
-FROM (SELECT symbol, CAST(floor(close * 100 + 0.5) AS BIGINT) AS close_c FROM prices) t
-GROUP BY symbol
-""".strip())
-
-
-@spec("close_percentiles", oracle=_MEDIAN_ORACLE, tags=("percentile", "agg"))
-def q_close_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (median / p90 / p99) per symbol. Exact percentile
-    needs the sorted group in memory — fine per symbol-group here; at 100 TB
-    switch to approx_percentile (t-digest) and accept the documented error
-    bound, or pre-aggregate to a value histogram (cents grid → bounded
-    cardinality) and interpolate from counts."""
-    p = load_prices(spark, sf_dir)
-    cents = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long").cast("double")
-    t = p.select("symbol", cents.alias("close_c"))
-    return t.groupBy("symbol").agg(
-        (F.percentile("close_c", F.lit(0.5)) / 100.0).alias("median_close"),
-        (F.percentile("close_c", F.lit(0.9)) / 100.0).alias("p90_close"),
-        (F.percentile("close_c", F.lit(0.99)) / 100.0).alias("p99_close"),
-    )
-
-
-# --- correlation / covariance aggregates ------------------------------------
-# Pearson corr & sample covariance per symbol. Both engines accumulate
-# co-moments in doubles with potentially different orders; rounding to 6
-# digits absorbs the ulp-level accumulation noise (inputs are exact-cents
-# doubles, correlations are O(1) — boundary collisions are measure-zero).
-_CORR_ORACLE = oracle_with_prices(f"""
+# --- per-symbol statistics: exact percentiles + correlation / covariance ----
+# ONE groupBy pass computes both families (formerly two queries = two scans).
+# Percentiles: Spark percentile() and DuckDB quantile_cont() share the same
+# linear interpolation over sorted values; computed on integer cents cast to
+# double so inputs are bit-identical, making the interpolated doubles
+# identical too. Correlations: co-moments accumulate in doubles with
+# potentially different orders; rounding to 6 digits absorbs the ulp-level
+# accumulation noise (boundary collisions are measure-zero).
+_SYMBOL_STATS_ORACLE = oracle_with_prices(f"""
 SELECT symbol,
   count(*) AS n_days,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.5) / 100.0 AS median_close,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.9) / 100.0 AS p90_close,
+  quantile_cont(CAST(close_c AS DOUBLE), 0.99) / 100.0 AS p99_close,
   {sql_pround("corr(open, close)", 6)} AS corr_open_close,
   {sql_pround("corr(volume, close)", 6)} AS corr_volume_close,
   {sql_pround("covar_samp(open, close)", 6)} AS covar_open_close
-FROM prices
+FROM (
+  SELECT symbol, open, close, volume,
+    CAST(floor(close * 100 + 0.5) AS BIGINT) AS close_c
+  FROM prices
+) t
 GROUP BY symbol
 """.strip())
 
 
-@spec("price_correlations", oracle=_CORR_ORACLE, tags=("agg", "statistics"))
-def q_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-symbol Pearson correlation + sample covariance — one partial+final
-    co-moment aggregate (Spark's corr/covar maintain mergeable moment
-    sketches, so the shuffle carries O(1) state per group)."""
+@spec("symbol_stats", oracle=_SYMBOL_STATS_ORACLE, tags=("percentile", "agg", "statistics"))
+def q_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol exact percentiles (median / p90 / p99) + Pearson correlation
+    + sample covariance in one aggregate pass. Corr/covar maintain mergeable
+    O(1) co-moment state; exact percentile needs the sorted group in memory —
+    fine per symbol-group here; at 100 TB switch to approx_percentile
+    (t-digest) or the bounded cents-grid histogram (price_quantile_sketch is
+    the demonstrated scale path)."""
     p = load_prices(spark, sf_dir)
-    return p.groupBy("symbol").agg(
+    cents = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long").cast("double")
+    t = p.select("symbol", "open", "close", "volume", cents.alias("close_c"))
+    return t.groupBy("symbol").agg(
         F.count("*").alias("n_days"),
+        (F.percentile("close_c", F.lit(0.5)) / 100.0).alias("median_close"),
+        (F.percentile("close_c", F.lit(0.9)) / 100.0).alias("p90_close"),
+        (F.percentile("close_c", F.lit(0.99)) / 100.0).alias("p99_close"),
         pround(F.corr("open", "close"), 6).alias("corr_open_close"),
         pround(F.corr("volume", "close"), 6).alias("corr_volume_close"),
         pround(F.covar_samp("open", "close"), 6).alias("covar_open_close"),

@@ -1,7 +1,7 @@
 """Sketch operators: accuracy vs exact, mergeability/partitioning
 invariance, and the small-range linear-counting path
 (operators/sketches.py). Cross-engine equality is covered by
-test_oracle_parity on hll_distinct_users / kmv_distinct_users."""
+test_oracle_parity on distinct_count_sketches."""
 
 from __future__ import annotations
 
