@@ -340,18 +340,69 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming.
 
     Banding is EXACT here (pigeonhole): hamming ≤ bands−1 guarantees at least
     one of ``bands`` equal-width substrings matches, so with bands = 4 and
     max_hamming = 3 the band join has 100% recall — no verification misses.
-    The band join key is (band_id, 8-char substring): sub-linear candidate
-    generation instead of an all-pairs cross join.
+
+    Scale structure (the order matters):
+
+    1. The doc-level signature relation is PERSISTED: the DAG below is a
+       diamond (banding, identical-signature pairing, and re-expansion all
+       consume it) and Spark's exchange-reuse does not fire across these
+       join shapes — without the persist the whole token/vocab/64-sum
+       aggregate pipeline runs once per consumer. The cached relation is
+       (id, 64-char string, 2 longs) per doc — orders of magnitude smaller
+       than the corpus; MEMORY_AND_DISK spills if it still doesn't fit.
+    2. Identical signatures COLLAPSE to one row before banding
+       (``distinct()``): a dup-heavy corpus (the common case at 100 TB —
+       boilerplate, mirrored pages) bands one row per distinct signature,
+       so N copies of a page contribute 1 row to the band join instead of
+       N rows producing N² candidate pairs inside their bucket.
+    3. The band self-join runs on distinct signatures with int keys and
+       bit-parallel ``bit_count(xor)`` hamming BEFORE the distinct, so the
+       collision-heavy candidate mass dies before any wide operator.
+    4. Re-expansion to doc pairs is JOIN-based (signature-pair relation ⋈
+       signatures, twice) — no collect_list of doc ids, so a pathological
+       million-copy group never materializes as one giant array row.
     """
     assert max_hamming <= bands - 1, "banding exact only for hamming <= bands-1"
     assert bands == 4 and SIMHASH_BITS == 64, "band slicing below assumes 4×16 bits"
+    from pyspark import StorageLevel
+
     sig = simhash_signatures(df, id_col, text_col)
+    if persist_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- identical-signature pairs (hamming 0) directly from the doc level
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("simhash_a"),
+        F.col("simhash_hi").alias("hi"),
+        F.col("simhash_lo").alias("lo"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash_hi").alias("hi"),
+        F.col("simhash_lo").alias("lo"),
+    )
+    intra = (
+        sa.join(sb, ["hi", "lo"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "simhash_a",
+            F.col("simhash_a").alias("simhash_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+
+    # --- banded candidate generation over DISTINCT signatures
+    dsig = sig.select("simhash", "simhash_hi", "simhash_lo").distinct()
     # Band keys are 16-bit slices of the packed signature (int compare beats
     # 16-char string compare in the join).
     band_key = [
@@ -360,8 +411,7 @@ def simhash_near_dup_pairs(
         (F.col("simhash_lo") % 65536),
         (F.col("simhash_lo") / 65536).cast("long") % 65536,
     ]
-    bk = sig.select(
-        id_col,
+    bk = dsig.select(
         "simhash",
         "simhash_hi",
         "simhash_lo",
@@ -376,30 +426,57 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(
-        id_col, "simhash", "simhash_hi", "simhash_lo",
+        "simhash", "simhash_hi", "simhash_lo",
         F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"),
     )
     a = bk.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("simhash_a"),
+        F.col("simhash").alias("simhash_a"),
         F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
         "band_id", "band_key",
     )
     b = bk.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("simhash_b"),
+        F.col("simhash").alias("simhash_b"),
         F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"),
         "band_id", "band_key",
     )
-    # Bit-parallel hamming (two XOR + popcount) BEFORE the distinct: the
-    # filter kills ~all of the collision-heavy candidate mass, so the distinct
-    # only sees surviving pairs.
     ham = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    return (
+    # Deterministic signature ordering (hi, lo) lexicographic so each
+    # unordered signature pair appears exactly once.
+    lex_lt = (F.col("hi_a") < F.col("hi_b")) | (
+        (F.col("hi_a") == F.col("hi_b")) & (F.col("lo_a") < F.col("lo_b"))
+    )
+    spairs = (
         a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
+        .filter(lex_lt)
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "simhash_a", "simhash_b", "hamming")
+        .select("simhash_a", "hi_a", "lo_a", "simhash_b", "hi_b", "lo_b", "hamming")
         .distinct()
     )
+
+    # --- re-expand signature pairs to doc pairs, normalized to doc_a < doc_b
+    da = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    db = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    a_first = F.col("id_a") < F.col("id_b")
+    inter = (
+        spairs.join(da, ["hi_a", "lo_a"])
+        .join(db, ["hi_b", "lo_b"])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(a_first, F.col("simhash_a")).otherwise(F.col("simhash_b")).alias("simhash_a"),
+            F.when(a_first, F.col("simhash_b")).otherwise(F.col("simhash_a")).alias("simhash_b"),
+            "hamming",
+        )
+    )
+    return inter.unionByName(intra)
