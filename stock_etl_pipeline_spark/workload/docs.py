@@ -147,8 +147,16 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# N-gram Jaccard near-dedup: word-3-shingles → set join → pair similarity.
+# N-gram Jaccard near-dedup: word-3-shingles → df-capped set join → pair
+# similarity. The DOCUMENT-FREQUENCY CAP is what makes the raw shingle join
+# survive scale: a shingle appearing in d documents contributes d(d-1)/2
+# candidate pairs, so boilerplate shingles ("terms of service apply") alone
+# make the join super-linear. Dropping shingles with df > cap bounds every
+# shingle's pair mass at cap²/2 — total work becomes linear in the corpus —
+# while near-dup signal lives in LOW-df shingles, which all survive.
+# Jaccard is computed over the capped shingle sets on BOTH engines.
 _JACCARD_THRESHOLD = 0.2
+_SHINGLE_DF_CAP = 64
 _NGRAM_JACCARD_ORACLE = rf"""
 WITH words AS (
   SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
@@ -156,8 +164,13 @@ WITH words AS (
 pos AS (
   SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM words
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle FROM pos
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ) WHERE df <= {_SHINGLE_DF_CAP}
 ),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -176,16 +189,21 @@ WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {_JACCARD_THRESHOLD}
 
 @spec("doc_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("dedup", "similarity_join"), bench=True)
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard similarity join (near-dup detection).
+    """Word-trigram Jaccard similarity join (near-dup detection) with the
+    standard document-frequency cap on shingles (df ≤ 64).
 
     Scale shape: shingle explode (narrow) → distinct (shuffle on shingle) →
-    self-equi-join on shingle (co-partitioned — reuses the same hash
-    partitioning, no extra exchange) → pair-count aggregate. Hot shingles are
-    the skew risk at 100 TB; operators/dedup.py's MinHash-LSH path bounds the
-    join fan-out by banding instead of joining raw shingles."""
+    df-count window + filter (REUSES the shingle partitioning — no extra
+    exchange) → self-equi-join on shingle (same partitioning again) →
+    pair-count aggregate. The df cap bounds per-shingle join fan-out at
+    cap², turning the formerly super-linear hot-shingle mass (13.8× at the
+    10× soak before the cap) into linear work; the MinHash-LSH sibling
+    (doc_minhash_lsh) remains the banded alternative."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
-    sh = (
+    sh0 = (
         d.select("doc_id", words.alias("w"))
         .select(
             "doc_id",
@@ -197,6 +215,11 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+    )
+    sh = (
+        sh0.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("doc_id", "shingle")
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
