@@ -46,15 +46,26 @@ def asof_join(
     ``right`` should be unique per (on, ts) — pre-aggregate if not, or the
     propagated value is the last within the duplicate timestamp group in
     side-sorted order (deterministic only if made unique).
+
+    NULL semantics: the MATCHED right row's values are propagated even when
+    some of them are NULL (DuckDB ASOF JOIN / pandas merge_asof behavior).
+    All value columns ride in ONE struct — non-null for every right row, so
+    ``last(ignorenulls=True)`` skips left-row placeholders but never skips a
+    matched right row whose individual value happens to be NULL.
     """
-    lhs = left.withColumn("_side", F.lit(1))
-    for v in value_cols:
-        lhs = lhs.withColumn(f"_v_{v}", F.lit(None).cast(right.schema[v].dataType))
+    from pyspark.sql import types as T
+
+    struct_t = T.StructType(
+        [T.StructField(v, right.schema[v].dataType, True) for v in value_cols]
+    )
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_vals", F.lit(None).cast(struct_t)
+    )
     rhs = right.select(
         *on,
         ts,
         F.lit(0).alias("_side"),
-        *[F.col(v).alias(f"_v_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("_vals"),
     )
     # Align column sets: left keeps its payload columns; right rows carry NULL
     # payloads and are dropped after propagation.
@@ -62,8 +73,8 @@ def asof_join(
     rhs_full = rhs
     for c in payload:
         rhs_full = rhs_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = lhs.select(*on, ts, "_side", *payload, *[f"_v_{v}" for v in value_cols]).unionByName(
-        rhs_full.select(*on, ts, "_side", *payload, *[f"_v_{v}" for v in value_cols])
+    unioned = lhs.select(*on, ts, "_side", *payload, "_vals").unionByName(
+        rhs_full.select(*on, ts, "_side", *payload, "_vals")
     )
     w = (
         Window.partitionBy(*on)
@@ -75,9 +86,17 @@ def asof_join(
         ts,
         "_side",
         *payload,
-        *[
-            F.last(f"_v_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals_asof"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *on,
+            ts,
+            *payload,
+            *[
+                F.col(f"_vals_asof.{v}").alias(f"{v}{suffix}")
+                for v in value_cols
+            ],
+        )
+    )

@@ -202,7 +202,13 @@ def histogram_quantiles(
     rng = df.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n")
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    # Width clamped away from zero so a CONSTANT column (hi == lo) still
+    # buckets every row at 0 instead of dividing by zero; the edge formula
+    # below then returns exactly lo for every q (it multiplies by the
+    # UNclamped hi-lo = 0). Mirrored verbatim in the SQL twin.
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets)), F.lit(1e-300)
+    )
     bucket = F.least(
         F.greatest(
             F.floor((F.col(col) - F.col("lo")) / width).cast("long"), F.lit(0)
@@ -245,7 +251,7 @@ WITH rng AS (
   SELECT min({col}) AS lo, max({col}) AS hi, count(*) AS n FROM {table}
 ),
 h AS (
-  SELECT least(greatest(CAST(floor(({col} - lo) / ((hi - lo) / {nb})) AS BIGINT),
+  SELECT least(greatest(CAST(floor(({col} - lo) / greatest((hi - lo) / {nb}, 1e-300)) AS BIGINT),
                0), {n_buckets - 1}) AS bucket,
          lo, hi, n
   FROM {table}, rng

@@ -82,9 +82,23 @@ def salted_join(
     """Equi-join with the skewed side salted and the other side replicated.
 
     Join key becomes (on…, salt): the skewed side draws a random salt, the
-    other side carries every salt. Result is row-identical to the unsalted
-    join; only the partitioning of the work changes.
+    other side carries every salt. For ``inner`` and ``left`` joins the
+    result is row-identical to the unsalted join; only the partitioning of
+    the work changes.
+
+    Outer joins that preserve the REPLICATED side are unsupported: an
+    unmatched ``other`` row exists under all ``n_salts`` salt values and
+    none of them matches, so right/full outer would emit it n_salts times.
+    (``left_semi``/``left_anti`` on the salted side are fine.)
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): outer joins preserving the replicated "
+            f"side would duplicate unmatched rows n_salts times; use one of "
+            f"{sorted(allowed)} or salt the other side instead"
+        )
     on = list(on)
     s = skewed.withColumn(_SALT, (F.rand(seed) * n_salts).cast("int"))
     o = other.withColumn(

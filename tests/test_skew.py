@@ -68,3 +68,11 @@ def test_salted_left_join_keeps_unmatched(spark, skewed):
     out = salted_join(skewed, dim, ["k"], n_salts=4, how="left")
     assert out.count() == skewed.count()  # left rows never lost
     assert out.filter(F.col("label").isNull()).count() == 50  # cold keys unmatched
+
+
+def test_salted_join_rejects_replicated_outer(spark, skewed):
+    dim = spark.range(4).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(skewed, dim, on=["k"], how="right")
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(skewed, dim, on=["k"], how="full_outer")
