@@ -231,11 +231,16 @@ def kmeans_exact(
       tiebreak → identical argmin everywhere.
 
     Initialization: the first ``k_clusters`` ids (deterministic). Iteration is
-    a driver loop over lazy plans — assignment is a broadcast cross join
-    (n×K rows, the standard IVF shape), update is one posexplode aggregate.
-    Expects ``vecs`` to already carry v_int/v_dbl/vv.
+    a driver loop — assignment is a broadcast cross join (n×K rows, the
+    standard IVF shape), update is one posexplode aggregate. Each iteration's
+    centroids are MATERIALIZED (collected and recreated as a literal
+    DataFrame): the model is O(K·dim) doubles by construction, and leaving it
+    lazy would re-embed every prior iteration's full DAG into every consumer —
+    the plan grows multiplicatively with iterations while the materialized
+    form keeps each iteration one clean job (exactly how MLlib's KMeans
+    returns its centers). Expects ``vecs`` to already carry v_int/v_dbl/vv.
 
-    Returns centroids (cid, c_dbl, cc).
+    Returns centroids (cid, c_dbl, cc) as a materialized literal relation.
     """
     centroids = vecs.filter(F.col(id_col) < k_clusters).select(
         F.col(id_col).cast("int").alias("cid"),
@@ -264,7 +269,21 @@ def kmeans_exact(
             )
             .withColumn("cc", F.expr(_DOT_D.format(a="c_dbl", b="c_dbl")))
         )
+        centroids = _materialize_model(
+            vecs.sparkSession, centroids, ["cid", "c_dbl", "cc"]
+        )
     return centroids
+
+
+def _materialize_model(spark, df: DataFrame, cols: list[str]) -> DataFrame:
+    """Collect a BOUNDED model relation (centroids / codebooks — O(K·dim)
+    doubles by construction) and recreate it as a literal DataFrame, cutting
+    the training DAG out of every downstream plan. Python floats are IEEE
+    doubles, so the round-trip is bit-exact."""
+    rows = df.select(*cols).collect()
+    return spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], df.select(*cols).schema
+    )
 
 
 def assign_to_centroids(
@@ -337,6 +356,230 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --- IVF-PQ: product-quantized residuals over the IVF cells ------------------
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int = 64,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    k: int = 10,
+    shortlist_factor: int = 3,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    rank_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN: the IVF coarse quantizer plus a product-quantization
+    residual codebook, with an exact re-rank of the PQ shortlist.
+
+    Pipeline (every step exact + engine-portable, so the full construction
+    carries a DuckDB oracle despite being an iterative compressed index):
+
+    1. k-means coarse cells (``kmeans_exact``), centroids RE-QUANTIZED to the
+       micro-int grid so residuals are exact int64 subtractions.
+    2. Residuals split into ``n_subspaces`` sub-vectors; ONE subspace-keyed
+       codebook DataFrame holds all subspaces (codebook training is a single
+       Spark job over (sub_id, code_id), not a per-subspace driver loop).
+       Init = residual sub-vectors of the first ``n_codes`` ids; ``pq_iters``
+       Lloyd steps with int64 centroid sums (order-independent).
+    3. Corpus vectors are ENCODED as (cid, code_0..code_m): storage per vector
+       drops from dim×4 bytes to ~M log₂(codes) bits + the cell id — the PQ
+       promise; at 100 TB the index fits where raw vectors do not.
+    4. Queries probe ``nprobe`` cells; candidates scored against the
+       RECONSTRUCTION (cell centroid + codeword per subspace) — approximate,
+       cheap, no raw-vector access.
+    5. The top ``shortlist_factor × k`` by approximate cosine are re-ranked
+       with the exact cosine against the raw vectors (the standard PQ
+       shortlist+rerank), emitting both scores.
+
+    Returns (query_id, neighbor_id, approx_cosine, cosine, rnk).
+    """
+    from pyspark.sql import Window
+
+    assert dim % n_subspaces == 0, "dim must split evenly into subspaces"
+    dsub = dim // n_subspaces
+
+    cu = with_micro_vectors(corpus, vec_col)
+    qu = with_micro_vectors(queries, vec_col)
+    centroids = kmeans_exact(cu, k_clusters=k_clusters, iters=iters, id_col=id_col)
+    # Re-quantize centroids to the micro grid → residual = exact int64 per dim.
+    cq = (
+        centroids.withColumn(
+            "c_int",
+            F.expr(f"transform(c_dbl, x -> CAST(floor(x * {MICRO} + 0.5) AS BIGINT))"),
+        )
+        .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO})"))
+        .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
+    )
+    assigned = assign_to_centroids(cu, centroids, id_col=id_col)
+    withres = assigned.join(cq.select("cid", "c_int"), "cid").withColumn(
+        "r_int", F.zip_with("v_int", "c_int", lambda x, y: x - y)
+    )
+
+    # One row per (vector, subspace): the codebook-training relation.
+    # Persisted — codebook training and final encoding each scan it, and the
+    # residual computation above embeds the coarse-assignment join.
+    from pyspark import StorageLevel
+
+    subs = (
+        withres.select(
+            id_col,
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub_id"),
+                            F.slice("r_int", m * dsub + 1, dsub).alias("r_sub_int"),
+                        )
+                        for m in range(n_subspaces)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "cid", "s.sub_id", "s.r_sub_int")
+        .withColumn("r_sub_dbl", F.expr(f"transform(r_sub_int, x -> x / {MICRO})"))
+        .withColumn("rr", F.expr(_DOT_D.format(a="r_sub_dbl", b="r_sub_dbl")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark = corpus.sparkSession
+
+    def _codebook_with_norm(cb: DataFrame) -> DataFrame:
+        # Codebooks are bounded (n_subspaces × n_codes rows) — materialized
+        # like the k-means centroids so each Lloyd step is one clean job.
+        return _materialize_model(
+            spark,
+            cb.withColumn("ww", F.expr(_DOT_D.format(a="w_dbl", b="w_dbl"))),
+            ["sub_id", "code_id", "w_dbl", "ww"],
+        )
+
+    cb = _codebook_with_norm(
+        subs.filter(F.col(id_col) < n_codes).select(
+            "sub_id",
+            F.col(id_col).cast("int").alias("code_id"),
+            F.col("r_sub_dbl").alias("w_dbl"),
+        )
+    )
+
+    def _assign_codes(cb_cur: DataFrame) -> DataFrame:
+        """Nearest codeword per (vector, subspace) — quantized distance with
+        code-id tiebreak, centroids broadcast (n_subspaces × n_codes rows)."""
+        wv = F.expr(_DOT_D.format(a="r_sub_dbl", b="w_dbl"))
+        dist = F.floor((F.col("rr") + F.col("ww") - 2 * wv) * 1e6 + F.lit(0.5)) / 1e6
+        w = Window.partitionBy(id_col, "sub_id").orderBy(
+            F.col("dist").asc(), F.col("code_id").asc()
+        )
+        return (
+            subs.join(F.broadcast(cb_cur), "sub_id")
+            .withColumn("dist", dist)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(id_col, "cid", "sub_id", "code_id", "r_sub_int")
+        )
+
+    for _ in range(pq_iters):
+        acb = _assign_codes(cb)
+        per_dim = (
+            acb.select("sub_id", "code_id", F.posexplode("r_sub_int").alias("pos", "val"))
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(F.sum("val").alias("s"))
+        )
+        counts = acb.groupBy("sub_id", "code_id").agg(F.count("*").alias("n"))
+        cb = _codebook_with_norm(
+            per_dim.join(counts, ["sub_id", "code_id"])
+            .select(
+                "sub_id",
+                "code_id",
+                "pos",
+                (F.col("s").cast("double") / (F.lit(MICRO) * F.col("n"))).alias("dv"),
+            )
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "dv"))),
+                    lambda s: s.dv,
+                ).alias("w_dbl")
+            )
+        )
+
+    codes = _assign_codes(cb)
+
+    # Reconstruction: cell centroid + per-subspace codeword, reassembled in
+    # subspace order.
+    recon = (
+        codes.join(cb.select("sub_id", "code_id", "w_dbl"), ["sub_id", "code_id"])
+        .groupBy(id_col, "cid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("sub_id", "w_dbl"))),
+                    lambda s: s.w_dbl,
+                )
+            ).alias("res_dbl")
+        )
+        .join(cq.select("cid", "cq_dbl"), "cid")
+        .withColumn("a_dbl", F.zip_with("cq_dbl", "res_dbl", lambda x, y: x + y))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cid",
+            "a_dbl",
+            F.expr(_DOT_D.format(a="a_dbl", b="a_dbl")).alias("aa"),
+        )
+    )
+
+    # Queries probe nprobe cells, score against reconstructions only.
+    q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
+        query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
+    )
+    scale = float(10**rank_digits)
+    adot = F.expr(_DOT_D.format(a="q_dbl", b="a_dbl"))
+    acos = F.floor(
+        adot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("aa"))) * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
+    shortlisted = (
+        q_cells.join(recon, "cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "q_dbl", "q_vv", acos.alias("approx_cosine"))
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        shortlisted.withColumn("__s", F.row_number().over(ws))
+        .filter(F.col("__s") <= shortlist_factor * k)
+        .drop("__s")
+    )
+
+    # Exact re-rank of the shortlist against raw vectors.
+    raw = cu.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v_dbl").alias("n_dbl"),
+        F.col("vv").alias("n_vv"),
+    )
+    edot = F.expr(_DOT_D.format(a="q_dbl", b="n_dbl"))
+    ecos = F.floor(
+        edot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("n_vv"))) * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(raw, "neighbor_id")
+        .withColumn("cosine", ecos)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "neighbor_id", "approx_cosine", "cosine", "rnk")
+    )
 
 
 # --- random-hyperplane LSH buckets ------------------------------------------

@@ -410,3 +410,168 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# --- IVF-PQ: product-quantized residual codebook over the IVF cells ---------
+# The compressed-index path: corpus vectors are encoded as (cell id, one
+# 4-bit code per 8-dim subspace) and queries score against RECONSTRUCTIONS,
+# touching raw vectors only for the exact re-rank of the shortlist. Every
+# training/encoding step is micro-int exact, so even this doubly-iterative
+# construction replays bit-identically in DuckDB.
+_PQ_SUBS = 8
+_PQ_DSUB = 8
+_PQ_CODES = 16
+_PQ_SHORTLIST = 3 * _TOP_K
+
+_pq_subs_selects = "\n  UNION ALL ".join(
+    f"SELECT vec_id, cid, {m} AS sub_id,"
+    f" list_transform(generate_series({m * _PQ_DSUB + 1}, {(m + 1) * _PQ_DSUB}), i -> r_int[i]) AS r_sub_int"
+    f" FROM res"
+    for m in range(_PQ_SUBS)
+)
+_PQ_DIST = (
+    "floor((t.rr + c.ww - 2 * list_dot_product(t.r_sub_dbl, c.w_dbl))"
+    " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+def _pq_code_assign(name: str, cb: str) -> str:
+    return f"""
+{name} AS (
+  SELECT vec_id, cid, sub_id, code_id, r_sub_int FROM (
+    SELECT t.vec_id, t.cid, t.sub_id, c.code_id, t.r_sub_int,
+      row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+        ORDER BY {_PQ_DIST} ASC, c.code_id ASC) AS r
+    FROM subsx t JOIN {cb} c ON t.sub_id = c.sub_id
+  ) WHERE r = 1
+)
+""".strip()
+
+
+_IVF_PQ_ORACLE = f"""
+WITH vx AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v_int,
+    list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
+  FROM embeddings
+),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
+       FROM vv0 WHERE vec_id < {_IVF_K}),
+{_ivf_iters_sql},
+cqd AS (
+  SELECT cid,
+    list_transform(c_dbl, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS c_int,
+    list_transform(list_transform(c_dbl, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS cq_dbl
+  FROM c{_IVF_ITERS}x
+),
+ca0 AS (
+  SELECT vec_id, cid, v_int FROM (
+    SELECT t.vec_id, t.v_int, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
+  ) WHERE r = 1
+),
+res AS (
+  SELECT a.vec_id, a.cid,
+    list_transform(generate_series(1, 64), i -> a.v_int[i] - q.c_int[i]) AS r_int
+  FROM ca0 a JOIN cqd q ON a.cid = q.cid
+),
+subs0 AS (
+  {_pq_subs_selects}
+),
+subsx AS (
+  SELECT vec_id, cid, sub_id, r_sub_int,
+    list_transform(r_sub_int, x -> x / 1000000.0) AS r_sub_dbl,
+    list_dot_product(list_transform(r_sub_int, x -> x / 1000000.0),
+                     list_transform(r_sub_int, x -> x / 1000000.0)) AS rr
+  FROM subs0
+),
+cb0 AS (
+  SELECT sub_id, CAST(vec_id AS INTEGER) AS code_id, r_sub_dbl AS w_dbl,
+    list_dot_product(r_sub_dbl, r_sub_dbl) AS ww
+  FROM subsx WHERE vec_id < {_PQ_CODES}
+),
+{_pq_code_assign("acb0", "cb0")},
+pqs1 AS (
+  SELECT sub_id, code_id, i, CAST(sum(r_sub_int[i]) AS BIGINT) AS s, count(*) AS n
+  FROM acb0, (SELECT unnest(generate_series(1, {_PQ_DSUB})) AS i) g
+  GROUP BY sub_id, code_id, i
+),
+cb1 AS (
+  SELECT sub_id, code_id, list(dv ORDER BY i) AS w_dbl FROM (
+    SELECT sub_id, code_id, i, CAST(s AS DOUBLE) / (1000000.0 * n) AS dv FROM pqs1
+  ) GROUP BY sub_id, code_id
+),
+cb1x AS (SELECT sub_id, code_id, w_dbl, list_dot_product(w_dbl, w_dbl) AS ww FROM cb1),
+{_pq_code_assign("codes", "cb1x")},
+recon0 AS (
+  SELECT k.vec_id, k.cid, flatten(list(c.w_dbl ORDER BY k.sub_id)) AS res_dbl
+  FROM codes k JOIN cb1x c ON k.sub_id = c.sub_id AND k.code_id = c.code_id
+  GROUP BY k.vec_id, k.cid
+),
+reconx AS (
+  SELECT r.vec_id AS neighbor_id, r.cid,
+    list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i]) AS a_dbl,
+    list_dot_product(
+      list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i]),
+      list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i])) AS aa
+  FROM recon0 r JOIN cqd q ON r.cid = q.cid
+),
+qa AS (
+  SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv FROM (
+    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
+    WHERE t.vec_id < {_N_QUERIES}
+  ) WHERE r <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.q_dbl, q.q_vv,
+    floor(list_dot_product(q.q_dbl, c.a_dbl) / (sqrt(q.q_vv) * sqrt(c.aa)) * 10000.0 + 0.5) / 10000.0 AS approx_cosine
+  FROM qa q JOIN reconx c ON q.cid = c.cid AND c.neighbor_id <> q.query_id
+),
+short AS (
+  SELECT query_id, neighbor_id, q_dbl, q_vv, approx_cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS s
+    FROM scored
+  ) WHERE s <= {_PQ_SHORTLIST}
+),
+rer AS (
+  SELECT sh.query_id, sh.neighbor_id, sh.approx_cosine,
+    floor(list_dot_product(sh.q_dbl, t.v_dbl) / (sqrt(sh.q_vv) * sqrt(t.vv)) * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM short sh JOIN vv0 t ON t.vec_id = sh.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM rer
+)
+SELECT query_id, neighbor_id, approx_cosine, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+""".strip()
+
+
+@spec("embedding_ivf_pq", oracle=_IVF_PQ_ORACLE, tags=("similarity", "ann", "ivf", "pq"))
+def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the IVF coarse cells plus a product-quantization residual
+    codebook (8 subspaces × 16 codewords, 1 Lloyd step), scoring queries
+    against reconstructions and exact-re-ranking a 3k shortlist. Encoded
+    corpus storage is ~(cell id + 8×4-bit codes) per vector — the index that
+    fits in memory at 100 TB where raw vectors do not; raw vectors are
+    touched only for the shortlist re-rank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
+    topk = similarity.ivf_pq_topk(
+        e, q,
+        dim=64, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+        n_subspaces=_PQ_SUBS, n_codes=_PQ_CODES, pq_iters=1, k=_TOP_K,
+        shortlist_factor=3, id_col="vec_id", query_id_col="query_id",
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "approx_cosine", "cosine",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

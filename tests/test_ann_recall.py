@@ -32,6 +32,7 @@ def recalls(spark):
         "multiprobe": recall("embedding_ann_multiprobe"),
         "multitable": recall("embedding_ann_multitable"),
         "ivf": recall("embedding_ivf_topk"),
+        "ivf_pq": recall("embedding_ivf_pq"),
     }
 
 
@@ -51,3 +52,11 @@ def test_ivf_beats_lsh_on_clustered_data(recalls):
     # variant here (measured ≈ 0.9 at sf0.01).
     assert recalls["ivf"] >= 0.8, recalls
     assert recalls["ivf"] > recalls["multitable"]
+
+
+def test_ivf_pq_recall_close_to_ivf(recalls):
+    # PQ compresses the residuals (8 subspaces x 16 codes) and re-ranks a 3k
+    # shortlist exactly, so it may drop a few tail neighbors vs uncompressed
+    # IVF but must stay close (and far above chance).
+    assert recalls["ivf_pq"] >= recalls["ivf"] - 0.2, recalls
+    assert recalls["ivf_pq"] >= 0.6, recalls
