@@ -103,7 +103,10 @@ def test_stream_foreachbatch_merge(spark, events_dir, tmp_path):
     assert spark.read.parquet(gold).count() == total
 
     # Replay the same files through a FRESH stream (new checkpoint): merge
-    # must be idempotent — same end state, no duplicate keys.
+    # must be idempotent — the sink must be VALUE-IDENTICAL, not merely the
+    # same size (a replayed batch that rewrote rows differently would pass a
+    # count check).
+    before = sorted(map(repr, spark.read.parquet(gold).collect()))
     stream2 = streaming.read_events_stream(spark, events_dir)
     writer2 = streaming.stream_merge_upsert(
         stream2, gold, keys=["event_id"], checkpoint_dir=str(tmp_path / "ckpt5")
@@ -113,6 +116,8 @@ def test_stream_foreachbatch_merge(spark, events_dir, tmp_path):
     final = spark.read.parquet(gold)
     assert final.count() == total
     assert final.groupBy("event_id").count().filter("count > 1").count() == 0
+    after = sorted(map(repr, final.collect()))
+    assert after == before  # replayed micro-batch left the sink unchanged
 
 
 def test_stateful_user_totals_across_batches(spark, tmp_path):
