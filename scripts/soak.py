@@ -3,6 +3,15 @@
 and measure how every bench-flagged query scales.
 
 Usage:  python scripts/soak.py [--scale 10] [--dir /root/repo/.soak/sf1]
+        [--base /root/testdata/sf0.1] [--skip q1,q2] [--build-only]
+
+Tiers CHAIN: the 100x tier is built from the MATERIALIZED 10x parquet
+(--base .soak/sf1 --scale 10), not a 100-way union plan — so the build
+itself stays a bounded 10-way union over real files, and reading the tier
+exercises genuine multi-file scans, spill, and AQE skew handling.
+``--skip`` excludes queries whose cost model is deliberately exact-quadratic
+(embedding_near_dup at 100x would be 10^4 x the flops — its scale path is
+the LSH/IVF family, which IS in the run).
 
 The driver testdata stops at sf0.1; this script builds a scaled tier by
 unioning key-offset replicas (deterministic, engine-only ops — no new
@@ -42,7 +51,7 @@ BASE_SF = "/root/testdata/sf0.1"
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "orders")
 
 
-def build(spark, out_dir: str, scale: int) -> None:
+def build(spark, out_dir: str, scale: int, base_sf: str = BASE_SF) -> None:
     from pyspark.sql import functions as F
 
     from stock_etl_pipeline_spark.datasets import load_table
@@ -50,7 +59,7 @@ def build(spark, out_dir: str, scale: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     def replicate(name, mutate):
-        base = load_table(spark, BASE_SF, name)
+        base = load_table(spark, base_sf, name)
         reps = [mutate(base, i) for i in range(scale)]
         df = reps[0]
         for r in reps[1:]:
@@ -60,21 +69,33 @@ def build(spark, out_dir: str, scale: int) -> None:
             f"{out_dir}/{name}.parquet"
         )
 
-    n_docs = load_table(spark, BASE_SF, "documents").count()
-    replicate(
-        "documents",
-        lambda d, i: d.select(
+    n_docs = load_table(spark, base_sf, "documents").count()
+
+    def mutate_doc(d, i):
+        if not i:
+            return d.select("doc_id", "text", "lang", "source", "n_chars")
+        # Interleave a replica-tag token every 3 words: EVERY word-trigram
+        # shingle then contains a tag, so Jaccard(doc, replica) ≈ 0 and the
+        # scaled corpus measures DATA GROWTH. (The earlier suffix-only
+        # mutation left Jaccard ≈ 0.99 — the tier was 99% genuine near-dups
+        # and pair-enumeration output grew quadratically in the replica
+        # count: a different, output-bound experiment. See SCALING.md.)
+        tagged = (
+            "concat_ws(' ', transform(split(text, '\\\\s+'), "
+            f"(w, j) -> CASE WHEN j % 3 = 2 THEN concat(w, ' rp{i}') ELSE w END))"
+        )
+        return d.select(
             (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text")
-            if i
-            else F.col("text"),
+            F.expr(tagged).alias("text"),
             "lang",
             "source",
             "n_chars",
-        ),
-    )
+        )
 
-    n_li = 6_000_000  # orderkey space upper bound per replica
+    replicate("documents", mutate_doc)
+
+    n_li = 6_000_000 * max(1, scale)  # orderkey space upper bound per replica
+    # (chained tiers: the base may already span scale x the original space)
     replicate(
         "lineitem",
         lambda d, i: d.withColumn(
@@ -82,20 +103,21 @@ def build(spark, out_dir: str, scale: int) -> None:
         ),
     )
 
-    n_ev = load_table(spark, BASE_SF, "events").count()
+    n_ev = load_table(spark, base_sf, "events").count()
     replicate(
         "events",
         lambda d, i: d.select(
             (F.col("event_id") + F.lit(i * n_ev)).alias("event_id"),
             (F.col("ts") + F.expr(f"INTERVAL {i} MINUTE")).alias("ts"),
-            (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+            # offset scales with the tier so chained builds stay collision-free
+            (F.col("user_id") + F.lit(i * 100_000 * max(1, scale))).alias("user_id"),
             "event_type",
             "value",
             "props",
         ),
     )
 
-    n_vec = load_table(spark, BASE_SF, "embeddings").count()
+    n_vec = load_table(spark, base_sf, "embeddings").count()
     replicate(
         "embeddings",
         lambda d, i: d.select(
@@ -111,7 +133,7 @@ def build(spark, out_dir: str, scale: int) -> None:
     )
 
     for name in COPY_TABLES:
-        load_table(spark, BASE_SF, name).write.mode("overwrite").parquet(
+        load_table(spark, base_sf, name).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )
 
@@ -122,34 +144,45 @@ def run_tier(spark, sf_dir: str, specs) -> dict[str, float]:
         t0 = time.perf_counter()
         s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {sf_dir} {name}: {timings[name]}s", flush=True)
     return timings
 
 
 def main() -> int:
-    scale = int(sys.argv[sys.argv.index("--scale") + 1]) if "--scale" in sys.argv else 10
+    argv = sys.argv
+    scale = int(argv[argv.index("--scale") + 1]) if "--scale" in argv else 10
     out_dir = (
-        sys.argv[sys.argv.index("--dir") + 1]
-        if "--dir" in sys.argv
-        else "/root/repo/.soak/sf1"
+        argv[argv.index("--dir") + 1] if "--dir" in argv else "/root/repo/.soak/sf1"
+    )
+    base_sf = argv[argv.index("--base") + 1] if "--base" in argv else BASE_SF
+    skip = (
+        set(argv[argv.index("--skip") + 1].split(","))
+        if "--skip" in argv
+        else set()
     )
 
     from stock_etl_pipeline_spark.session import get_spark
     from stock_etl_pipeline_spark.workload import load_all
 
     spark = get_spark(app_name="soak")
-    specs = {n: s for n, s in sorted(load_all().items()) if s.bench}
+    specs = {
+        n: s for n, s in sorted(load_all().items()) if s.bench and n not in skip
+    }
 
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         t0 = time.perf_counter()
-        build(spark, out_dir, scale)
-        print(f"built {out_dir} (scale {scale}x) in {time.perf_counter() - t0:.0f}s")
+        build(spark, out_dir, scale, base_sf)
+        print(f"built {out_dir} (scale {scale}x from {base_sf}) "
+              f"in {time.perf_counter() - t0:.0f}s", flush=True)
+    if "--build-only" in argv:
+        return 0
 
     base = run_tier(spark, BASE_SF, specs)
-    print(json.dumps({"tier": "base_sf0.1", "queries": base}))
+    print(json.dumps({"tier": "base_sf0.1", "queries": base}), flush=True)
     scaled = run_tier(spark, out_dir, specs)
-    print(json.dumps({"tier": f"scaled_{scale}x", "queries": scaled}))
+    print(json.dumps({"tier": f"scaled_{out_dir}", "queries": scaled}), flush=True)
 
-    print(f"\n{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
+    print(f"\n{'query':28s} {'sf0.1':>8s} {'tier':>8s} {'ratio':>7s}")
     for name in specs:
         r = scaled[name] / base[name] if base[name] else float("inf")
         print(f"{name:28s} {base[name]:8.2f} {scaled[name]:8.2f} {r:7.1f}")

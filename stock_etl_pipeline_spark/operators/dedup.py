@@ -375,7 +375,13 @@ def simhash_near_dup_pairs(
 
     sig = simhash_signatures(df, id_col, text_col)
     if persist_signatures:
+        # Persist AND eagerly fill: the three consumers below land in
+        # concurrent stages of one job, and concurrent stages race to fill a
+        # lazy cache — each recomputes the full signature pipeline and the
+        # persist saves nothing. One count() up front materializes the cache
+        # once; every consumer then reads it.
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        sig.count()
 
     # --- identical-signature pairs (hamming 0) directly from the doc level
     sa = sig.select(
