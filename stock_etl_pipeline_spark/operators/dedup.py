@@ -68,6 +68,69 @@ def sql_word_shingles(table: str, id_col: str = "doc_id", text_col: str = "text"
 """.strip()
 
 
+# --- cluster-representative dedup output ------------------------------------
+
+
+def near_dup_keepers(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Collapse a near-dup PAIR relation to one keeper per duplicate cluster.
+
+    Why this exists: pair enumeration is OUTPUT-BOUND on dup-heavy corpora —
+    a 100-copy boilerplate group is C(100,2) ≈ 5k true pairs, so a corpus
+    that is mostly duplicates (the realistic web-crawl case) produces
+    quadratically many pairs per group no matter how good the candidate
+    generation is (measured: the 100x soak tier built from suffix-only
+    replicas put minhash pair enumeration at 624 s, ~all of it emitting and
+    verifying genuine pairs). The training-data pipeline wants "which doc do
+    I keep" — per-doc output, linear in the corpus.
+
+    Method: deterministic min-label propagation over the pair graph
+    (symmetrized edges; each round every node takes the min of its own and
+    its neighbors' labels). After ``rounds`` iterations labels are exact for
+    components of diameter ≤ rounds — LSH dup clusters are near-cliques
+    (diameter ~1-2), so the default 3 is conservative. Each round is one
+    co-partitioned join + aggregate; ``localCheckpoint`` truncates the
+    iterative lineage so the plan stays one-round deep (the k-means model
+    lesson — but labels are data-sized, so they checkpoint to executor
+    storage instead of collecting to the driver).
+
+    Returns (doc_id, keeper_id) for every doc that appears in ``pairs``;
+    docs with no near-dup pair are their own keeper and are simply absent.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 # Universal-hash family over a single md5 base hash: h_j(x) = (a_j·b + c_j)

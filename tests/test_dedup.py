@@ -1,0 +1,56 @@
+"""Cluster-representative dedup: min-label propagation over near-dup pairs
+(the linear-output path for dup-heavy corpora — see SCALING.md)."""
+
+from __future__ import annotations
+
+from stock_etl_pipeline_spark.operators.dedup import near_dup_keepers
+
+
+def _keepers(spark, pairs, rounds=3):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = near_dup_keepers(df, rounds=rounds)
+    return {r["doc_id"]: r["keeper_id"] for r in out.collect()}
+
+
+def test_clique_collapses_to_min_id(spark):
+    got = _keepers(spark, [(1, 2), (1, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_chain_within_rounds(spark):
+    # diameter-3 path: 10-11, 11-12, 12-13 → all label 10 after 3 rounds
+    got = _keepers(spark, [(10, 11), (11, 12), (12, 13)])
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_separate_components_stay_separate(spark):
+    got = _keepers(spark, [(1, 2), (7, 8)])
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_repartition_invariant(spark):
+    pairs = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint pairs
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long").repartition(13)
+    out = {r["doc_id"]: r["keeper_id"] for r in near_dup_keepers(df).collect()}
+    for a, b in pairs:
+        assert out[a] == a and out[b] == a
+
+
+def test_composes_with_minhash_pairs(spark):
+    """End-to-end: near-identical docs -> minhash pairs -> one keeper."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base),
+        (4, "completely different words about spark shuffles and parquet files"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4, threshold=0.7)
+    keepers = {
+        r["doc_id"]: r["keeper_id"] for r in near_dup_keepers(pairs).collect()
+    }
+    assert keepers[1] == 1 and keepers[3] == 1
+    assert 4 not in keepers  # no near-dup → absent (its own keeper)
