@@ -257,7 +257,7 @@ def verified_jaccard_pairs(
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
-    num_hashes: int = 12,
+    num_hashes: int = 20,
     bands: int = 4,
     threshold: float = 0.7,
     id_col: str = "doc_id",

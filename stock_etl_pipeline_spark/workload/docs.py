@@ -265,7 +265,16 @@ def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle = the IDENTICAL LSH construction in DuckDB (md5 seed-prefixed hashes,
 # lexicographic-min signatures, banded candidates, exact-Jaccard verify), so
 # parity is guaranteed by construction and does not depend on LSH recall.
-_MH_K = 12
+#
+# Band geometry (k=20, b=4, r=5): candidate mass from BACKGROUND similarity
+# scales with the SQUARE of the corpus (every unrelated doc pair collides
+# with probability ~j_bg^r), so r must be large enough that j_bg^r times
+# n²/2 stays linear. The 100x soak measured the old r=3 at 21.4M candidates
+# from 500k docs (j_bg ≈ 0.05 template text: 0.05³ ≈ 1e-4 over 1.25e11
+# pairs); r=5 puts the same corpus at ~1e-6 of pairs while keeping 253/256
+# of the true j ≥ 0.7 pairs at sf0.1 (the S-curve at 0.7 is 1-(1-0.7⁵)⁴ ≈
+# 0.53 per band set — real near-dups sit at j ≈ 0.9+ where recall is ~1).
+_MH_K = 20
 _MH_BANDS = 4
 _MH_ROWS = _MH_K // _MH_BANDS
 _MH_THRESHOLD = 0.7
