@@ -13,6 +13,7 @@ from .pipeline import (
     read_events_stream,
     run_to_memory,
     sessionize_stream,
+    stateful_sessionize,
     stateful_user_totals,
     stream_merge_upsert,
     tumbling_event_counts,
@@ -28,6 +29,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "sessionize_stream",
+    "stateful_sessionize",
     "stateful_user_totals",
     "stream_merge_upsert",
     "tumbling_event_counts",

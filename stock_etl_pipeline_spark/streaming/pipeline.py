@@ -166,6 +166,93 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Custom session windows via ``applyInPandasWithState`` with EVENT-TIME
+    TIMEOUT eviction — the full custom-stateful lifecycle that the built-in
+    ``session_window`` (sessionize_stream) hides:
+
+    - per-user state = (session_start, last_event, count, integer cents);
+    - a new event within ``gap_minutes`` of the last extends the session;
+      a later event CLOSES the session (emitted immediately, append-style)
+      and starts a new one;
+    - an idle session is closed by the state-store TIMEOUT when the
+      watermark passes last_event + gap — state cannot accumulate forever,
+      which is the property that matters on an unbounded 100 TB stream.
+
+    Matches ``session_window`` semantics for in-order input: session_end =
+    last event + gap. Value totals accumulate as integer cents (replay- and
+    partitioning-independent).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, cents long"
+
+    def _row(user_id, start_us, last_us, n, cents):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                "n_events": [n],
+                "session_value": [cents / 100.0],
+            }
+        )
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield _row(user_id, start_us, last_us, n, cents)
+            return
+        batch = [p for p in pdf_iter if len(p)]
+        if not batch:
+            return
+        pdf = pd.concat(batch).sort_values("ts")
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        cents_arr = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us, last_us, n, cents = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0
+            # last_us just below first event so the first iteration extends
+        for t, c in zip(ts_us, cents_arr):
+            if n and t - last_us > gap_us:
+                yield _row(user_id, start_us, last_us, n, cents)
+                start_us, n, cents = int(t), 0, 0
+            last_us = int(t)
+            n += 1
+            cents += int(c)
+        state.update((int(start_us), int(last_us), int(n), int(cents)))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # epoch ms
+        return
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -221,6 +221,13 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _SHINGLE_DF_CAP)
         .select("doc_id", "shingle")
     )
+    # Three consumers (per-doc counts + both self-join sides) and no exchange
+    # reuse across them — persist and eagerly fill, like the simhash
+    # signature relation (measured 24.9 → 16.4 s at the 100x soak tier).
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -151,3 +151,58 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert got == want
     # state genuinely crossed batches: some user saw >1 emission
     assert out.count() > final.count()
+
+
+def test_stateful_sessionize_with_event_time_timeout(spark, tmp_path):
+    """Custom applyInPandasWithState sessions: inline close on a gap-exceeding
+    event, TIMEOUT close for idle sessions once the watermark passes
+    last_event + gap, open sessions never emitted."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        # batch 1: user 1 has a 2-event session; user 2 a 1-event session
+        [(1, ts(10, 0), 1, "view", 1.0, "{}"),
+         (2, ts(10, 5), 1, "view", 2.0, "{}"),
+         (3, ts(10, 0), 2, "view", 5.0, "{}")],
+        # batch 2: user 2 returns past the gap → inline-closes their first
+        # session; watermark after this batch ≈ 19:59
+        [(4, ts(20, 0), 2, "view", 7.0, "{}")],
+        # batch 3: unrelated user advances processing; user 1's idle session
+        # (timeout 10:35) is now far past the watermark → TIMEOUT emission
+        [(5, ts(20, 30), 3, "view", 9.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming.stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_value"])
+        for r in spark.table("t_stateful_sessions").collect()
+    }
+    assert (1, ts(10, 0), ts(10, 35), 2, 3.0) in got      # timeout-closed
+    assert (2, ts(10, 0), ts(10, 30), 1, 5.0) in got      # inline-closed
+    open_sessions = {g for g in got if g[0] in (2, 3) and g[1] >= ts(20, 0)}
+    assert not open_sessions                               # still open → absent
