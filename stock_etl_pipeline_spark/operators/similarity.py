@@ -293,14 +293,33 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     nprobe: int = 1,
 ) -> DataFrame:
-    """Nearest (or nprobe-nearest) centroid per vector: broadcast cross join
-    + windowed argmin on the quantized distance."""
-    from pyspark.sql import Window
+    """Nearest (or nprobe-nearest) centroid per vector from a broadcast
+    cross join on the quantized distance.
 
+    nprobe == 1 (the hot path: every k-means iteration + corpus encoding)
+    is a hash-aggregate argmin — ``min(struct(dist, cid, payload…))`` with
+    map-side partial aggregation. (dist, cid) is a unique prefix, so the
+    struct ordering never reaches the payload fields and the argmin is
+    deterministic; payload fields ride along instead of being re-joined.
+    This replaces a windowed row_number, whose sort shuffled the full n×K
+    scored relation (measured: k-means 8.3 s → hash-agg path ~halves it).
+    nprobe > 1 (query-side probing, a small relation) keeps the window.
+    """
     vc = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
     dist = F.floor((F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)) / 1e6
-    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cid").asc())
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn("dist", dist)
+    payload = [c for c in vecs.columns if c != id_col]
+    if nprobe == 1:
+        m = F.min(F.struct("dist", "cid", *payload)).alias("m")
+        agg = scored.groupBy(id_col).agg(m)
+        return agg.select(
+            id_col,
+            F.col("m.cid").alias("cid"),
+            *[F.col(f"m.{c}").alias(c) for c in payload],
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cid").asc())
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= nprobe)
@@ -472,19 +491,25 @@ def ivf_pq_topk(
     )
 
     def _assign_codes(cb_cur: DataFrame) -> DataFrame:
-        """Nearest codeword per (vector, subspace) — quantized distance with
-        code-id tiebreak, centroids broadcast (n_subspaces × n_codes rows)."""
+        """Nearest codeword per (vector, subspace) — hash-aggregate argmin
+        (same structure as assign_to_centroids' nprobe=1 path: (dist,
+        code_id) is a unique ordering prefix, payload rides in the struct),
+        codebook broadcast (n_subspaces × n_codes rows)."""
         wv = F.expr(_DOT_D.format(a="r_sub_dbl", b="w_dbl"))
         dist = F.floor((F.col("rr") + F.col("ww") - 2 * wv) * 1e6 + F.lit(0.5)) / 1e6
-        w = Window.partitionBy(id_col, "sub_id").orderBy(
-            F.col("dist").asc(), F.col("code_id").asc()
-        )
+        m = F.min(F.struct("dist", "code_id", "cid", "r_sub_int")).alias("m")
         return (
             subs.join(F.broadcast(cb_cur), "sub_id")
             .withColumn("dist", dist)
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select(id_col, "cid", "sub_id", "code_id", "r_sub_int")
+            .groupBy(id_col, "sub_id")
+            .agg(m)
+            .select(
+                id_col,
+                F.col("m.cid").alias("cid"),
+                "sub_id",
+                F.col("m.code_id").alias("code_id"),
+                F.col("m.r_sub_int").alias("r_sub_int"),
+            )
         )
 
     for _ in range(pq_iters):

@@ -195,3 +195,19 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert rep["rows_loaded"] == 10_000
     back = spark.read.parquet(path)
     assert back.agg(F.sum("n")).collect()[0][0] == sum(range(10_000))
+
+
+def test_upload_report_lists_files(spark, tmp_path):
+    path = str(tmp_path / "up")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    sinks.write_parquet(df, path)
+    rep = sinks.upload_report(spark, path)
+    assert rep["destination"] == path
+    assert rep["n_files"] >= 1
+    assert rep["total_bytes"] > 0
+    for f in rep["files"]:
+        assert f["name"].endswith(".parquet")
+        assert f["size_bytes"] > 0
+        assert f["uri"].endswith(f["name"])
+    # marker files excluded from the listing
+    assert not any(f["name"].startswith("_") for f in rep["files"])
