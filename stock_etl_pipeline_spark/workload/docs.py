@@ -298,6 +298,13 @@ _mh_band_selects = "\n    UNION ALL ".join(
     )
     for b in range(_MH_BANDS)
 )
+# Signature-estimate prefilter: ≥ half of the k minhash components must
+# match before the exact verify (operators/dedup.signature_estimate_filter).
+_MH_EST_MIN = _MH_K // 2
+_mh_est_matches = " + ".join(
+    f"(CASE WHEN ea.minh_{j} = eb.minh_{j} THEN 1 ELSE 0 END)"
+    for j in range(_MH_K)
+)
 _MH_JAC = "inter * 1.0 / (ca.n + cb.n - inter)"
 _MINHASH_ORACLE = rf"""
 WITH
@@ -315,10 +322,17 @@ WITH
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   ),
+  cand2 AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sig ea ON ea.doc_id = c.doc_a
+    JOIN sig eb ON eb.doc_id = c.doc_b
+    WHERE ({_mh_est_matches}) >= {_MH_EST_MIN}
+  ),
   cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
   ints AS (
     SELECT doc_a, doc_b, count(*) AS inter
-    FROM cand
+    FROM cand2
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
     GROUP BY doc_a, doc_b
@@ -332,10 +346,13 @@ WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 
 @spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=12) + LSH(4 bands × 3 rows) near-dup pairs, exact-verified at
-    Jaccard ≥ 0.7. Candidate generation is a self-equi-join on uniform
-    (band_id, band_key) md5 buckets — sub-quadratic, skew-free (vs. the raw
-    shingle join in doc_ngram_jaccard)."""
+    """MinHash(k=20) + LSH(4 bands × 5 rows) near-dup pairs, exact-verified
+    at Jaccard ≥ 0.7, with the signature-estimate prefilter (≥ 10/20
+    components matching) between banding and the exact verify. Candidate
+    generation is a self-equi-join on uniform (band_id, band_key) md5
+    buckets — sub-quadratic, skew-free (vs. the raw shingle join in
+    doc_ngram_jaccard); the prefilter keeps the exact verify's shingle-set
+    expansion proportional to genuinely-similar pairs."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
