@@ -127,3 +127,44 @@ def test_pround_matches_ieee_reference(spark, xs, digits):
     scale = float(10**digits)
     want = [math.floor(x * scale + 0.5) / scale for x in xs]
     assert out == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_near_dup_keepers_matches_union_find(spark, edges):
+    """Min-label propagation (enough rounds for any 12-node graph) must
+    agree with a driver-side union-find on the component-min labels."""
+    from stock_etl_pipeline_spark.operators.dedup import near_dup_keepers
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_keepers(df, rounds=12).collect()
+    }
+    assert got == want

@@ -211,3 +211,28 @@ def test_upload_report_lists_files(spark, tmp_path):
         assert f["uri"].endswith(f["name"])
     # marker files excluded from the listing
     assert not any(f["name"].startswith("_") for f in rep["files"])
+
+
+def test_swap_into_place_recovers_from_leftover_old(spark, tmp_path):
+    """A crashed previous swap leaves a __old sibling; the next swap must
+    clear it and still land the staged data, and the target always exists
+    under some path during the dance."""
+    target = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(target)
+    # leftover from a simulated prior crash
+    spark.range(3).write.parquet(target + "__old")
+    staging = target + "__staging"
+    spark.range(77).write.parquet(staging)
+    sinks._swap_into_place(spark, staging, target)
+    assert spark.read.parquet(target).count() == 77
+    import os
+    assert not os.path.exists(target + "__old")
+    assert not os.path.exists(staging)
+
+
+def test_swap_into_place_without_existing_target(spark, tmp_path):
+    target = str(tmp_path / "fresh_tbl")
+    staging = target + "__staging"
+    spark.range(5).write.parquet(staging)
+    sinks._swap_into_place(spark, staging, target)
+    assert spark.read.parquet(target).count() == 5
