@@ -132,3 +132,33 @@ def test_shuffle_budget(spark, name):
         f"{name}: plan now uses {ps.shuffles} shuffles (golden {want['shuffles']})"
     )
     assert ps.cartesian_products <= want["cartesian"]
+
+
+def test_window_suite_single_exchange_serves_all_frames(spark):
+    """The fusion's contract: strict MA + lag/lead + rank family + RANGE
+    frame share the per-symbol partitioning — one dedup-agg exchange + one
+    window exchange, no joins, multiple Window nodes off the same sort
+    lineage."""
+    p = plan(spark, "window_suite")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\)\s+Window\b", p)) >= 3
+    assert n_shuffles(p) == 2
+
+
+def test_profile_suite_joins_are_single_row(spark):
+    """The five profiling sub-reports cross-join as 1-row relations — every
+    join input must be an aggregate (never a raw scan on both sides)."""
+    p = plan(spark, "profile_suite")
+    # the only join mechanism should be broadcast nested loop over 1-row
+    # sides (or AQE-planned equivalents) — a SortMergeJoin would mean a
+    # data-sized relation slipped into the cross-join lattice
+    assert "SortMergeJoin" not in p
+
+
+def test_minhash_prefilter_lands_before_verify(spark):
+    """The signature-estimate prefilter must appear in the optimized plan
+    (a filter over >= min-matches of minhash equality comparisons)."""
+    from stock_etl_pipeline_spark.workload import docs as docs_mod
+
+    p = plan(spark, "doc_minhash_lsh")
+    assert f">= {docs_mod._MH_EST_MIN}" in p or f">= {docs_mod._MH_EST_MIN})" in p
