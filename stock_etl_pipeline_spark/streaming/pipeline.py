@@ -233,7 +233,11 @@ def stateful_sessionize(
             if n and t - last_us > gap_us:
                 yield _row(user_id, start_us, last_us, n, cents)
                 start_us, n, cents = int(t), 0, 0
-            last_us = int(t)
+            # A LATE event (cross-batch, within watermark) must never move
+            # the session boundaries backward: start only shrinks, last only
+            # grows, so session_end and the timeout stay monotone.
+            start_us = min(start_us, int(t))
+            last_us = max(last_us, int(t))
             n += 1
             cents += int(c)
         state.update((int(start_us), int(last_us), int(n), int(cents)))

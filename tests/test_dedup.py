@@ -54,3 +54,37 @@ def test_composes_with_minhash_pairs(spark):
     }
     assert keepers[1] == 1 and keepers[3] == 1
     assert 4 not in keepers  # no near-dup → absent (its own keeper)
+
+
+def test_simhash_unpersisted_path_matches_default(spark):
+    """persist_signatures=False must produce the identical pair set (the
+    flag only changes execution, not semantics)."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "totally different words live in this document here"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(repr, dedup.simhash_near_dup_pairs(d).collect()))
+    b = sorted(map(repr, dedup.simhash_near_dup_pairs(d, persist_signatures=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_prefilter_disabled_is_superset(spark):
+    """est_min_matches=0 disables the prefilter; the filtered result must be
+    a subset of the unfiltered one (it can only drop pairs)."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today ok"),
+        (2, "the quick brown fox jumps over the lazy dog again today yes"),
+        (3, "unrelated text about completely different things entirely here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    filt = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(d, threshold=0.5, est_min_matches=0).collect()}
+    assert filt <= full
+    assert (1, 2) in full

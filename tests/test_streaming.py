@@ -206,3 +206,44 @@ def test_stateful_sessionize_with_event_time_timeout(spark, tmp_path):
     assert (2, ts(10, 0), ts(10, 30), 1, 5.0) in got      # inline-closed
     open_sessions = {g for g in got if g[0] in (2, 3) and g[1] >= ts(20, 0)}
     assert not open_sessions                               # still open → absent
+
+
+def test_stateful_sessionize_late_event_keeps_boundaries_monotone(spark, tmp_path):
+    """A late event inside an open session (within watermark) must join the
+    session WITHOUT moving last_event backward — session_end stays at the
+    max event + gap."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        [(1, ts(10, 0), 9, "view", 1.0, "{}"),
+         (2, ts(10, 20), 9, "view", 2.0, "{}")],
+        [(3, ts(10, 10), 9, "view", 4.0, "{}")],   # LATE, inside the session
+        [(4, ts(13, 30), 8, "view", 1.0, "{}")],   # advances watermark
+        [(5, ts(14, 0), 8, "view", 1.0, "{}")],    # timeout fires for user 9
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sess = streaming.stateful_sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory").queryName("t_late_sessions")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_value"])
+        for r in spark.table("t_late_sessions").collect()
+    }
+    # late 10:10 event absorbed; end = 10:20 + 30m, NOT 10:10 + 30m
+    assert (9, ts(10, 0), ts(10, 50), 3, 7.0) in got
