@@ -236,3 +236,28 @@ def test_swap_into_place_without_existing_target(spark, tmp_path):
     spark.range(5).write.parquet(staging)
     sinks._swap_into_place(spark, staging, target)
     assert spark.read.parquet(target).count() == 5
+
+
+def test_create_table_with_cluster_fields(spark):
+    schema = T.StructType(
+        [
+            T.StructField("date", T.DateType(), False),
+            T.StructField("symbol", T.StringType(), False),
+            T.StructField("close", T.DoubleType(), True),
+        ]
+    )
+    try:
+        assert sinks.create_table_if_not_exists(
+            spark, "t_clustered", schema,
+            partition_field="date", cluster_fields=["symbol"], n_buckets=8,
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED t_clustered").collect()
+        }
+        assert desc.get("Num Buckets") == "8"
+        assert "symbol" in desc.get("Bucket Columns", "")
+        # second call: exists → False, no error
+        assert not sinks.create_table_if_not_exists(spark, "t_clustered", schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_clustered")
