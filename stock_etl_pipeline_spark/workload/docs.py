@@ -344,6 +344,66 @@ WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 """.strip()
 
 
+# --- cluster-representative dedup over the minhash pair graph ---------------
+# The LINEAR-OUTPUT dedup shape (SCALING.md, 100x finding #2): pair
+# enumeration is quadratic per duplicate group, but the training pipeline
+# wants "which doc do I keep" — one row per clustered doc. Min-label
+# propagation over the pair graph, 3 fixed rounds (exact for components of
+# diameter ≤ 3; LSH dup clusters are near-cliques), and because every round
+# is a plain join+aggregate the ORACLE replays the whole iterative
+# algorithm as 3 generated CTE rounds — a driver-checked graph algorithm.
+_CC_ROUNDS = 3
+
+
+def _cc_round(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+l{k} AS (
+    SELECT l.id, least(l.label, COALESCE(m.nm, l.label)) AS label
+    FROM {prev} l LEFT JOIN (
+      SELECT e.src AS id, min(nl.label) AS nm
+      FROM edges e JOIN {prev} nl ON nl.id = e.dst
+      GROUP BY e.src
+    ) m ON m.id = l.id
+  )""".strip()
+
+
+_cc_rounds_sql = ",\n  ".join(_cc_round(k) for k in range(1, _CC_ROUNDS + 1))
+_pairs_body = _MINHASH_ORACLE.split("WITH\n", 1)[1].rsplit("SELECT doc_a", 1)[0].rstrip().rstrip(",")
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH
+  {_pairs_body},
+  verified AS (
+    SELECT doc_a, doc_b
+    FROM ints JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE {_MH_JAC} >= {_MH_THRESHOLD}
+  ),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+  ),
+  l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+  {_cc_rounds_sql}
+SELECT id AS doc_id, label AS keeper_id FROM l{_CC_ROUNDS}
+""".strip()
+
+
+@spec("doc_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE, tags=("dedup", "clusters", "graph"))
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative near-dup output: minhash-LSH pairs (identical
+    construction to doc_minhash_lsh) collapsed to one (doc_id, keeper_id)
+    row per clustered document via 3 rounds of min-label propagation
+    (operators/dedup.near_dup_keepers). Output is LINEAR in the corpus even
+    when duplicate groups are huge — the shape a 100 TB dedup pipeline
+    feeds into its keep/drop filter."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
+    )
+    return dedup.near_dup_keepers(pairs, rounds=_CC_ROUNDS)
+
+
 @spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=20) + LSH(4 bands × 5 rows) near-dup pairs, exact-verified

@@ -76,6 +76,10 @@ WHERE (max_close - min_close) / min_close > 0.02
 
 # 2. Moving averages over a symbol subset (reference queries.py:76-115;
 # IN UNNEST(@symbols) → literal IN list, trailing 90 days, 5/20-day frames).
+# Windowed + IN-list SQL over the view surface — keeps O1/O2/K9/P17
+# exercised through spark.sql next to the HAVING/theta template above.
+# (W1's window math additionally has two DataFrame-side driver-checked
+# representations: moving_averages and window_suite.)
 _MA_FRAME_5 = "(PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
 _MA_FRAME_20 = "(PARTITION BY symbol ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
 _CLOSE_U = f"CAST(floor({sql_exact_avg('close', 100.0)} * 1000000.0 + 0.5) AS BIGINT)"

@@ -675,37 +675,8 @@ def q_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- histogram: integer-bucketed volume distribution ------------------------
-# Buckets via exact integer division (portable — float log/width_bucket
-# would risk libm ulp differences at bucket boundaries).
-_VOLUME_BUCKET = 500
-_HISTOGRAM_ORACLE = oracle_with_prices(f"""
-SELECT CAST(volume // {_VOLUME_BUCKET} AS BIGINT) AS bucket,
-  CAST(volume // {_VOLUME_BUCKET} AS BIGINT) * {_VOLUME_BUCKET} AS bucket_low,
-  count(*) AS n_rows,
-  CAST(sum(volume) AS BIGINT) AS total_volume
-FROM prices
-GROUP BY volume // {_VOLUME_BUCKET}
-""".strip())
-
-
-@spec("volume_histogram", oracle=_HISTOGRAM_ORACLE, tags=("agg", "histogram"))
-def q_volume_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width volume histogram by exact integer division: a bounded-
-    cardinality groupBy (the scale-safe shape for distribution profiling —
-    bucket count is fixed no matter the row count)."""
-    p = load_prices(spark, sf_dir)
-    bucket = F.floor(F.col("volume") / _VOLUME_BUCKET).cast("long")
-    return (
-        p.groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("volume").alias("total_volume"),
-        )
-        .select(
-            "bucket",
-            (F.col("bucket") * _VOLUME_BUCKET).alias("bucket_low"),
-            "n_rows",
-            "total_volume",
-        )
-    )
+# (volume_histogram was retired in round 2 to free a registry slot for
+# doc_dedup_clusters — its integer-bucket binning semantics remain
+# driver-checked via source_distribution and price_quantile_sketch's
+# fixed-grid histogram, and equi-width bucketing stays available through
+# operators/sketches.histogram_quantiles.)
