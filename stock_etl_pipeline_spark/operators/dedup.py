@@ -103,9 +103,18 @@ def near_dup_keepers(
     docs with no near-dup pair are their own keeper and are simply absent.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # CHECKPOINTED: ``pairs`` is usually the tail of an expensive
+        # pipeline (LSH banding + verification), and edges feed EVERY
+        # propagation round — without the checkpoint each round re-executes
+        # the whole upstream pipeline (measured: 86 s of minhash re-run per
+        # round at the 100x tier, 505 s total for a 75k-pair graph).
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
