@@ -6,10 +6,11 @@ drop_duplicates on (date,symbol,data_source) (O4) → multi-key sort (O1).
 
 Scale notes:
 - ``unionByName`` is metadata-only (no shuffle).
-- dedup is ONE hash shuffle on the key; with ``tiebreak_cols`` it becomes a
-  window row_number (same single shuffle + per-partition sort) so the kept
-  row is deterministic — pandas keep-first depends on concat order, which is
-  meaningless on a distributed engine (SURVEY.md §7 risk list).
+- dedup is ONE hash shuffle on the key; with ``tiebreak_cols`` it is a
+  hash-aggregate argmin (min over an ordered struct — partial-combined
+  map-side, no group sort) so the kept row is deterministic — pandas
+  keep-first depends on concat order, which is meaningless on a
+  distributed engine (SURVEY.md §7 risk list).
 - the final sort is optional: a global orderBy is a range-partition shuffle
   that only matters at the sink; keep ``sort=False`` mid-pipeline.
 """
@@ -19,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MERGE_KEYS = ["date", "symbol", "data_source"]
@@ -46,15 +47,26 @@ def dedup_keep_first(
     (deterministic, pandas-keep-first analogue with an explicit tiebreak);
     without, ``dropDuplicates`` keeps an arbitrary row per key (cheaper:
     partial-aggregate combine instead of a full window sort).
+
+    The tiebreak path is a HASH-AGGREGATE argmin — ``min(struct(tiebreaks…,
+    payload…))`` with map-side partial aggregation — not a window
+    row_number: the aggregate never sorts the group, partial-combines
+    before the exchange (duplicates die map-side), and stays whole-stage
+    codegen. Ordering by the full struct makes even full-tiebreak ties
+    deterministic (lexicographic over the remaining payload), strictly
+    stronger than row_number's arbitrary pick.
     """
     if not tiebreak_cols:
         return df.dropDuplicates(list(keys))
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in tiebreak_cols])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    ordered = list(tiebreak_cols) + [
+        c for c in payload if c not in set(tiebreak_cols)
+    ]
+    agg = df.groupBy(*keys).agg(F.min(F.struct(*ordered)).alias("__m"))
+    return agg.select(
+        *keys, *[F.col(f"__m.{c}").alias(c) for c in ordered]
+    ).select(*df.columns)
 
 
 def merge_datasets(
