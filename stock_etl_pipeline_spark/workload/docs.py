@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..datasets import load_table
 from ..functions import pround, sql_pround
 from ..operators import dedup, sampling
+from ..operators import text as textops
 from . import spec
 
 _TOKEN_RE = r"\S+"
@@ -36,15 +37,21 @@ SELECT doc_id, lang, source, n_chars,
   CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct,
   CAST({_SQL_N_STOP} AS BIGINT) AS n_stopwords,
   {sql_pround(_SQL_STOP_RATIO, 6)} AS stopword_ratio,
-  {sql_pround(_SQL_QUALITY, 6)} AS quality_score
+  {sql_pround(_SQL_QUALITY, 6)} AS quality_score,
+  {textops.sql_pii_count("text", "email")} AS n_email,
+  {textops.sql_pii_count("text", "phone")} AS n_phone,
+  {textops.sql_pii_count("text", "ipv4")} AS n_ipv4,
+  CAST(length({textops.sql_redact_pii("text")}) AS BIGINT) AS redacted_len
 FROM documents
 """.strip()
 
 
-@spec("doc_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("text", "quality"), bench=True)
+@spec("doc_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("text", "quality", "pii"), bench=True)
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation/stopword ratios + composite quality score
-    (length-normalized + stopword-informed), all JVM-side regex — no UDFs."""
+    (length-normalized + stopword-informed) + PII hygiene profile (email /
+    phone / IPv4 counts and the post-redaction length, operators/text.py) —
+    all JVM-side regex in one narrow pass, no UDFs."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
@@ -66,6 +73,10 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
         pround(stop_ratio, 6).alias("stopword_ratio"),
         quality.alias("quality_score"),
+        textops.pii_count("text", "email").alias("n_email"),
+        textops.pii_count("text", "phone").alias("n_phone"),
+        textops.pii_count("text", "ipv4").alias("n_ipv4"),
+        F.length(textops.redact_pii("text")).cast("long").alias("redacted_len"),
     )
 
 

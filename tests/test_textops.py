@@ -1,0 +1,66 @@
+"""PII detection/redaction operators (operators/text.py): counting and
+redaction share patterns, both engines agree, redaction is idempotent."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from stock_etl_pipeline_spark.operators import text as textops
+
+ROWS = [
+    (1, "contact me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+    (2, "server at 192.168.1.100 responded; backup 10.0.0.7 did not"),
+    (3, "no sensitive content in this perfectly ordinary sentence"),
+    (4, "doubled email a@b.io a@b.io and digits 1234567 8890011223"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_counts_and_redaction(spark):
+    out = {r["doc_id"]: r for r in textops.with_pii_columns(_df(spark)).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] >= 1
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+    assert out[3]["redacted_len"] == len(ROWS[2][1])  # untouched
+    assert out[4]["n_email"] == 2
+
+
+def test_redaction_removes_all_matches_and_is_idempotent(spark):
+    once = _df(spark).select(
+        "doc_id", textops.redact_pii("text").alias("text")
+    )
+    # no pattern survives its own redaction pass
+    counts = textops.with_pii_columns(once)
+    bad = counts.filter(
+        (F.col("n_email") > 0) | (F.col("n_ipv4") > 0)
+    ).count()
+    assert bad == 0
+    twice = once.select("doc_id", textops.redact_pii("text").alias("text"))
+    a = sorted(map(repr, once.collect()))
+    b = sorted(map(repr, twice.collect()))
+    assert a == b
+
+
+def test_sql_twins_agree(spark, tmp_path):
+    p = str(tmp_path / "pii.parquet")
+    _df(spark).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    sql = f"""
+      SELECT doc_id,
+        {textops.sql_pii_count('text', 'email')} AS n_email,
+        {textops.sql_pii_count('text', 'phone')} AS n_phone,
+        {textops.sql_pii_count('text', 'ipv4')} AS n_ipv4,
+        CAST(length({textops.sql_redact_pii('text')}) AS BIGINT) AS redacted_len
+      FROM d
+    """
+    want = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["redacted_len"])
+        for r in textops.with_pii_columns(_df(spark)).collect()
+    }
+    assert got == want
