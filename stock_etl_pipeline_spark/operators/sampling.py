@@ -69,3 +69,50 @@ def sql_split_column(key_col: str, fractions: dict[str, float]) -> str:
         cum += frac
         whens.append(f"WHEN {u} < CAST({cum!r} AS DOUBLE) THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_keep(
+    key_col: str, strata_col: str, fractions: dict[str, float], default: float = 1.0
+) -> Column:
+    """Deterministic per-stratum Bernoulli keep flag — corpus BALANCING
+    (downsample overrepresented languages/sources by hashing the row key
+    against a per-stratum threshold). Same row → same verdict on any
+    partitioning/engine/rerun; strata not listed keep ``default``.
+
+    A SALTED hash (key ⊕ stratum-independent salt 'strat|') decorrelates
+    this decision from split_column's: a doc at u=0.05 must not be "always
+    sampled AND always train" — independent decisions need independent
+    hash families.
+    """
+    u = hash_unit_salted(key_col, "strat|")
+    expr: Column = F.lit(float(default))
+    for name, frac in fractions.items():
+        expr = F.when(F.col(strata_col) == name, F.lit(float(frac))).otherwise(expr)
+    return u < expr
+
+
+def sql_stratified_keep(
+    key_col: str, strata_col: str, fractions: dict[str, float], default: float = 1.0
+) -> str:
+    u = sql_hash_unit_salted(key_col, "strat|")
+    whens = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN CAST({float(frac)!r} AS DOUBLE)"
+        for name, frac in fractions.items()
+    )
+    return f"({u} < (CASE {whens} ELSE CAST({float(default)!r} AS DOUBLE) END))"
+
+
+def hash_unit_salted(col: str, salt: str) -> Column:
+    """u ∈ [0,1) from md5(salt || key) — an independent hash family per
+    salt, for decisions that must be uncorrelated with the unsalted one."""
+    base = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}', CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return base / F.lit(_SCALE)
+
+
+def sql_hash_unit_salted(col: str, salt: str) -> str:
+    return (
+        f"(CAST(('0x' || substring(md5(concat('{salt}', CAST({col} AS VARCHAR))), 1, 15))::BIGINT AS DOUBLE)"
+        f" / CAST({_SCALE!r} AS DOUBLE))"
+    )

@@ -588,25 +588,40 @@ def q_doc_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # function of doc_id — stable across partitionings, re-runs, and engines
 # (operators/sampling.py).
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+# Corpus balancing: downsample the overrepresented language (en keeps 50%),
+# everything else kept whole — the per-stratum deterministic Bernoulli a
+# balanced-mix training pipeline applies before splitting.
+_BALANCE = {"en": 0.5}
 
 _SPLIT_ORACLE = f"""
 WITH labeled AS (
-  SELECT doc_id, lang, {sampling.sql_split_column("doc_id", _SPLITS)} AS split
+  SELECT doc_id, lang,
+    {sampling.sql_split_column("doc_id", _SPLITS)} AS split,
+    {sampling.sql_stratified_keep("doc_id", "lang", _BALANCE)} AS kept
   FROM documents
 )
-SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_balanced
 FROM labeled GROUP BY split, lang
 """.strip()
 
 
-@spec("doc_train_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
+@spec("doc_train_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split", "balancing"))
 def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test assignment by hashing doc_id, counted per
-    (split, lang). Same doc lands in the same split no matter how the corpus
-    is partitioned, grown, or re-ingested — the property per-partition-seeded
-    sampling cannot give a training pipeline."""
+    (split, lang), alongside the stratified-balancing survivor count (en
+    downsampled to 50% via an INDEPENDENT salted hash — the keep decision
+    must not correlate with the split decision). Same doc lands in the same
+    split/sample no matter how the corpus is partitioned, grown, or
+    re-ingested — the property per-partition-seeded sampling cannot give a
+    training pipeline."""
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
-        sampling.split_column("doc_id", _SPLITS).alias("split"), "lang"
+        sampling.split_column("doc_id", _SPLITS).alias("split"),
+        "lang",
+        sampling.stratified_keep("doc_id", "lang", _BALANCE).alias("kept"),
     )
-    return labeled.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("kept")).alias("n_balanced"),
+    )

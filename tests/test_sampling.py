@@ -63,3 +63,69 @@ def test_histogram_quantiles_accuracy(spark):
         # under 1% relative
         assert r["rel_err"] < 0.01, dict(r.asDict())
         assert r["approx_price"] >= r["exact_price"] - 1e-9  # right-edge estimate
+
+
+def test_stratified_keep_deterministic_and_per_stratum(spark):
+    from stock_etl_pipeline_spark.operators import sampling
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang"
+    )
+    kept = df.select(
+        "doc_id", "lang",
+        sampling.stratified_keep("doc_id", "lang", {"en": 0.5}).alias("k"),
+    )
+    rates = {
+        r["lang"]: r["rate"]
+        for r in kept.groupBy("lang")
+        .agg((F.sum(F.col("k").cast("int")) / F.count("*")).alias("rate"))
+        .collect()
+    }
+    assert rates["fr"] == 1.0                  # default keeps everything
+    assert 0.4 < rates["en"] < 0.6             # ~half of en survives
+    # repartition-stable
+    a = sorted(map(repr, kept.collect()))
+    b = sorted(map(repr, kept.repartition(13).collect()))
+    assert a == b
+
+
+def test_stratified_keep_independent_of_split(spark):
+    """The salted hash family must decorrelate keep from split: the kept
+    fraction inside 'train' must match the global kept fraction (within
+    noise), not collapse to a boundary artifact."""
+    from stock_etl_pipeline_spark.operators import sampling
+
+    df = spark.range(8000).selectExpr("id AS doc_id", "'en' AS lang")
+    lab = df.select(
+        sampling.split_column("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+        sampling.stratified_keep("doc_id", "lang", {"en": 0.5}).alias("k"),
+    )
+    rates = {
+        r["split"]: r["rate"]
+        for r in lab.groupBy("split")
+        .agg((F.sum(F.col("k").cast("int")) / F.count("*")).alias("rate"))
+        .collect()
+    }
+    for split, rate in rates.items():
+        assert 0.42 < rate < 0.58, (split, rates)
+
+
+def test_salted_hash_sql_twin_agrees(spark, tmp_path):
+    import duckdb
+
+    from stock_etl_pipeline_spark.operators import sampling
+
+    p = str(tmp_path / "ids.parquet")
+    spark.range(500).selectExpr("id AS doc_id").write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ids AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = dict(con.execute(
+        f"SELECT doc_id, {sampling.sql_hash_unit_salted('doc_id', 'strat|')} FROM ids"
+    ).fetchall())
+    got = {
+        r["doc_id"]: r["u"]
+        for r in spark.read.parquet(p)
+        .select("doc_id", sampling.hash_unit_salted("doc_id", "strat|").alias("u"))
+        .collect()
+    }
+    assert got == want
