@@ -211,7 +211,12 @@ def with_micro_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ``v_dbl`` (v_int / 1e6 — identical doubles in every engine), and ``vv``
     (squared norm)."""
     out = df.withColumn("v_int", F.expr(_as_micro_int(vec_col)))
-    out = out.withColumn("v_dbl", F.expr(f"transform(v_int, x -> x / {MICRO})"))
+    # NOTE: the divisor must be a DOUBLE literal ({MICRO}D): a bare float
+    # literal in Spark SQL text parses as DECIMAL, and BIGINT/DECIMAL yields
+    # DECIMAL(30,9) arrays whose decimal×decimal dot products overflow
+    # precision 38 and get silently clamped to scale 6 — a 1e-6-level error
+    # DuckDB (which divides to DOUBLE) does not replicate.
+    out = out.withColumn("v_dbl", F.expr(f"transform(v_int, x -> x / {MICRO}D)"))
     return out.withColumn("vv", F.expr(_DOT_D.format(a="v_dbl", b="v_dbl")))
 
 
@@ -414,9 +419,10 @@ def ivf_pq_topk(
     3. Corpus vectors are ENCODED as (cid, code_0..code_m): storage per vector
        drops from dim×4 bytes to ~M log₂(codes) bits + the cell id — the PQ
        promise; at 100 TB the index fits where raw vectors do not.
-    4. Queries probe ``nprobe`` cells; candidates scored against the
-       RECONSTRUCTION (cell centroid + codeword per subspace) — approximate,
-       cheap, no raw-vector access.
+    4. Queries probe ``nprobe`` cells; candidates scored by ADC (asymmetric
+       distance computation): per-query and per-cell code→dot lookup tables
+       replace any per-candidate vector math — n_subspaces lookups + adds
+       per candidate instead of a dim-length fold, no raw-vector access.
     5. The top ``shortlist_factor × k`` by approximate cosine are re-ranked
        with the exact cosine against the raw vectors (the standard PQ
        shortlist+rerank), emitting both scores.
@@ -437,7 +443,7 @@ def ivf_pq_topk(
             "c_int",
             F.expr(f"transform(c_dbl, x -> CAST(floor(x * {MICRO} + 0.5) AS BIGINT))"),
         )
-        .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO})"))
+        .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO}D)"))
         .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
     )
     assigned = assign_to_centroids(cu, centroids, id_col=id_col)
@@ -467,7 +473,7 @@ def ivf_pq_topk(
             ).alias("s"),
         )
         .select(id_col, "cid", "s.sub_id", "s.r_sub_int")
-        .withColumn("r_sub_dbl", F.expr(f"transform(r_sub_int, x -> x / {MICRO})"))
+        .withColumn("r_sub_dbl", F.expr(f"transform(r_sub_int, x -> x / {MICRO}D)"))
         .withColumn("rr", F.expr(_DOT_D.format(a="r_sub_dbl", b="r_sub_dbl")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -539,40 +545,120 @@ def ivf_pq_topk(
 
     codes = _assign_codes(cb)
 
-    # Reconstruction: cell centroid + per-subspace codeword, reassembled in
-    # subspace order.
-    recon = (
-        codes.join(cb.select("sub_id", "code_id", "w_dbl"), ["sub_id", "code_id"])
-        .groupBy(id_col, "cid")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("sub_id", "w_dbl"))),
-                    lambda s: s.w_dbl,
+    # --- ADC (asymmetric distance computation) scoring ----------------------
+    # The classic PQ lookup-table formulation: every dot product against an
+    # encoded candidate decomposes per subspace, so scoring costs n_subspaces
+    # array lookups + adds per candidate instead of a dim-length fold, and the
+    # per-vector 64-dim reconstruction relation disappears entirely.
+    #
+    #   aa     = ⟨cq,cq⟩ + Σ_m (2⟨cq_m, w_{m,code_m}⟩ + ⟨w_{m,code_m},w_{m,code_m}⟩)
+    #   ⟨q,a⟩  = ⟨q,cq⟩  + Σ_m ⟨q_m, w_{m,code_m}⟩
+    #
+    # aa is a property of the ENCODING — computed once per corpus vector from
+    # bounded (cid × sub × code) tables, no query involvement. Every Σ_m is a
+    # FIXED-ORDER left-to-right expression (never a float aggregation across
+    # rows), so the DuckDB twin replays the identical IEEE operation sequence
+    # and parity is structural, same as the rest of the pipeline.
+
+    def _sub_explode(df: DataFrame, keep: str, vec: str, out: str) -> DataFrame:
+        return df.select(
+            keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub_id"),
+                            F.slice(vec, m * dsub + 1, dsub).alias(out),
+                        )
+                        for m in range(n_subspaces)
+                    ]
                 )
-            ).alias("res_dbl")
+            ).alias("s"),
+        ).select(keep, "s.sub_id", f"s.{out}")
+
+    def _nest(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        """(key, sub_id, code_id, val) → (key, out[sub_id+1][code_id+1])."""
+        return (
+            df.groupBy(key, "sub_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("code_id", val))),
+                    lambda s: s[val],
+                ).alias("__l")
+            )
+            .groupBy(key)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("sub_id", "__l"))),
+                    lambda s: s["__l"],
+                ).alias(out)
+            )
         )
-        .join(cq.select("cid", "cq_dbl"), "cid")
-        .withColumn("a_dbl", F.zip_with("cq_dbl", "res_dbl", lambda x, y: x + y))
+
+    # Per-cell table: cqq = ⟨cq,cq⟩ and t_arr[m][c] = 2⟨cq_m, w_{m,c}⟩ + ww.
+    cqq = cq.select("cid", F.expr(_DOT_D.format(a="cq_dbl", b="cq_dbl")).alias("cqq"))
+    tv = 2 * F.expr(_DOT_D.format(a="cq_sub", b="w_dbl")) + F.col("ww")
+    cwt = _nest(
+        _sub_explode(cq, "cid", "cq_dbl", "cq_sub")
+        .join(cb, "sub_id")
+        .select("cid", "sub_id", "code_id", tv.alias("tv")),
+        "cid", "tv", "t_arr",
+    ).join(cqq, "cid")
+    cwt = _materialize_model(spark, cwt, ["cid", "cqq", "t_arr"])
+
+    # Encoded corpus: (vec, cid, code per subspace) + precomputed norm aa.
+    _lookup = "element_at(element_at({arr}, {m}), element_at(code_arr, {m}) + 1)"
+    aa_expr = "cqq" + "".join(
+        " + " + _lookup.format(arr="t_arr", m=m + 1) for m in range(n_subspaces)
+    )
+    enc = (
+        codes.groupBy(id_col, "cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub_id", "code_id"))),
+                lambda s: s.code_id,
+            ).alias("code_arr")
+        )
+        .join(F.broadcast(cwt), "cid")
         .select(
             F.col(id_col).alias("neighbor_id"),
             "cid",
-            "a_dbl",
-            F.expr(_DOT_D.format(a="a_dbl", b="a_dbl")).alias("aa"),
+            "code_arr",
+            F.expr(aa_expr).alias("aa"),
         )
     )
 
-    # Queries probe nprobe cells, score against reconstructions only.
+    # Per-query table q_arr[m][c] = ⟨q_m, w_{m,c}⟩ (n_queries rows, bounded).
+    qv = F.expr(_DOT_D.format(a="q_sub", b="w_dbl"))
+    qwt = _nest(
+        _sub_explode(qu, query_id_col, "v_dbl", "q_sub")
+        .join(cb, "sub_id")
+        .select(query_id_col, "sub_id", "code_id", qv.alias("qv")),
+        query_id_col, "qv", "q_arr",
+    )
+    qwt = _materialize_model(spark, qwt, [query_id_col, "q_arr"])
+
+    # Queries probe nprobe cells; qcd = ⟨q, cq⟩ completes the decomposition.
     q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
         query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
     )
+    q_score = (
+        q_cells.join(F.broadcast(cq.select("cid", "cq_dbl")), "cid")
+        .withColumn("qcd", F.expr(_DOT_D.format(a="q_dbl", b="cq_dbl")))
+        .join(F.broadcast(qwt), query_id_col)
+    )
     scale = float(10**rank_digits)
-    adot = F.expr(_DOT_D.format(a="q_dbl", b="a_dbl"))
+    adot = F.expr(
+        "qcd"
+        + "".join(
+            " + " + _lookup.format(arr="q_arr", m=m + 1) for m in range(n_subspaces)
+        )
+    )
     acos = F.floor(
         adot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("aa"))) * F.lit(scale) + F.lit(0.5)
     ) / F.lit(scale)
     shortlisted = (
-        q_cells.join(recon, "cid")
+        q_score.join(enc, "cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(query_id_col, "neighbor_id", "q_dbl", "q_vv", acos.alias("approx_cosine"))
     )

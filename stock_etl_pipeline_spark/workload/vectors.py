@@ -414,10 +414,11 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF-PQ: product-quantized residual codebook over the IVF cells ---------
 # The compressed-index path: corpus vectors are encoded as (cell id, one
-# 4-bit code per 8-dim subspace) and queries score against RECONSTRUCTIONS,
-# touching raw vectors only for the exact re-rank of the shortlist. Every
-# training/encoding step is micro-int exact, so even this doubly-iterative
-# construction replays bit-identically in DuckDB.
+# 4-bit code per 8-dim subspace) and queries score candidates via ADC lookup
+# tables (per-query and per-cell code→dot tables), touching raw vectors only
+# for the exact re-rank of the shortlist. Every training/encoding step is
+# micro-int exact and every ADC sum is a fixed-order expression, so even this
+# doubly-iterative construction replays bit-identically in DuckDB.
 _PQ_SUBS = 8
 _PQ_DSUB = 8
 _PQ_CODES = 16
@@ -432,6 +433,30 @@ _pq_subs_selects = "\n  UNION ALL ".join(
 _PQ_DIST = (
     "floor((t.rr + c.ww - 2 * list_dot_product(t.r_sub_dbl, c.w_dbl))"
     " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+# ADC lookup-table pieces — centroid / query sub-vector splits (literal-m
+# UNION ALL, same mechanical generation as the residual split above) and the
+# FIXED-ORDER left-to-right sums that mirror the Spark expressions exactly
+# (parity requires the identical IEEE operation sequence, so these are never
+# written as float aggregations across rows).
+_pq_cq_subs = "\n  UNION ALL ".join(
+    f"SELECT cid, {m} AS sub_id,"
+    f" list_transform(generate_series({m * _PQ_DSUB + 1}, {(m + 1) * _PQ_DSUB}), i -> cq_dbl[i]) AS cq_sub"
+    f" FROM cqd"
+    for m in range(_PQ_SUBS)
+)
+_pq_q_subs = "\n  UNION ALL ".join(
+    f"SELECT vec_id AS query_id, {m} AS sub_id,"
+    f" list_transform(generate_series({m * _PQ_DSUB + 1}, {(m + 1) * _PQ_DSUB}), i -> v_dbl[i]) AS q_sub"
+    f" FROM vv0 WHERE vec_id < {_N_QUERIES}"
+    for m in range(_PQ_SUBS)
+)
+_pq_aa_sum = "q.cqq" + "".join(
+    f" + t.t_arr[{m + 1}][e.code_arr[{m + 1}] + 1]" for m in range(_PQ_SUBS)
+)
+_pq_adot_sum = "x.qcd" + "".join(
+    f" + w.q_arr[{m + 1}][e.code_arr[{m + 1}] + 1]" for m in range(_PQ_SUBS)
 )
 
 
@@ -506,19 +531,31 @@ cb1 AS (
 ),
 cb1x AS (SELECT sub_id, code_id, w_dbl, list_dot_product(w_dbl, w_dbl) AS ww FROM cb1),
 {_pq_code_assign("codes", "cb1x")},
-recon0 AS (
-  SELECT k.vec_id, k.cid, flatten(list(c.w_dbl ORDER BY k.sub_id)) AS res_dbl
-  FROM codes k JOIN cb1x c ON k.sub_id = c.sub_id AND k.code_id = c.code_id
-  GROUP BY k.vec_id, k.cid
+cqsub AS (
+  {_pq_cq_subs}
 ),
-reconx AS (
-  SELECT r.vec_id AS neighbor_id, r.cid,
-    list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i]) AS a_dbl,
-    list_dot_product(
-      list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i]),
-      list_transform(generate_series(1, 64), i -> q.cq_dbl[i] + r.res_dbl[i])) AS aa
-  FROM recon0 r JOIN cqd q ON r.cid = q.cid
+cwt0 AS (
+  SELECT s.cid, s.sub_id, c.code_id,
+    2 * list_dot_product(s.cq_sub, c.w_dbl) + c.ww AS tv
+  FROM cqsub s JOIN cb1x c ON s.sub_id = c.sub_id
 ),
+cwt1 AS (SELECT cid, sub_id, list(tv ORDER BY code_id) AS tl FROM cwt0 GROUP BY cid, sub_id),
+cwt AS (SELECT cid, list(tl ORDER BY sub_id) AS t_arr FROM cwt1 GROUP BY cid),
+cqq AS (SELECT cid, list_dot_product(cq_dbl, cq_dbl) AS cqq FROM cqd),
+enc0 AS (SELECT vec_id, cid, list(code_id ORDER BY sub_id) AS code_arr FROM codes GROUP BY vec_id, cid),
+enc AS (
+  SELECT e.vec_id AS neighbor_id, e.cid, e.code_arr, {_pq_aa_sum} AS aa
+  FROM enc0 e JOIN cqq q ON e.cid = q.cid JOIN cwt t ON e.cid = t.cid
+),
+qsub AS (
+  {_pq_q_subs}
+),
+qw0 AS (
+  SELECT s.query_id, s.sub_id, c.code_id, list_dot_product(s.q_sub, c.w_dbl) AS qv
+  FROM qsub s JOIN cb1x c ON s.sub_id = c.sub_id
+),
+qw1 AS (SELECT query_id, sub_id, list(qv ORDER BY code_id) AS ql FROM qw0 GROUP BY query_id, sub_id),
+qwt AS (SELECT query_id, list(ql ORDER BY sub_id) AS q_arr FROM qw1 GROUP BY query_id),
 qa AS (
   SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv FROM (
     SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
@@ -528,10 +565,16 @@ qa AS (
     WHERE t.vec_id < {_N_QUERIES}
   ) WHERE r <= {_IVF_NPROBE}
 ),
+qx AS (
+  SELECT qa.query_id, qa.cid, qa.q_dbl, qa.q_vv,
+    list_dot_product(qa.q_dbl, cq.cq_dbl) AS qcd
+  FROM qa JOIN cqd cq ON qa.cid = cq.cid
+),
 scored AS (
-  SELECT q.query_id, c.neighbor_id, q.q_dbl, q.q_vv,
-    floor(list_dot_product(q.q_dbl, c.a_dbl) / (sqrt(q.q_vv) * sqrt(c.aa)) * 10000.0 + 0.5) / 10000.0 AS approx_cosine
-  FROM qa q JOIN reconx c ON q.cid = c.cid AND c.neighbor_id <> q.query_id
+  SELECT x.query_id, e.neighbor_id, x.q_dbl, x.q_vv,
+    floor(({_pq_adot_sum}) / (sqrt(x.q_vv) * sqrt(e.aa)) * 10000.0 + 0.5) / 10000.0 AS approx_cosine
+  FROM qx x JOIN enc e ON x.cid = e.cid AND e.neighbor_id <> x.query_id
+    JOIN qwt w ON w.query_id = x.query_id
 ),
 short AS (
   SELECT query_id, neighbor_id, q_dbl, q_vv, approx_cosine FROM (
@@ -558,8 +601,8 @@ FROM ranked WHERE rnk <= {_TOP_K}
 @spec("embedding_ivf_pq", oracle=_IVF_PQ_ORACLE, tags=("similarity", "ann", "ivf", "pq"))
 def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: the IVF coarse cells plus a product-quantization residual
-    codebook (8 subspaces × 16 codewords, 1 Lloyd step), scoring queries
-    against reconstructions and exact-re-ranking a 3k shortlist. Encoded
+    codebook (8 subspaces × 16 codewords, 1 Lloyd step), scoring candidates
+    via ADC lookup tables and exact-re-ranking a 3k shortlist. Encoded
     corpus storage is ~(cell id + 8×4-bit codes) per vector — the index that
     fits in memory at 100 TB where raw vectors do not; raw vectors are
     touched only for the shortlist re-rank."""
