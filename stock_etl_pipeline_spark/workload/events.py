@@ -37,30 +37,74 @@ def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.ingestion_stats(load_table(spark, sf_dir, "events"))
 
 
-_TUMBLING_ORACLE = f"""
-SELECT date_trunc('hour', ts) AS window_start,
+# Tumbling (1 h) and sliding (1 h / 30 min) window aggregates FUSED into one
+# query with a window_kind discriminator — one registry slot for both batch
+# twins of the streaming windowed agg (streaming/pipeline.py uses F.window +
+# watermark for the same groupings). Spark expands each sliding row to its 2
+# covering windows then hash-aggregates — same shuffle shape as tumbling, 2x
+# pre-aggregation input, identical at any scale; the oracle unrolls the same
+# two starts by epoch arithmetic (kept as plain TIMESTAMP — to_timestamp()
+# in DuckDB would yield TIMESTAMPTZ and render differently).
+_WINDOWED_ORACLE = f"""
+WITH slid AS (
+  SELECT event_type, value,
+    TIMESTAMP '1970-01-01 00:00:00'
+      + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - s.off) * INTERVAL 1 SECOND
+      AS window_start
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1800]) AS off) s
+)
+SELECT 'tumbling' AS window_kind,
+  date_trunc('hour', ts) AS window_start,
   event_type,
   count(*) AS n_events,
   {sql_exact_sum("value", 100.0)} AS total_value,
   {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'sliding' AS window_kind,
+  window_start,
+  event_type,
+  count(*) AS n_events,
+  {sql_exact_sum("value", 100.0)} AS total_value,
+  {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value
+FROM slid
+GROUP BY window_start, event_type
 """.strip()
 
 
-@spec("tumbling_hourly", oracle=_TUMBLING_ORACLE, tags=("streaming", "window_agg"), bench=True)
-def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate — batch twin of the streaming
-    windowed agg (streaming/pipeline.py uses F.window + watermark)."""
+@spec(
+    "windowed_hourly",
+    oracle=_WINDOWED_ORACLE,
+    tags=("streaming", "window_agg", "sliding"),
+    bench=True,
+)
+def q_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding hourly window aggregates (window_kind column)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
-        "event_type",
-    ).agg(
+    aggs = [
         F.count("*").alias("n_events"),
         exact_sum(F.col("value"), 100.0).alias("total_value"),
         pround(exact_avg(F.col("value"), 100.0), 6).alias("avg_value"),
+    ]
+    tumbling = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(*aggs).select(F.lit("tumbling").alias("window_kind"), "*")
+    sliding = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(*aggs)
+        .select(
+            F.lit("sliding").alias("window_kind"),
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
     )
+    return tumbling.unionByName(sliding)
 
 
 _SESSION_GAP_SECONDS = 1800
@@ -156,45 +200,3 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_events"))
 
 
-# --- sliding window aggregate ------------------------------------------------
-# 1-hour windows sliding every 30 minutes: every event lands in exactly two
-# windows. Spark's window(ts, '1 hour', '30 minutes') expands to the two
-# covering windows before the aggregate; the oracle unrolls the same two
-# starts by epoch arithmetic (kept as plain TIMESTAMP — to_timestamp() in
-# DuckDB would yield TIMESTAMPTZ and render differently).
-_SLIDING_ORACLE = f"""
-WITH expanded AS (
-  SELECT event_type, value,
-    TIMESTAMP '1970-01-01 00:00:00'
-      + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - s.off) * INTERVAL 1 SECOND
-      AS window_start
-  FROM events
-  CROSS JOIN (SELECT unnest([0, 1800]) AS off) s
-)
-SELECT window_start, event_type,
-  count(*) AS n_events,
-  {sql_exact_sum("value", 100.0)} AS total_value
-FROM expanded
-GROUP BY window_start, event_type
-""".strip()
-
-
-@spec("sliding_hourly", oracle=_SLIDING_ORACLE, tags=("streaming", "window_agg", "sliding"))
-def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window aggregate (1 h window / 30 min slide). Spark expands
-    each row to its 2 covering windows then hash-aggregates — same shuffle
-    shape as tumbling, 2x pre-aggregation input, identical at any scale."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            exact_sum(F.col("value"), 100.0).alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
