@@ -41,3 +41,21 @@ def test_every_query_has_oracle():
 def test_bench_set_is_nonempty_and_registered():
     bench = [n for n, s in REGISTRY.items() if s.bench]
     assert len(bench) >= 20
+
+
+def test_golden_plan_keys_subset_of_registry():
+    # A fusion/rename that retires a query must also update
+    # tests/golden_plans.json — a stale golden key would KeyError in
+    # test_plans.test_shuffle_budget (round-2 regression). Lock it here so
+    # the failure names the orphaned key directly.
+    import json
+    import pathlib
+
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden_plans.json").read_text()
+    )
+    orphaned = sorted(set(golden) - set(REGISTRY))
+    assert orphaned == [], (
+        f"golden_plans.json keys not in registry (retired without golden "
+        f"update?): {orphaned}"
+    )
