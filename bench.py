@@ -13,8 +13,14 @@ write cost). One untimed warm-up query absorbs JVM/codegen startup.
 
 ``--breakdown`` instead prints a stage-level JSON line for the composite
 operators (workload/microbench.py): per-stage deltas showing where the
-LSH/SimHash/GEMM/IVF pipelines spend their time. ``--reps N`` takes the
-best of N runs per prefix (default 2 — absorbs run-to-run noise).
+LSH/SimHash/GEMM/IVF pipelines spend their time.
+
+``--reps N`` (both paths, default 2) takes the BEST of N runs per query.
+A single timed pass conflates query cost with harness noise (GC pauses,
+page-cache state, JIT warm-up tails): the round-2 driver bench measured the
+same unchanged queries 25-50% slower than the engine's own sweep purely
+from single-pass variance. Best-of-N is the standard steady-state estimator
+for this harness size; the per-query floor is what the plan actually costs.
 """
 
 from __future__ import annotations
@@ -39,6 +45,12 @@ def main() -> int:
     registry = load_all()
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
 
+    reps = (
+        int(sys.argv[sys.argv.index("--reps") + 1])
+        if "--reps" in sys.argv
+        else 2
+    )
+
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
@@ -51,11 +63,6 @@ def main() -> int:
     if "--breakdown" in sys.argv:
         from stock_etl_pipeline_spark.workload.microbench import run_breakdown
 
-        reps = (
-            int(sys.argv[sys.argv.index("--reps") + 1])
-            if "--reps" in sys.argv
-            else 2
-        )
         stages = run_breakdown(spark, sf_dir, reps=reps)
         print(
             json.dumps(
@@ -64,11 +71,18 @@ def main() -> int:
         )
         return 0
 
+    # Best-of-N, interleaved (full sweep per rep, not N back-to-back runs of
+    # one query) so every query's repeat sees the same cache state as its
+    # first pass did for the NEXT query — no query gets a warmth advantage
+    # the sweep order wouldn't naturally give it.
     timings: dict[str, float] = {}
-    for name, s in bench_specs.items():
-        t0 = time.perf_counter()
-        run(s.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(max(1, reps)):
+        for name, s in bench_specs.items():
+            t0 = time.perf_counter()
+            run(s.fn(spark, sf_dir))
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(

@@ -130,19 +130,17 @@ def merge_write(
     Strategy: compute the merged rows for the partitions the source touches
     (operators/upsert.py — broadcast anti join + union), then rewrite ONLY
     those partitions via dynamic partition overwrite. Blast radius = touched
-    partitions, not the table. A Delta ``MERGE INTO`` backend slots in here
-    when delta-spark is on the classpath (import-gated); the plain-parquet
-    path keeps the engine dependency-free.
+    partitions, not the table. When delta-spark is importable AND the target
+    is already a Delta table, a transactional ``MERGE INTO`` runs instead
+    (_delta_merge — the reference's atomic BigQuery MERGE,
+    dags/utils/loaders.py:160-173); the plain-parquet path keeps the engine
+    dependency-free everywhere else.
     """
     from ..operators.upsert import merge_upsert
 
-    try:  # Delta backend (not present in this image; interface parity only)
-        from delta.tables import DeltaTable  # type: ignore  # noqa: F401
-
-        has_delta = False  # format detection would go here; parquet path is canonical
-    except ImportError:
-        has_delta = False
-    assert not has_delta
+    delta_report = _delta_merge(spark, target_path, source, keys)
+    if delta_report is not None:
+        return delta_report
 
     try:
         target = spark.read.parquet(target_path)
@@ -183,6 +181,39 @@ def merge_write(
     _swap_into_place(spark, tmp_path, target_path)
     out = spark.read.parquet(target_path)
     return _report(out, target_path, "merge-full")
+
+
+def _delta_merge(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> dict | None:
+    """Transactional MERGE backend: runs iff delta-spark is on the classpath
+    AND the target path is an existing Delta table; returns None otherwise so
+    merge_write falls through to the plain-parquet rewrite. Semantics mirror
+    the reference's MERGE (dags/utils/loaders.py:160-169): key-equality ON,
+    matched → update all non-key columns, not-matched → insert."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        return None  # not in this image; parquet path is canonical here
+    try:
+        if not DeltaTable.isDeltaTable(spark, target_path):
+            return None
+        target = DeltaTable.forPath(spark, target_path)
+    except Exception:
+        return None
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    (
+        target.alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    out = spark.read.format("delta").load(target_path)
+    return {"rows_loaded": out.count(), "destination": target_path, "mode": "merge-delta"}
 
 
 def write_bucketed(

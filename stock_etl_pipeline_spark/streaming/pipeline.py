@@ -64,7 +64,8 @@ def tumbling_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming twin of workload tumbling_hourly: per (window, event_type)
+    """Streaming twin of the workload windowed_hourly tumbling branch: per
+    (window, event_type)
     counts + integer-exact value sums. The watermark bounds state: windows
     older than (max event time − watermark) are finalized and evicted."""
     return (

@@ -53,6 +53,7 @@ WITH slid AS (
       AS window_start
   FROM events
   CROSS JOIN (SELECT unnest([0, 1800]) AS off) s
+  WHERE ts IS NOT NULL
 )
 SELECT 'tumbling' AS window_kind,
   date_trunc('hour', ts) AS window_start,
@@ -61,6 +62,7 @@ SELECT 'tumbling' AS window_kind,
   {sql_exact_sum("value", 100.0)} AS total_value,
   {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY date_trunc('hour', ts), event_type
 UNION ALL
 SELECT 'sliding' AS window_kind,
@@ -81,8 +83,13 @@ GROUP BY window_start, event_type
     bench=True,
 )
 def q_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding hourly window aggregates (window_kind column)."""
-    e = load_table(spark, sf_dir, "events")
+    """Tumbling + sliding hourly window aggregates (window_kind column).
+
+    ``ts IS NOT NULL`` is explicit in BOTH twins: F.window silently drops
+    null-timestamp rows while the tumbling groupBy would keep a null group
+    and the oracle's CROSS JOIN would keep a NULL window_start — three
+    different null semantics unless pinned here."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     aggs = [
         F.count("*").alias("n_events"),
         exact_sum(F.col("value"), 100.0).alias("total_value"),
