@@ -56,9 +56,9 @@ def main() -> int:
 
     # Warm-up (JVM, codegen, parquet footer caches) — untimed. Must be a
     # NON-headline query so no timed query gets a warmed advantage the others
-    # don't; source_distribution scans the same lineitem-backed prices view
-    # the stock family reads.
-    run(registry["source_distribution"].fn(spark, sf_dir))
+    # don't; source_report scans the same lineitem-backed prices view the
+    # stock family reads.
+    run(registry["source_report"].fn(spark, sf_dir))
 
     if "--breakdown" in sys.argv:
         from stock_etl_pipeline_spark.workload.microbench import run_breakdown

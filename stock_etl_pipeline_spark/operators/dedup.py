@@ -58,13 +58,19 @@ def word_shingles(
     )
 
 
-def sql_word_shingles(table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> str:
-    """DuckDB twin of word_shingles as a CTE body."""
+def sql_word_shingles(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "sh",
+) -> str:
+    """DuckDB twin of word_shingles as a CTE body ending in CTE ``out``."""
     parts = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
     return f"""
   words AS (SELECT {id_col}, string_split_regex(lower({text_col}), '\\s+') AS w FROM {table}),
   pos AS (SELECT {id_col}, w, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i FROM words),
-  sh AS (SELECT DISTINCT {id_col}, concat({parts}) AS shingle FROM pos)
+  {out} AS (SELECT DISTINCT {id_col}, concat({parts}) AS shingle FROM pos)
 """.strip()
 
 
@@ -77,6 +83,7 @@ def near_dup_keepers(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     rounds: int = 3,
+    verify_converged: bool = False,
 ) -> DataFrame:
     """Collapse a near-dup PAIR relation to one keeper per duplicate cluster.
 
@@ -101,6 +108,15 @@ def near_dup_keepers(
 
     Returns (doc_id, keeper_id) for every doc that appears in ``pairs``;
     docs with no near-dup pair are their own keeper and are simply absent.
+
+    ``verify_converged`` runs ONE extra propagation round and raises if any
+    label still changes — a convergence CERTIFICATE for the fixed round
+    count: ``rounds`` iterations are exact only for components of diameter
+    ≤ rounds, and while LSH dup clusters are near-cliques (diameter 1-2), a
+    chain-shaped component at scale would otherwise mislabel silently. The
+    certificate costs one join+aggregate+count — soak/CI runs enable it
+    (SPARK_GRAFT_VERIFY_CC=1 on the registered query); the default path
+    skips the extra action.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -137,6 +153,23 @@ def near_dup_keepers(
             )
             .localCheckpoint()
         )
+    if verify_converged:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        changed = (
+            labels.join(nbr, labels["id"] == nbr["src"])
+            .filter(F.col("nbr_min") < F.col("label"))
+            .count()
+        )
+        if changed:
+            raise ValueError(
+                f"near_dup_keepers: {changed} labels still changing after "
+                f"{rounds} rounds — a component has diameter > {rounds}; "
+                f"raise `rounds`"
+            )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
 
 
@@ -316,6 +349,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     est_min_matches: int | None = None,
+    shingle_df_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -324,6 +358,19 @@ def minhash_lsh_pairs(
     pass 0 to disable it. The signature relation feeds banding AND the
     prefilter, so it is persisted and eagerly filled (the diamond-DAG rule:
     exchange reuse does not fire across these join shapes).
+
+    ``shingle_df_cap`` drops shingles whose document frequency exceeds the
+    cap BEFORE signatures are computed (Jaccard — both the minhash estimate
+    and the exact verify — is then over the capped sets on both engines).
+    This is the structural fix for the n²·j_bg^r background-candidate term:
+    the background similarity j_bg between UNRELATED documents comes almost
+    entirely from ubiquitous boilerplate shingles (df ≫ cap), so removing
+    them drives j_bg toward 0 and the quadratic candidate mass with it,
+    while near-dup signal lives in low-df shingles that all survive. Band
+    geometry can then stay fixed as the corpus grows instead of needing
+    r ~ log n. The capped relation is persisted (it feeds the signature
+    aggregate, the per-doc counts, and both exact-verify join sides, and
+    the df window makes recomputation non-trivial).
     """
     from pyspark import StorageLevel
 
@@ -332,6 +379,24 @@ def minhash_lsh_pairs(
     if est_min_matches is None:
         est_min_matches = num_hashes // 2
     sh = word_shingles(df, id_col, text_col, shingle_n)
+    if shingle_df_cap is not None:
+        # NOT a count().over(partitionBy(shingle)) window: that sends a hot
+        # shingle's entire posting list to one task — the exact skew the cap
+        # exists to kill. Instead: hash-aggregate the df (map-side partial
+        # combine collapses the hot key before the shuffle) and anti-join
+        # the ≤ |sh|/cap hot shingles back out (AQE broadcasts the hot
+        # relation when small, skew-splits the join when not).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > shingle_df_cap)
+            .select("shingle")
+        )
+        sh = (
+            sh.join(hot, "shingle", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sh.count()
     sig = minhash_signature(sh, num_hashes, id_col)
     if est_min_matches:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
@@ -370,11 +435,19 @@ def simhash_signatures(
     bit i = sign of Σ_tokens freq(token) × (±1 by bit i of md5(token), see
     ``_bit_nibbles``). The ±1 signs are a pure function of the token, so they
     are computed ONCE per distinct token (the vocabulary relation — orders of
-    magnitude smaller than the (doc, token) relation) and broadcast-joined
-    back; the per-document pass is then 64 integer multiply-sums in one
-    aggregate. This replaces 64 substring/set-membership evaluations per
-    (doc, token) row with one small-table lookup — the difference between a
-    string kernel and an int kernel in the hot aggregate.
+    magnitude smaller than the (doc, token) relation) and joined back.
+
+    The hot aggregate is PACKED, 2 bit-lanes of 32 bits per long: the vocab
+    pre-packs bit i (lane 0) and bit i+32 (lane 1) of each token into
+    ``p_i = bit_i + (bit_{i+32} << 32)`` with bits as 0/1, and because
+    multiplication distributes over the lanes, ``freq * p_i`` accumulates
+    ``S⁺_i = Σ freq·bit_i`` in the low lane and ``S⁺_{i+32}`` in the high
+    lane of ONE sum — 32 packed sums + 1 total-frequency sum instead of 64
+    signed sums (sign recovers exactly as s_i = 2·S⁺_i − T, so bit i =
+    [2·S⁺_i > T]; integer arithmetic, bit-identical to the unpacked form
+    and to the DuckDB oracle's per-bit formulation). Lanes are non-negative
+    and bounded by T (the doc's token mass), so there is no inter-lane
+    carry while T < 2³¹ — enforced below rather than assumed.
     """
     toks = (
         df.select(
@@ -385,31 +458,56 @@ def simhash_signatures(
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("freq"))
     )
-    # Vocabulary: per-token ±1 for each bit, computed once.
-    sign_cols = []
-    for i in range(SIMHASH_BITS):
-        pos, nibbles = _bit_nibbles(i)
-        in_list = ", ".join(f"'{c}'" for c in nibbles)
-        sign_cols.append(
+    n_packed = SIMHASH_BITS // 2
+    # Vocabulary: per-token packed 0/1 bit pair for each of the 32 lanes-pairs.
+    packed_cols = []
+    for i in range(n_packed):
+        pos_lo, nib_lo = _bit_nibbles(i)
+        pos_hi, nib_hi = _bit_nibbles(i + n_packed)
+        in_lo = ", ".join(f"'{c}'" for c in nib_lo)
+        in_hi = ", ".join(f"'{c}'" for c in nib_hi)
+        packed_cols.append(
             F.expr(
-                f"CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
-                f" THEN 1 ELSE -1 END"
-            ).alias(f"b{i}")
+                f"CAST(CASE WHEN substring(th, {pos_lo}, 1) IN ({in_lo})"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+                f" + (CAST(CASE WHEN substring(th, {pos_hi}, 1) IN ({in_hi})"
+                f" THEN 1 ELSE 0 END AS BIGINT) * {1 << 32})"
+            ).alias(f"p{i}")
         )
     vocab = (
         toks.select("tok")
         .distinct()
         .withColumn("th", F.md5(F.col("tok")))
-        .select("tok", *sign_cols)
+        .select("tok", *packed_cols)
     )
     # no broadcast hint: the vocabulary is sublinear in the corpus but still
     # unbounded (web-scale text → billions of distinct tokens); AQE
     # broadcasts it when it is actually small
     weighted = toks.join(vocab, "tok")
     agg = weighted.groupBy(id_col).agg(
-        *[F.sum(F.col("freq") * F.col(f"b{i}")).alias(f"s{i}") for i in range(SIMHASH_BITS)]
+        F.sum("freq").alias("t"),
+        *[F.sum(F.col("freq") * F.col(f"p{i}")).alias(f"q{i}") for i in range(n_packed)],
     )
-    bit = [F.when(F.col(f"s{i}") > 0, 1).otherwise(0) for i in range(SIMHASH_BITS)]
+    # Lane-overflow guard: packing is exact only while the doc's token mass
+    # stays under the lane width. assert_true fails the job loudly instead
+    # of wrapping silently (a >2^31-token document is pathological input,
+    # not a rounding case).
+    agg = agg.withColumn(
+        "t",
+        F.when(
+            F.col("t") < F.lit(1 << 31), F.col("t")
+        ).otherwise(F.raise_error(F.lit("simhash: doc token mass >= 2^31 overflows packed lanes"))),
+    )
+    # Integer DIV, not `/`: float division rounds the 53-bit mantissa on
+    # packed values near 2^63 and corrupts the high lane.
+    s_plus = {}
+    for i in range(n_packed):
+        s_plus[i] = F.expr(f"q{i} % {1 << 32}")
+        s_plus[i + n_packed] = F.expr(f"q{i} DIV {1 << 32}")
+    bit = [
+        F.when(s_plus[i] * 2 > F.col("t"), 1).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    ]
     bits_str = F.concat(*[b.cast("string") for b in bit])
     hi = sum((bit[i] * F.lit(1 << i) for i in range(32)), F.lit(0))
     lo = sum((bit[i + 32] * F.lit(1 << i) for i in range(32)), F.lit(0))

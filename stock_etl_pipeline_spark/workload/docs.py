@@ -41,6 +41,8 @@ SELECT doc_id, lang, source, n_chars,
   {textops.sql_pii_count("text", "email")} AS n_email,
   {textops.sql_pii_count("text", "phone")} AS n_phone,
   {textops.sql_pii_count("text", "ipv4")} AS n_ipv4,
+  {textops.sql_pii_count("text", "ssn")} AS n_ssn,
+  {textops.sql_pii_count("text", "cc")} AS n_cc,
   CAST(length({textops.sql_redact_pii("text")}) AS BIGINT) AS redacted_len
 FROM documents
 """.strip()
@@ -76,6 +78,8 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.pii_count("text", "email").alias("n_email"),
         textops.pii_count("text", "phone").alias("n_phone"),
         textops.pii_count("text", "ipv4").alias("n_ipv4"),
+        textops.pii_count("text", "ssn").alias("n_ssn"),
+        textops.pii_count("text", "cc").alias("n_cc"),
         F.length(textops.redact_pii("text")).cast("long").alias("redacted_len"),
     )
 
@@ -317,9 +321,16 @@ _mh_est_matches = " + ".join(
     for j in range(_MH_K)
 )
 _MH_JAC = "inter * 1.0 / (ca.n + cb.n - inter)"
-_MINHASH_ORACLE = rf"""
+
+
+def _minhash_oracle(shingle_ctes: str) -> str:
+    """MinHash-LSH oracle over any CTE chain ending in ``sh(doc_id, shingle)``
+    — shared by the exact and the df-capped variants (identical signature /
+    banding / prefilter / verify arithmetic; only the shingle relation
+    differs)."""
+    return rf"""
 WITH
-  {dedup.sql_word_shingles("documents")},
+  {shingle_ctes},
   based AS (SELECT doc_id, {dedup.sql_minhash_base("shingle")} AS b FROM sh),
   hashed AS (SELECT doc_id,
     {_mh_hash_cols}
@@ -353,6 +364,19 @@ SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b, inter,
 FROM ints JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
 WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 """.strip()
+
+
+_MINHASH_ORACLE = _minhash_oracle(dedup.sql_word_shingles("documents"))
+
+# Capped-set variant: shingles with df > cap are removed BEFORE signatures,
+# so signatures, banding, the estimate prefilter AND the exact verify all
+# operate on the capped sets — one consistent similarity definition in both
+# engines. Uses the aggregate-then-anti-join formulation (hot set is tiny).
+_MH_DF_CAP = 64
+_capped_shingle_ctes = f"""{dedup.sql_word_shingles("documents", out="sh0")},
+  hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_MH_DF_CAP}),
+  sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))"""
+_MINHASH_CAPPED_ORACLE = _minhash_oracle(_capped_shingle_ctes)
 
 
 # --- cluster-representative dedup over the minhash pair graph ---------------
@@ -408,11 +432,20 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.near_dup_keepers). Output is LINEAR in the corpus even
     when duplicate groups are huge — the shape a 100 TB dedup pipeline
     feeds into its keep/drop filter."""
+    import os
+
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
     )
-    return dedup.near_dup_keepers(pairs, rounds=_CC_ROUNDS)
+    return dedup.near_dup_keepers(
+        pairs,
+        rounds=_CC_ROUNDS,
+        # soak/CI runs set this to demand the convergence certificate (one
+        # extra propagation round must change nothing); the driver/bench
+        # path skips the extra action
+        verify_converged=os.environ.get("SPARK_GRAFT_VERIFY_CC") == "1",
+    )
 
 
 @spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
@@ -427,6 +460,35 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
         d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@spec(
+    "doc_minhash_capped",
+    oracle=_MINHASH_CAPPED_ORACLE,
+    tags=("dedup", "minhash", "lsh", "df_cap"),
+    bench=True,
+)
+def q_doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the shingle document-frequency cap (df ≤ 64) applied
+    BEFORE signatures — the scale path for the n²·j_bg^r background-candidate
+    term (SCALING.md): background similarity between unrelated docs lives in
+    ubiquitous boilerplate shingles, so capping df drives j_bg → 0 and the
+    quadratic candidate mass with it, letting the k=20/r=5 band geometry stay
+    fixed as the corpus grows. Near-dup signal (low-df shingles) survives the
+    cap, and Jaccard — estimate and exact — is defined over the capped sets
+    identically in both engines. Sits beside doc_minhash_lsh (exact sets) the
+    way doc_ngram_jaccard's cap sits beside its uncapped didactic form."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+        shingle_df_cap=_MH_DF_CAP,
     )
     return pairs.select(
         "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")

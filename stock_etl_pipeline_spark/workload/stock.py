@@ -224,32 +224,45 @@ def q_cross_source_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3/A6 — grouped collection rendered portably (reference queries.py:57,142)
 # ---------------------------------------------------------------------------
 
-_SOURCE_DETAILS_ORACLE = oracle_with_prices(
+# source_details (A3) + source_distribution (A6) FUSED into one registry
+# slot (round-3 headroom for the capped-set minhash query): both are
+# aggregates over the same prices scan, discriminated by a block column on
+# a unified (block, key, date, sources, n_rows) schema. The standalone
+# operators remain in operators/analytics.py; only the driver registration
+# is fused.
+_SOURCE_REPORT_ORACLE = oracle_with_prices(
     """
-SELECT symbol, date,
+SELECT 'details' AS block, symbol AS key, date,
   array_to_string(list_sort(list(DISTINCT data_source)), ',') AS sources,
   count(*) AS n_rows
 FROM prices GROUP BY symbol, date
-""".rstrip()
-)
-
-
-@spec("source_details", oracle=_SOURCE_DETAILS_ORACLE, tags=("A3", "array_agg"))
-def q_source_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.source_details(load_prices(spark, sf_dir))
-
-
-_SOURCE_DIST_ORACLE = oracle_with_prices(
-    """
-SELECT data_source, count(*) AS record_count
+UNION ALL
+SELECT 'distribution' AS block, data_source AS key,
+  CAST(NULL AS DATE) AS date, CAST(NULL AS VARCHAR) AS sources,
+  count(*) AS n_rows
 FROM prices GROUP BY data_source
 """.rstrip()
 )
 
 
-@spec("source_distribution", oracle=_SOURCE_DIST_ORACLE, tags=("A6",))
-def q_source_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.source_distribution(load_prices(spark, sf_dir))
+@spec("source_report", oracle=_SOURCE_REPORT_ORACLE, tags=("A3", "A6", "array_agg"))
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = load_prices(spark, sf_dir)
+    details = analytics.source_details(prices).select(
+        F.lit("details").alias("block"),
+        F.col("symbol").alias("key"),
+        "date",
+        "sources",
+        "n_rows",
+    )
+    dist = analytics.source_distribution(prices).select(
+        F.lit("distribution").alias("block"),
+        F.col("data_source").alias("key"),
+        F.lit(None).cast("date").alias("date"),
+        F.lit(None).cast("string").alias("sources"),
+        F.col("record_count").alias("n_rows"),
+    )
+    return details.unionByName(dist)
 
 
 # ---------------------------------------------------------------------------

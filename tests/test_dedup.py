@@ -23,6 +23,26 @@ def test_chain_within_rounds(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_convergence_certificate_passes_on_clique(spark):
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long")
+    out = near_dup_keepers(df, rounds=3, verify_converged=True)
+    assert {r["keeper_id"] for r in out.collect()} == {1}
+
+
+def test_convergence_certificate_catches_long_chain(spark):
+    # diameter-5 path: 3 rounds are NOT enough — the certificate must raise
+    # instead of silently returning split labels
+    import pytest
+
+    chain = [(i, i + 1) for i in range(10, 15)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="diameter"):
+        near_dup_keepers(df, rounds=3, verify_converged=True)
+    # enough rounds → certificate passes and the chain collapses
+    out = near_dup_keepers(df, rounds=5, verify_converged=True)
+    assert {r["keeper_id"] for r in out.collect()} == {10}
+
+
 def test_separate_components_stay_separate(spark):
     got = _keepers(spark, [(1, 2), (7, 8)])
     assert got == {1: 1, 2: 1, 7: 7, 8: 7}

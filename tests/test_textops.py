@@ -13,6 +13,7 @@ ROWS = [
     (2, "server at 192.168.1.100 responded; backup 10.0.0.7 did not"),
     (3, "no sensitive content in this perfectly ordinary sentence"),
     (4, "doubled email a@b.io a@b.io and digits 1234567 8890011223"),
+    (5, "ssn 123-45-6789 on file; card 4111 1111 1111 1111 expires soon"),
 ]
 
 
@@ -27,6 +28,8 @@ def test_counts_and_redaction(spark):
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
     assert out[3]["redacted_len"] == len(ROWS[2][1])  # untouched
     assert out[4]["n_email"] == 2
+    assert out[5]["n_ssn"] == 1 and out[5]["n_cc"] == 1
+    assert out[1]["n_ssn"] == 0 and out[2]["n_cc"] == 0
 
 
 def test_redaction_removes_all_matches_and_is_idempotent(spark):
@@ -36,7 +39,10 @@ def test_redaction_removes_all_matches_and_is_idempotent(spark):
     # no pattern survives its own redaction pass
     counts = textops.with_pii_columns(once)
     bad = counts.filter(
-        (F.col("n_email") > 0) | (F.col("n_ipv4") > 0)
+        (F.col("n_email") > 0)
+        | (F.col("n_ipv4") > 0)
+        | (F.col("n_ssn") > 0)
+        | (F.col("n_cc") > 0)
     ).count()
     assert bad == 0
     twice = once.select("doc_id", textops.redact_pii("text").alias("text"))
@@ -55,12 +61,17 @@ def test_sql_twins_agree(spark, tmp_path):
         {textops.sql_pii_count('text', 'email')} AS n_email,
         {textops.sql_pii_count('text', 'phone')} AS n_phone,
         {textops.sql_pii_count('text', 'ipv4')} AS n_ipv4,
+        {textops.sql_pii_count('text', 'ssn')} AS n_ssn,
+        {textops.sql_pii_count('text', 'cc')} AS n_cc,
         CAST(length({textops.sql_redact_pii('text')}) AS BIGINT) AS redacted_len
       FROM d
     """
     want = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
     got = {
-        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["redacted_len"])
+        r["doc_id"]: (
+            r["n_email"], r["n_phone"], r["n_ipv4"], r["n_ssn"], r["n_cc"],
+            r["redacted_len"],
+        )
         for r in textops.with_pii_columns(_df(spark)).collect()
     }
     assert got == want
