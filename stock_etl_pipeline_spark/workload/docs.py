@@ -644,6 +644,81 @@ def q_doc_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok_stats.join(gram_stats, "doc_id", "left")
 
 
+# --- benchmark decontamination ----------------------------------------------
+# The training-data hygiene step between dedup and split: training documents
+# sharing too many char-8-gram fingerprints with the evaluation set must be
+# flagged (n-gram-overlap decontamination, the standard published recipe).
+# The eval set here is a deterministic pseudo-holdout (doc_id % 97 == 0);
+# in production it would be the real benchmark corpus. Reuses the exact
+# Karp-Rabin gram hashes from doc_token_fingerprint, so the overlap join
+# carries BIGINTs, never text.
+#
+# Scale shape: eval grams are DISTINCT (one row per gram hash — bounded by
+# the eval corpus, typically ~1e6 grams: AQE broadcasts it); train grams
+# join-filter against it (semi join), then one aggregate per contaminated
+# doc. No shuffle of the full training gram relation when the broadcast
+# fires; with a huge eval set it degrades to a co-partitioned equi-join.
+_DECON_EVAL_MOD = 97
+_DECON_MIN_SHARED = 8
+
+_DECON_ORACLE = rf"""
+WITH grams AS (
+  SELECT doc_id,
+    (({_kr_hash_terms(f"substring(text, i, {_KR_GRAM})")}) % {_KR_M}) AS h
+  FROM (
+    SELECT doc_id, text,
+      unnest(generate_series(1, greatest(length(text) - {_KR_GRAM - 1}, 0))) AS i
+    FROM documents
+  )
+),
+eval_grams AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+),
+overlap AS (
+  SELECT t.doc_id, count(*) AS n_shared_grams
+  FROM train_grams t JOIN eval_grams e ON t.h = e.h
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shared_grams,
+  n_shared_grams >= {_DECON_MIN_SHARED} AS contaminated
+FROM overlap
+""".strip()
+
+
+@spec("doc_decontaminate", oracle=_DECON_ORACLE, tags=("decontamination", "ngram", "hygiene"))
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the count of distinct
+    char-8-gram Karp-Rabin fingerprints shared with the (deterministic
+    pseudo-)eval set, plus the threshold flag (≥ 8 shared grams) a
+    pipeline's keep/drop filter consumes. Gram hashes are exact int64 —
+    identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {_KR_GRAM - 1}, 0)), "
+                f"i -> substring(text, i, {_KR_GRAM}))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.expr(f"({_kr_hash_terms('gram')}) % {_KR_M}").alias("h"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("h").distinct()
+    train_grams = grams.filter(~is_eval).select("doc_id", "h").distinct()
+    # semi-join keeps only overlapping grams; no broadcast hint (the eval
+    # relation is bounded by the benchmark corpus, not by construction —
+    # AQE broadcasts it when it is actually small)
+    overlap = train_grams.join(eval_grams, "h")
+    return overlap.groupBy("doc_id").agg(
+        F.count("*").alias("n_shared_grams")
+    ).withColumn(
+        "contaminated", F.col("n_shared_grams") >= F.lit(_DECON_MIN_SHARED)
+    )
+
+
 # --- deterministic train/val/test split -------------------------------------
 # Spark's df.sample is seeded per-partition: the same row flips in/out when
 # the input is repartitioned or compacted. Hash-based assignment is a pure
