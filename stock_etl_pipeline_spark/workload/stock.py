@@ -690,6 +690,6 @@ def q_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (volume_histogram was retired in round 2 to free a registry slot for
 # doc_dedup_clusters — its integer-bucket binning semantics remain
-# driver-checked via source_distribution and price_quantile_sketch's
-# fixed-grid histogram, and equi-width bucketing stays available through
-# operators/sketches.histogram_quantiles.)
+# driver-checked via source_report's distribution block and
+# price_quantile_sketch's fixed-grid histogram, and equi-width bucketing
+# stays available through operators/sketches.histogram_quantiles.)
