@@ -3,7 +3,12 @@
 and measure how every bench-flagged query scales.
 
 Usage:  python scripts/soak.py [--scale 10] [--dir /root/repo/.soak/sf1]
-        [--base /root/testdata/sf0.1] [--skip q1,q2] [--build-only]
+        [--base /root/testdata/sf0.1] [--skip q1,q2] [--only q1,q2]
+        [--build-only]
+
+``--only`` selects an explicit query subset from the FULL registry (not
+just bench-flagged) — used for targeted experiments like the capped-minhash
+family, including non-bench queries (doc_dedup_clusters).
 
 Tiers CHAIN: the 100x tier is built from the MATERIALIZED 10x parquet
 (--base .soak/sf1 --scale 10), not a 100-way union plan — so the build
@@ -160,14 +165,25 @@ def main() -> int:
         if "--skip" in argv
         else set()
     )
+    only = (
+        set(argv[argv.index("--only") + 1].split(","))
+        if "--only" in argv
+        else None
+    )
 
     from stock_etl_pipeline_spark.session import get_spark
     from stock_etl_pipeline_spark.workload import load_all
 
     spark = get_spark(app_name="soak")
-    specs = {
-        n: s for n, s in sorted(load_all().items()) if s.bench and n not in skip
-    }
+    registry = load_all()
+    if only is not None:
+        unknown = only - set(registry)
+        assert not unknown, f"--only names not in registry: {sorted(unknown)}"
+        specs = {n: s for n, s in sorted(registry.items()) if n in only}
+    else:
+        specs = {
+            n: s for n, s in sorted(registry.items()) if s.bench and n not in skip
+        }
 
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         t0 = time.perf_counter()

@@ -194,6 +194,86 @@ def matmul_near_dup_pairs(
     return replicated.groupBy("gi", "gj").applyInPandas(block_pair_cosines, out_schema)
 
 
+def bucketed_matmul_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_table: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH buckets FIRST, exact GEMM
+    within each bucket — the 100 TB composition `matmul_near_dup_pairs`'s
+    docstring names, made concrete.
+
+    Why: the exact block GEMM is O(n²) flops no matter how it is sharded.
+    At near-dup similarity the per-plane agreement probability is
+    p = 1 − θ/π ≈ 0.9 (cosine 0.95), so a b-bit table keeps a true pair
+    with p^b (b=6: ≈ 0.53) and L OR-ed tables with 1 − (1 − p^b)^L
+    (L=4: ≈ 0.95); background pairs (p ≈ 0.5) collide with p^b ≈ 0.016
+    per table — the quadratic term collapses to Σ_bucket n_b² with
+    2^b · L buckets. Replication factor is exactly L (each vector lives in
+    ONE bucket per table), candidates dedup via `dropDuplicates` across
+    tables, and each bucket group is one vectorized numpy matmul — the
+    same Arrow kernel as the exact path. Precision is 1.0 by construction
+    (every emitted cosine is exact and thresholded); only recall is
+    approximate, tuned by (b, L) exactly like the ANN multi-table index.
+
+    Skew note: a degenerate bucket (all-identical vectors) makes one big
+    group; at scale cap bucket size by raising ``bits_per_table`` — each
+    bit halves the expected bucket — or pre-split giant buckets with the
+    block-GEMM sharding (compose both operators).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine float64.
+    """
+    import pandas as pd
+
+    tables = [
+        make_planes(dim, bits_per_table, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    u = with_unit_vector(df, vec_col)
+    for t, planes in enumerate(tables):
+        u = hyperplane_signature(u, planes, vec_col=vec_col, bucket_col=f"_b{t}")
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), F.col(f"_b{t}").alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    indexed = u.select(
+        F.col(id_col).alias("_id"), F.col("unit"), F.explode(entries).alias("e")
+    ).select("_id", "unit", F.col("e.table_id").alias("table_id"), F.col("e.bucket").alias("bucket"))
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    # Un-annotated on purpose — see block_pair_cosines above.
+    def bucket_cosines(key, pdf):
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        m = np.stack(pdf["unit"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        cos = m @ m.T
+        ia, ib = np.nonzero(cos >= threshold)
+        keep = ids[ia] < ids[ib]  # upper triangle once per unordered pair
+        return pd.DataFrame(
+            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": cos[ia, ib][keep]}
+        )
+
+    return (
+        indexed.groupBy("table_id", "bucket")
+        .applyInPandas(bucket_cosines, out_schema)
+        # OR across tables: the cosine is bit-identical in every table (same
+        # two unit vectors, same accumulation order), so any row survives.
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 # --- IVF: inverted-file ANN over exact deterministic k-means ----------------
 
 MICRO = 1_000_000.0

@@ -1,5 +1,7 @@
 """Text hygiene operators for training-data pipelines: PII detection and
-redaction (emails, phone-like numbers, IPv4), all JVM-side regex.
+redaction (emails, phone-like numbers, IPv4), plus within-document
+repetition signals (duplicate word / bigram fractions) — all JVM-side
+regex and array higher-order functions, no UDFs, no shuffle.
 
 Patterns are kept to the regex subset Spark (Java) and DuckDB (RE2)
 evaluate identically — char classes, bounded quantifiers, literal
@@ -73,6 +75,64 @@ def sql_redact_pii(col: str, kinds: tuple[str, ...] = REDACTION_ORDER) -> str:
     for kind in kinds:
         out = f"regexp_replace({out}, '{PII_PATTERNS[kind]}', '{REDACTION_TOKEN}', 'g')"
     return out
+
+
+# --- within-document repetition (Gopher/C4-style quality signals) -----------
+# Repeated words / word-bigrams inside a single document are the classic
+# low-quality signal (boilerplate loops, keyword stuffing, scraper echo).
+# Both metrics are computed per-row with array higher-order functions —
+# NO explode, NO shuffle: the narrow doc_text_stats scan stays narrow, which
+# is what lets the quality pass run as one map stage over 100 TB.
+WORD_RE = r"\S+"
+
+
+def word_array(col: Column | str) -> Column:
+    """Lowercased whitespace-token array (JVM regex, per-row)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+
+
+def bigram_array(ws: Column) -> Column:
+    """Adjacent word pairs from a token-array column, built with an indexed
+    transform over a slice — stays inside whole-stage codegen. Spark lambda
+    index is 0-based; the DuckDB twin's is 1-based (sql_repetition_cols)."""
+    head = F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0)))
+    return F.transform(
+        head, lambda x, i: F.concat(x, F.lit(" "), F.element_at(ws, i + F.lit(2)))
+    )
+
+
+def repetition_cols(ws: Column) -> dict[str, Column]:
+    """Distinct-word / distinct-bigram counts and duplicate fractions.
+    Ratios are NULL (not 0) for empty/one-word docs — a doc with no bigrams
+    has no bigram-repetition evidence either way."""
+    n_words = F.size(ws)
+    nd_words = F.size(F.array_distinct(ws))
+    bg = bigram_array(ws)
+    n_bg = F.size(bg)
+    nd_bg = F.size(F.array_distinct(bg))
+    return {
+        "n_distinct_words": nd_words.cast("long"),
+        "word_rep_ratio": F.lit(1.0) - nd_words.cast("double") / F.nullif(n_words, F.lit(0)),
+        "n_distinct_bigrams": nd_bg.cast("long"),
+        "bigram_rep_ratio": F.lit(1.0) - nd_bg.cast("double") / F.nullif(n_bg, F.lit(0)),
+    }
+
+
+def sql_repetition_cols(ws: str = "ws") -> dict[str, str]:
+    """DuckDB twins of repetition_cols over a list column ``ws``
+    (1-based slice + 1-based lambda index)."""
+    bg = f"list_transform({ws}[1:len({ws})-1], (x, i) -> concat(x, ' ', {ws}[i+1]))"
+    return {
+        "n_distinct_words": f"CAST(len(list_distinct({ws})) AS BIGINT)",
+        "word_rep_ratio": (
+            f"1.0 - CAST(len(list_distinct({ws})) AS DOUBLE) / NULLIF(len({ws}), 0)"
+        ),
+        "n_distinct_bigrams": f"CAST(len(list_distinct({bg})) AS BIGINT)",
+        "bigram_rep_ratio": (
+            f"1.0 - CAST(len(list_distinct({bg})) AS DOUBLE) / NULLIF(len({bg}), 0)"
+        ),
+    }
 
 
 def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -30,7 +30,11 @@ _SQL_QUALITY = (
     f" + least(1.0, ({_SQL_STOP_RATIO}) * 5) * 0.4"
 )
 
+_sql_rep = textops.sql_repetition_cols("ws")
 _TEXT_STATS_ORACLE = rf"""
+WITH w AS (
+  SELECT *, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws FROM documents
+)
 SELECT doc_id, lang, source, n_chars,
   CAST(length(text) AS BIGINT) AS text_len,
   CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
@@ -38,22 +42,33 @@ SELECT doc_id, lang, source, n_chars,
   CAST({_SQL_N_STOP} AS BIGINT) AS n_stopwords,
   {sql_pround(_SQL_STOP_RATIO, 6)} AS stopword_ratio,
   {sql_pround(_SQL_QUALITY, 6)} AS quality_score,
+  {_sql_rep["n_distinct_words"]} AS n_distinct_words,
+  {sql_pround(_sql_rep["word_rep_ratio"], 6)} AS word_rep_ratio,
+  {_sql_rep["n_distinct_bigrams"]} AS n_distinct_bigrams,
+  {sql_pround(_sql_rep["bigram_rep_ratio"], 6)} AS bigram_rep_ratio,
   {textops.sql_pii_count("text", "email")} AS n_email,
   {textops.sql_pii_count("text", "phone")} AS n_phone,
   {textops.sql_pii_count("text", "ipv4")} AS n_ipv4,
   {textops.sql_pii_count("text", "ssn")} AS n_ssn,
   {textops.sql_pii_count("text", "cc")} AS n_cc,
   CAST(length({textops.sql_redact_pii("text")}) AS BIGINT) AS redacted_len
-FROM documents
+FROM w
 """.strip()
 
 
-@spec("doc_text_stats", oracle=_TEXT_STATS_ORACLE, tags=("text", "quality", "pii"), bench=True)
+@spec(
+    "doc_text_stats",
+    oracle=_TEXT_STATS_ORACLE,
+    tags=("text", "quality", "pii", "repetition"),
+    bench=True,
+)
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation/stopword ratios + composite quality score
-    (length-normalized + stopword-informed) + PII hygiene profile (email /
-    phone / IPv4 counts and the post-redaction length, operators/text.py) —
-    all JVM-side regex in one narrow pass, no UDFs."""
+    (length-normalized + stopword-informed) + within-doc repetition signals
+    (Gopher-style duplicate word/bigram fractions via array higher-order
+    functions — no explode) + PII hygiene profile (email / phone / IPv4 /
+    SSN / card counts and the post-redaction length, operators/text.py) —
+    all JVM-side regex in one narrow pass, no UDFs, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
@@ -64,7 +79,8 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.lit(1.0), stop_ratio * 5) * 0.4,
         6,
     )
-    return d.select(
+    rep = textops.repetition_cols(F.col("ws"))
+    return d.withColumn("ws", textops.word_array("text")).select(
         "doc_id",
         "lang",
         "source",
@@ -75,6 +91,10 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
         pround(stop_ratio, 6).alias("stopword_ratio"),
         quality.alias("quality_score"),
+        rep["n_distinct_words"].alias("n_distinct_words"),
+        pround(rep["word_rep_ratio"], 6).alias("word_rep_ratio"),
+        rep["n_distinct_bigrams"].alias("n_distinct_bigrams"),
+        pround(rep["bigram_rep_ratio"], 6).alias("bigram_rep_ratio"),
         textops.pii_count("text", "email").alias("n_email"),
         textops.pii_count("text", "phone").alias("n_phone"),
         textops.pii_count("text", "ipv4").alias("n_ipv4"),
@@ -388,6 +408,13 @@ _MINHASH_CAPPED_ORACLE = _minhash_oracle(_capped_shingle_ctes)
 # is a plain join+aggregate the ORACLE replays the whole iterative
 # algorithm as 3 generated CTE rounds — a driver-checked graph algorithm.
 _CC_ROUNDS = 3
+# The cluster query consumes the CAPPED candidate pipeline (df ≤ 64 before
+# signatures): for the keep/drop decision a dup-heavy corpus feeds into,
+# boilerplate must not shield a duplicate (capped-set Jaccard is the desired
+# dedup semantics, SCALING.md round-3 experiment), and the cap removes the
+# n²·j_bg^r background-candidate mass that made the exact pipeline the
+# repo's largest 100x ratio. The exact-set pair query (doc_minhash_lsh)
+# stays beside it as the exact baseline.
 
 
 def _cc_round(k: int) -> str:
@@ -404,7 +431,12 @@ l{k} AS (
 
 
 _cc_rounds_sql = ",\n  ".join(_cc_round(k) for k in range(1, _CC_ROUNDS + 1))
-_pairs_body = _MINHASH_ORACLE.split("WITH\n", 1)[1].rsplit("SELECT doc_a", 1)[0].rstrip().rstrip(",")
+_pairs_body = (
+    _MINHASH_CAPPED_ORACLE.split("WITH\n", 1)[1]
+    .rsplit("SELECT doc_a", 1)[0]
+    .rstrip()
+    .rstrip(",")
+)
 _DEDUP_CLUSTERS_ORACLE = f"""
 WITH
   {_pairs_body},
@@ -426,17 +458,26 @@ SELECT id AS doc_id, label AS keeper_id FROM l{_CC_ROUNDS}
 
 @spec("doc_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE, tags=("dedup", "clusters", "graph"))
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-representative near-dup output: minhash-LSH pairs (identical
-    construction to doc_minhash_lsh) collapsed to one (doc_id, keeper_id)
-    row per clustered document via 3 rounds of min-label propagation
+    """Cluster-representative near-dup output: CAPPED minhash-LSH pairs
+    (identical construction to doc_minhash_capped — df ≤ 64 before
+    signatures) collapsed to one (doc_id, keeper_id) row per clustered
+    document via 3 rounds of min-label propagation
     (operators/dedup.near_dup_keepers). Output is LINEAR in the corpus even
     when duplicate groups are huge — the shape a 100 TB dedup pipeline
-    feeds into its keep/drop filter."""
+    feeds into its keep/drop filter. The capped candidate source is the
+    scale choice AND the semantic one: boilerplate shingles must not
+    shield a duplicate from the keep/drop decision, and the cap removes
+    the n²·j_bg^r background-candidate term (SCALING.md: 8x of the 100x
+    band-collision mass)."""
     import os
 
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
+        d,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+        shingle_df_cap=_MH_DF_CAP,
     )
     return dedup.near_dup_keepers(
         pairs,

@@ -60,3 +60,54 @@ def test_ivf_pq_recall_close_to_ivf(recalls):
     # IVF but must stay close (and far above chance).
     assert recalls["ivf_pq"] >= recalls["ivf"] - 0.2, recalls
     assert recalls["ivf_pq"] >= 0.6, recalls
+
+
+def test_bucketed_matmul_near_dup_precision_and_recall(spark):
+    """The bucketed GEMM scale path: precision 1.0 by construction (every
+    emitted cosine is exact), recall governed by the (b, L) OR-construction
+    at near-dup similarity (cos ≈ 0.99 → per-plane p ≈ 0.955, b=6 L=4 →
+    theoretical recall ≈ 0.996). Planted near-dup families: the testdata
+    embeddings have NO high-cosine pairs (max pairwise ≈ 0.48), so the
+    near-dup regime must be synthesized."""
+    import random
+
+    from stock_etl_pipeline_spark.operators import similarity as sim
+
+    rng = random.Random(7)
+    dim, rows = 64, []
+    vid = 0
+    for _fam in range(40):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _copy in range(3):  # 3 members -> 3 true pairs per family
+            rows.append(
+                (vid, [b + rng.gauss(0.0, 0.04) for b in base])
+            )
+            vid += 1
+    for _ in range(80):  # background noise vectors, no near-dups
+        rows.append((vid, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    threshold = 0.95
+    exact = {
+        (r["vec_a"], r["vec_b"]): round(r["cosine"], 9)
+        for r in sim.matmul_near_dup_pairs(
+            df, threshold, n_blocks=4
+        ).collect()
+    }
+    approx_df = sim.bucketed_matmul_near_dup_pairs(
+        df, threshold, dim=dim, bits_per_table=6, n_tables=4
+    )
+    assert "CartesianProduct" not in approx_df._jdf.queryExecution().executedPlan().toString()
+    approx = {
+        (r["vec_a"], r["vec_b"]): round(r["cosine"], 9)
+        for r in approx_df.collect()
+    }
+    assert exact, "planted families must produce true near-dup pairs"
+    # precision: every approx pair is a true pair with the identical cosine
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert exact[pair] == cos
+    # recall floor (deterministic planes + deterministic data)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))

@@ -51,6 +51,63 @@ def test_redaction_removes_all_matches_and_is_idempotent(spark):
     assert a == b
 
 
+REP_ROWS = [
+    (1, "spam spam spam spam"),  # 1 distinct word, 1 distinct bigram
+    (2, "all words here are different tokens"),  # no repetition
+    (3, "one"),  # no bigrams -> NULL bigram ratio
+    (4, ""),  # no words -> NULL ratios
+    (5, "a b a b a"),  # bigrams: 'a b','b a','a b','b a' -> 2 distinct
+    (6, "Case case CASE"),  # lowercased before counting
+]
+
+
+def _rep_df(spark):
+    return spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+
+
+def test_repetition_metrics(spark):
+    d = _rep_df(spark).withColumn("ws", textops.word_array("text"))
+    rep = textops.repetition_cols(F.col("ws"))
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id", *[c.alias(k) for k, c in rep.items()]
+        ).collect()
+    }
+    assert out[1]["n_distinct_words"] == 1
+    assert abs(out[1]["word_rep_ratio"] - 0.75) < 1e-9
+    assert out[1]["n_distinct_bigrams"] == 1
+    assert abs(out[1]["bigram_rep_ratio"] - (1 - 1 / 3)) < 1e-9
+    assert out[2]["word_rep_ratio"] == 0.0 and out[2]["bigram_rep_ratio"] == 0.0
+    assert out[3]["bigram_rep_ratio"] is None  # one word, no bigrams
+    assert out[4]["word_rep_ratio"] is None and out[4]["bigram_rep_ratio"] is None
+    assert out[5]["n_distinct_bigrams"] == 2
+    assert out[6]["n_distinct_words"] == 1  # case-insensitive
+
+
+def test_repetition_sql_twin_agrees(spark, tmp_path):
+    p = str(tmp_path / "rep.parquet")
+    _rep_df(spark).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    cols = textops.sql_repetition_cols("ws")
+    sql = f"""
+      WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{textops.WORD_RE}') AS ws
+        FROM d
+      )
+      SELECT doc_id, {", ".join(f"{e} AS {k}" for k, e in cols.items())} FROM w
+    """
+    want = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+    d = _rep_df(spark).withColumn("ws", textops.word_array("text"))
+    rep = textops.repetition_cols(F.col("ws"))
+    got = {
+        r["doc_id"]: tuple(r[k] for k in cols)
+        for r in d.select("doc_id", *[c.alias(k) for k, c in rep.items()]).collect()
+    }
+    assert got == want
+
+
 def test_sql_twins_agree(spark, tmp_path):
     p = str(tmp_path / "pii.parquet")
     _df(spark).write.parquet(p)
