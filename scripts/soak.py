@@ -146,6 +146,9 @@ def build(spark, out_dir: str, scale: int, base_sf: str = BASE_SF) -> None:
 def run_tier(spark, sf_dir: str, specs) -> dict[str, float]:
     timings = {}
     for name, s in specs.items():
+        # Cold-plan cost: the dedup pipelines persist intermediates that a
+        # later same-plan query would silently reuse (see bench.py).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 2)
