@@ -177,10 +177,19 @@ def run_breakdown(spark: SparkSession, sf_dir: str, *, reps: int = 1) -> dict:
     def run(builder: Builder) -> float:
         best = float("inf")
         for _ in range(reps):
-            # Rebuild the plan per rep: re-collecting one DataFrame object
-            # would reuse its shuffle map outputs and time only the tail.
-            df = builder(spark, sf_dir)
+            # Rebuild the plan per rep AND clear the cache: a rebuilt
+            # same-plan DataFrame still reuses any persisted intermediate
+            # (the pipelines persist signatures/capped relations eagerly),
+            # so without the clear a rep or a later prefix times the cached
+            # tail and the stage deltas misattribute (see bench.py).
+            spark.catalog.clearCache()
+            # Build INSIDE the timer: pipelines with eager internal
+            # materialization (minhash's persisted signature fill runs a
+            # count() during plan construction) would otherwise do their
+            # most expensive stage before t0 and the prefix would time
+            # only the tail.
             t0 = time.perf_counter()
+            df = builder(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         return best
