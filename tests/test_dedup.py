@@ -108,3 +108,57 @@ def test_minhash_prefilter_disabled_is_superset(spark):
     full = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(d, threshold=0.5, est_min_matches=0).collect()}
     assert filt <= full
     assert (1, 2) in full
+
+
+def test_keepers_compose_with_bucketed_embedding_pairs(spark):
+    """The cluster collapse is pair-source-agnostic: feeding the bucketed
+    embedding near-dup pairs (similarity.bucketed_matmul_near_dup_pairs)
+    into near_dup_keepers must reproduce the union-find components of the
+    exact GEMM pair relation — semantic (embedding) dedup gets the same
+    linear-output keep/drop shape as the text dedup family."""
+    import random
+
+    from stock_etl_pipeline_spark.operators import dedup, similarity
+
+    rng = random.Random(11)
+    dim, rows, vid = 32, [], 0
+    for _fam in range(12):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _copy in range(3):
+            rows.append((vid, [b + rng.gauss(0.0, 0.03) for b in base]))
+            vid += 1
+    for _ in range(24):
+        rows.append((vid, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact_pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.matmul_near_dup_pairs(df, 0.95, n_blocks=3).collect()
+    ]
+    assert exact_pairs
+
+    # union-find reference over the exact pair graph
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for a, b in exact_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    approx = similarity.bucketed_matmul_near_dup_pairs(
+        df, 0.95, dim=dim, bits_per_table=5, n_tables=6
+    )
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.near_dup_keepers(
+            approx, id_a="vec_a", id_b="vec_b", rounds=6, verify_converged=True
+        ).collect()
+    }
+    assert got == want

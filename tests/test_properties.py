@@ -168,3 +168,55 @@ def test_near_dup_keepers_matches_union_find(spark, edges):
         for r in near_dup_keepers(df, rounds=12).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab X\n.")),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_metrics_match_python_reference(spark, texts):
+    """Duplicate word/bigram fractions vs a pure-Python reference — pins the
+    indexed-lambda bigram construction (off-by-one in either engine's lambda
+    index would shift every pair)."""
+    from stock_etl_pipeline_spark.operators import text as textops
+
+    def ref(t: str):
+        ws = t.lower().split()
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        nd_w, nd_b = len(set(ws)), len(set(bg))
+        return (
+            nd_w,
+            None if not ws else 1.0 - nd_w / len(ws),
+            nd_b,
+            None if not bg else 1.0 - nd_b / len(bg),
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("ws", textops.word_array("text"))
+    rep = textops.repetition_cols(F.col("ws"))
+    got = {
+        r["doc_id"]: (
+            r["n_distinct_words"],
+            r["word_rep_ratio"],
+            r["n_distinct_bigrams"],
+            r["bigram_rep_ratio"],
+        )
+        for r in df.select("doc_id", *[c.alias(k) for k, c in rep.items()]).collect()
+    }
+    for i, t in enumerate(texts):
+        w_nd, w_ratio, b_nd, b_ratio = ref(t)
+        g = got[i]
+        assert g[0] == w_nd and g[2] == b_nd, (t, g)
+        for want, have in ((w_ratio, g[1]), (b_ratio, g[3])):
+            if want is None:
+                assert have is None, (t, g)
+            else:
+                assert have is not None and abs(have - want) < 1e-9, (t, g)
