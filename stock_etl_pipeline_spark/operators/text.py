@@ -135,6 +135,66 @@ def sql_repetition_cols(ws: str = "ws") -> dict[str, str]:
     }
 
 
+# --- TF-IDF salient terms ----------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k salient terms by smoothed TF-IDF
+    (tfidf = tf · (ln((N+1)/(df+1)) + 1), scikit-style smoothing so a
+    term present in every document still scores > 0).
+
+    Scale shape: one (doc, term) frequency aggregate (map-side combine),
+    one term-level df aggregate, a co-partitioned equi-join on the term
+    (the vocabulary grows with the corpus — never broadcast), and a
+    per-document window bounded by the document's distinct-term count.
+    The corpus size N joins in as a 1-row broadcast aggregate — no
+    driver-side count. Ranking is deterministic: ties break on the term
+    string.
+
+    Returns (id_col, term, tf, df, tfidf, rank) with rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            id_col,
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )  # 1-row relation; broadcast by AQE
+    scored = (
+        toks.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-kind PII counts and the redacted text length — the profile
     columns a corpus-hygiene report needs. One narrow pass, no shuffle."""

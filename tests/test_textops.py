@@ -132,3 +132,48 @@ def test_sql_twins_agree(spark, tmp_path):
         for r in textops.with_pii_columns(_df(spark)).collect()
     }
     assert got == want
+
+
+def test_tfidf_top_terms_matches_python_reference(spark):
+    import math
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple cherry cherry cherry elderberry"),
+        (4, ""),  # no terms -> absent from output
+    ]
+    got = {}
+    out = textops.tfidf_top_terms(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=2
+    ).collect()
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], round(r["tfidf"], 9))
+        )
+
+    # pure-python reference
+    docs = {i: t.lower().split() for i, t in rows}
+    n = len(docs)  # count_distinct(doc_id) includes the empty doc
+    df_map: dict[str, int] = {}
+    for ws in docs.values():
+        for t in set(ws):
+            df_map[t] = df_map.get(t, 0) + 1
+    want = {}
+    for i, ws in docs.items():
+        if not ws:
+            continue
+        tf = {t: ws.count(t) for t in set(ws)}
+        scored = sorted(
+            (
+                (t, c, df_map[t], c * (math.log((n + 1) / (df_map[t] + 1)) + 1))
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:2]
+        want[i] = [
+            (rk + 1, t, c, d, round(s, 9)) for rk, (t, c, d, s) in enumerate(scored)
+        ]
+    for i in want:
+        assert sorted(got[i]) == sorted(want[i]), (i, got.get(i), want[i])
+    assert 4 not in got
