@@ -144,6 +144,7 @@ def tfidf_top_terms(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Per-document top-k salient terms by smoothed TF-IDF
     (tfidf = tf · (ln((N+1)/(df+1)) + 1), scikit-style smoothing so a
@@ -155,7 +156,10 @@ def tfidf_top_terms(
     per-document window bounded by the document's distinct-term count.
     The corpus size N joins in as a 1-row broadcast aggregate — no
     driver-side count. Ranking is deterministic: ties break on the term
-    string.
+    string — and with ``rank_digits`` set, the ranking key (and the
+    emitted score) is floor-rounded first, so a last-ulp ln() difference
+    between engines cannot swap ranks (the ANN queries' quantize-before-
+    rank pattern; required for the DuckDB oracle twin).
 
     Returns (id_col, term, tf, df, tfidf, rank) with rank 1..k.
     """
@@ -175,17 +179,17 @@ def tfidf_top_terms(
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )  # 1-row relation; broadcast by AQE
+    raw = F.col("tf") * (
+        F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    if rank_digits is not None:
+        from ..functions import pround
+
+        raw = pround(raw, rank_digits)
     scored = (
         toks.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.col("tf")
-            * (
-                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-                + F.lit(1.0)
-            ),
-        )
+        .withColumn("tfidf", raw)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

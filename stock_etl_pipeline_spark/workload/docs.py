@@ -111,7 +111,17 @@ _LANG_MARKERS = {
     "fr": r"\b(le|la|et|les|des)\b",
     "de": r"\b(der|die|und|das|ist)\b",
 }
-_LANG_ID_ORACLE = rf"""
+_LANG_PREDICT_SQL = """CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 AND c_de = 0 THEN 'unknown'
+       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+       WHEN c_fr >= c_de THEN 'fr'
+       ELSE 'de' END"""
+
+# doc_lang_id (per-doc marker-argmax prediction) + doc_lang_dist (corpus
+# language/source distribution) FUSED into one registry slot (round-3
+# headroom for doc_tfidf_top): block-discriminated union on a unified
+# schema — the source_report pattern. Both blocks scan documents once.
+_LANG_REPORT_ORACLE = rf"""
 WITH scored AS (
   SELECT doc_id, lang AS labeled_lang,
     CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}')) AS BIGINT) AS c_en,
@@ -120,18 +130,26 @@ WITH scored AS (
     CAST(len(regexp_extract_all(lower(text), '{_LANG_MARKERS["de"]}')) AS BIGINT) AS c_de
   FROM documents
 )
-SELECT doc_id, labeled_lang, c_en, c_es, c_fr, c_de,
-  CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 AND c_de = 0 THEN 'unknown'
-       WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
-       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
-       WHEN c_fr >= c_de THEN 'fr'
-       ELSE 'de' END AS predicted_lang
+SELECT 'id' AS block, doc_id, labeled_lang AS lang, CAST(NULL AS VARCHAR) AS source,
+  c_en, c_es, c_fr, c_de,
+  {_LANG_PREDICT_SQL} AS predicted_lang,
+  CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_chars,
+  CAST(NULL AS DOUBLE) AS avg_chars
 FROM scored
+UNION ALL
+SELECT 'dist' AS block, CAST(NULL AS BIGINT) AS doc_id, lang, source,
+  CAST(NULL AS BIGINT) AS c_en, CAST(NULL AS BIGINT) AS c_es,
+  CAST(NULL AS BIGINT) AS c_fr, CAST(NULL AS BIGINT) AS c_de,
+  CAST(NULL AS VARCHAR) AS predicted_lang,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  {sql_pround("CAST(sum(n_chars) AS BIGINT) * 1.0 / count(n_chars)", 6)} AS avg_chars
+FROM documents
+GROUP BY lang, source
 """.strip()
 
 
-@spec("doc_lang_id", oracle=_LANG_ID_ORACLE, tags=("text", "lang_id"))
-def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spec("doc_lang_report", oracle=_LANG_REPORT_ORACLE, tags=("text", "lang_id", "agg"))
+def q_doc_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = {
         lang: F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)).cast(
@@ -150,11 +168,48 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c["fr"] >= c["de"], F.lit("fr"))
         .otherwise(F.lit("de"))
     )
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[counts[k].alias(f"c_{k}") for k in counts],
-    ).withColumn("predicted_lang", predicted)
+    id_block = (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang"),
+            *[counts[k].alias(f"c_{k}") for k in counts],
+        )
+        .withColumn("predicted_lang", predicted)
+        .select(
+            F.lit("id").alias("block"),
+            "doc_id",
+            "lang",
+            F.lit(None).cast("string").alias("source"),
+            "c_en",
+            "c_es",
+            "c_fr",
+            "c_de",
+            "predicted_lang",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("total_chars"),
+            F.lit(None).cast("double").alias("avg_chars"),
+        )
+    )
+    dist_block = (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            pround(F.sum("n_chars") * 1.0 / F.count("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.lit("dist").alias("block"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            *[F.lit(None).cast("long").alias(f"c_{k}") for k in ("en", "es", "fr", "de")],
+            F.lit(None).cast("string").alias("predicted_lang"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+    return id_block.unionByName(dist_block)
 
 
 # Document fingerprint + exact dedup (hash-groupBy — the scalable exact-dedup
@@ -284,23 +339,50 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_DIST_ORACLE = f"""
-SELECT lang, source, count(*) AS n_docs,
-  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  {sql_pround("CAST(sum(n_chars) AS BIGINT) * 1.0 / count(n_chars)", 6)} AS avg_chars
-FROM documents
-GROUP BY lang, source
+# --- TF-IDF salient terms (operators/text.tfidf_top_terms) ------------------
+# Ranking key is floor-rounded to 4 digits on BOTH sides before the window
+# (quantize-before-rank: a last-ulp ln() difference between engines cannot
+# swap ranks); ties break on the term string.
+_TFIDF_K = 5
+_TFIDF_DIGITS = 4
+
+_TFIDF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{textops.WORD_RE}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS __n FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+    {sql_pround("tf * (ln((__n + 1.0) / (df + 1.0)) + 1.0)", _TFIDF_DIGITS)} AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= {_TFIDF_K}
 """.strip()
 
 
-@spec("doc_lang_dist", oracle=_LANG_DIST_ORACLE, tags=("agg", "text"))
-def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+@spec("doc_tfidf_top", oracle=_TFIDF_ORACLE, tags=("text", "tfidf", "salience"))
+def q_doc_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 salient terms by smoothed TF-IDF
+    (operators/text.tfidf_top_terms): one (doc, term) frequency aggregate,
+    one term-df aggregate, a co-partitioned term join (vocabulary scales
+    with the corpus — never broadcast), corpus size as a 1-row broadcast
+    aggregate, and a per-doc window bounded by the doc's distinct terms."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        pround(F.sum("n_chars") * 1.0 / F.count("n_chars"), 6).alias("avg_chars"),
+    out = textops.tfidf_top_terms(
+        d, k=_TFIDF_K, rank_digits=_TFIDF_DIGITS
     )
+    return out.withColumnRenamed("rank", "rnk")
 
 
 # --- MinHash-LSH near-dedup (operators/dedup.py — the 100 TB dedup path) ----
