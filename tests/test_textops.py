@@ -177,3 +177,25 @@ def test_tfidf_top_terms_matches_python_reference(spark):
     for i in want:
         assert sorted(got[i]) == sorted(want[i]), (i, got.get(i), want[i])
     assert 4 not in got
+
+
+def test_tfidf_rank_is_partitioning_invariant(spark):
+    """The quantized ranking key + term tie-break must give byte-identical
+    top-k under any shuffle parallelism (the engine's determinism contract
+    — a raw-float ranking key could flip ranks with aggregation order)."""
+    from stock_etl_pipeline_spark.datasets import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = sorted(
+            map(repr, textops.tfidf_top_terms(d, k=3, rank_digits=4).collect())
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(
+            map(repr, textops.tfidf_top_terms(d.repartition(7), k=3, rank_digits=4).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b and len(a) > 0
