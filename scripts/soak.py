@@ -181,7 +181,8 @@ def main() -> int:
     registry = load_all()
     if only is not None:
         unknown = only - set(registry)
-        assert not unknown, f"--only names not in registry: {sorted(unknown)}"
+        if unknown:  # not assert: must survive python -O
+            raise SystemExit(f"--only names not in registry: {sorted(unknown)}")
         specs = {n: s for n, s in sorted(registry.items()) if n in only}
     else:
         specs = {

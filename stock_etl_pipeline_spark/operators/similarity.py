@@ -268,8 +268,10 @@ def bucketed_matmul_near_dup_pairs(
     return (
         indexed.groupBy("table_id", "bucket")
         .applyInPandas(bucket_cosines, out_schema)
-        # OR across tables: the cosine is bit-identical in every table (same
-        # two unit vectors, same accumulation order), so any row survives.
+        # OR across tables: dedupe on the id pair only. The same pair's dot
+        # product is computed inside different-shaped bucket matrices, and
+        # BLAS blocking may change accumulation order, so the surviving
+        # cosine is only last-ulp-stable; consumers quantize before compare.
         .dropDuplicates(["vec_a", "vec_b"])
     )
 

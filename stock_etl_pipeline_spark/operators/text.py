@@ -104,8 +104,9 @@ def bigram_array(ws: Column) -> Column:
 
 def repetition_cols(ws: Column) -> dict[str, Column]:
     """Distinct-word / distinct-bigram counts and duplicate fractions.
-    Ratios are NULL (not 0) for empty/one-word docs — a doc with no bigrams
-    has no bigram-repetition evidence either way."""
+    word_rep_ratio is NULL only for empty docs (a one-word doc yields 0.0);
+    bigram_rep_ratio is NULL for empty/one-word docs — no bigrams means no
+    bigram-repetition evidence either way."""
     n_words = F.size(ws)
     nd_words = F.size(F.array_distinct(ws))
     bg = bigram_array(ws)
