@@ -187,6 +187,42 @@ def _mix_constants(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * j + 1, j * 912_367 + 7) for j in range(num_hashes)]
 
 
+# Tiered band geometry (SCALING.md round-3 analysis): with fixed (b, r) the
+# background-candidate mass n²·(1-(1-j_bg^r)^b) grows quadratically in the
+# corpus, so r must GROW with n (log-scale) to keep candidates linear. Each
+# tier re-centers the S-curve threshold j* = b^(-1/r) near the 0.7 verify
+# threshold, and — the bigger lever at 100x, measured — raises the
+# signature-estimate prefilter cutoff from 0.5 toward 0.6: with k = 48 the
+# estimate's sd at j = 0.45 is ~0.072, so P(est ≥ 0.604) ≈ 1.6% vs ~33%
+# under (k=20, cutoff 0.5) — the j ∈ [0.4, 0.6) near-threshold mass that
+# costs the exact verify its shingle-set expansion dies in the prefilter.
+# Tier 0 is the FROZEN oracle geometry: the DuckDB twins at driver SFs
+# (≤ 5k docs) are generated with (20, 4, 10) and must keep matching.
+LSH_GEOMETRY_TIERS: tuple[tuple[int | None, int, int, int], ...] = (
+    # (max_docs, num_hashes, bands, est_min_matches); rows = k // b
+    (50_000, 20, 4, 10),  # r=5, j* = 4^(-1/5) ≈ 0.76 — oracle geometry
+    (5_000_000, 48, 8, 29),  # r=6, j* = 8^(-1/6) ≈ 0.71, prefilter ≥ 0.604
+    (None, 96, 12, 58),  # r=8, j* = 12^(-1/8) ≈ 0.73, prefilter ≥ 0.604
+)
+
+
+def lsh_tier_geometry(n_docs: int) -> tuple[int, int, int]:
+    """(num_hashes, bands, est_min_matches) for a corpus of ``n_docs``.
+
+    Callers count the corpus (a parquet metadata-only job) and pass the
+    result through to ``minhash_lsh_pairs`` — the plan itself stays static
+    per tier, so golden-plan and oracle checks at driver SFs are unaffected
+    (they all land in tier 0). Recall at the verify threshold is the usual
+    LSH S-curve (~50-60% AT j = 0.7, →1 by j ≈ 0.85) in every tier; the
+    tiers trade k-proportional signature cost for the quadratic candidate
+    term, which is the right trade everywhere past tier 0.
+    """
+    for max_docs, k, b, est_min in LSH_GEOMETRY_TIERS:
+        if max_docs is None or n_docs <= max_docs:
+            return k, b, est_min
+    raise AssertionError("unreachable: last tier is unbounded")
+
+
 def minhash_base_expr(col: str = "shingle") -> str:
     """SQL for the 60-bit md5 base hash folded to [0, M) — valid Spark SQL;
     the DuckDB twin differs only in hex parsing (sql_minhash_base)."""

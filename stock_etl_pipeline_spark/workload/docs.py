@@ -470,6 +470,17 @@ WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 
 _MINHASH_ORACLE = _minhash_oracle(dedup.sql_word_shingles("documents"))
 
+
+def _mh_geometry(d) -> tuple[int, int, int]:
+    """Tiered (num_hashes, bands, est_min_matches) for this corpus
+    (operators/dedup.lsh_tier_geometry). The count() is a metadata-only
+    parquet job; every driver/bench SF (≤ 5k docs) lands in tier 0 =
+    (_MH_K, _MH_BANDS, _MH_EST_MIN) — exactly the geometry the static
+    oracle strings above are generated with — so correctness comparisons
+    and golden plans are unaffected. Only the soak tiers (500k+ docs)
+    switch to the sharper r=6/r=8 geometries."""
+    return dedup.lsh_tier_geometry(d.count())
+
 # Capped-set variant: shingles with df > cap are removed BEFORE signatures,
 # so signatures, banding, the estimate prefilter AND the exact verify all
 # operate on the capped sets — one consistent similarity definition in both
@@ -554,11 +565,13 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = load_table(spark, sf_dir, "documents")
+    k, b, est_min = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
         d,
-        num_hashes=_MH_K,
-        bands=_MH_BANDS,
+        num_hashes=k,
+        bands=b,
         threshold=_MH_THRESHOLD,
+        est_min_matches=est_min,
         shingle_df_cap=_MH_DF_CAP,
     )
     return dedup.near_dup_keepers(
@@ -573,16 +586,21 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=20) + LSH(4 bands × 5 rows) near-dup pairs, exact-verified
-    at Jaccard ≥ 0.7, with the signature-estimate prefilter (≥ 10/20
-    components matching) between banding and the exact verify. Candidate
-    generation is a self-equi-join on uniform (band_id, band_key) md5
-    buckets — sub-quadratic, skew-free (vs. the raw shingle join in
+    """MinHash + LSH near-dup pairs, exact-verified at Jaccard ≥ 0.7, with
+    the signature-estimate prefilter between banding and the exact verify.
+    Band geometry is TIERED by corpus size (operators/dedup.lsh_tier_geometry):
+    k=20/4×5 at driver SFs (the frozen oracle geometry), k=48/8×6 then
+    k=96/12×8 as the corpus grows — r must grow ~log n to keep the
+    n²·j_bg^r background-candidate mass linear, and the larger k tightens
+    the prefilter from est ≥ 0.5 to est ≥ 0.6. Candidate generation is a
+    self-equi-join on uniform (band_id, band_key) md5 buckets —
+    sub-quadratic, skew-free (vs. the raw shingle join in
     doc_ngram_jaccard); the prefilter keeps the exact verify's shingle-set
     expansion proportional to genuinely-similar pairs."""
     d = load_table(spark, sf_dir, "documents")
+    k, b, est_min = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
-        d, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD
+        d, num_hashes=k, bands=b, threshold=_MH_THRESHOLD, est_min_matches=est_min
     )
     return pairs.select(
         "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")
@@ -606,11 +624,13 @@ def q_doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines. Sits beside doc_minhash_lsh (exact sets) the
     way doc_ngram_jaccard's cap sits beside its uncapped didactic form."""
     d = load_table(spark, sf_dir, "documents")
+    k, b, est_min = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
         d,
-        num_hashes=_MH_K,
-        bands=_MH_BANDS,
+        num_hashes=k,
+        bands=b,
         threshold=_MH_THRESHOLD,
+        est_min_matches=est_min,
         shingle_df_cap=_MH_DF_CAP,
     )
     return pairs.select(

@@ -162,3 +162,46 @@ def test_keepers_compose_with_bucketed_embedding_pairs(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_lsh_tier_geometry_boundaries():
+    """Tier 0 is the frozen oracle geometry; tiers sharpen r with corpus
+    size and keep num_hashes % bands == 0."""
+    from stock_etl_pipeline_spark.operators.dedup import lsh_tier_geometry
+
+    assert lsh_tier_geometry(500) == (20, 4, 10)
+    assert lsh_tier_geometry(50_000) == (20, 4, 10)
+    assert lsh_tier_geometry(50_001) == (48, 8, 29)
+    assert lsh_tier_geometry(5_000_000) == (48, 8, 29)
+    assert lsh_tier_geometry(5_000_001) == (96, 12, 58)
+    for n in (1, 50_001, 10_000_000):
+        k, b, est_min = lsh_tier_geometry(n)
+        assert k % b == 0 and 0 < est_min < k
+
+
+def test_minhash_tier1_geometry_finds_planted_dups(spark):
+    """The r=6 tier-1 geometry (k=48, b=8, prefilter >= 29) must still find
+    high-Jaccard planted pairs and reject unrelated docs — the tier switch
+    changes recall near the threshold, never at j ~ 0.9."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "with many more words to give the shingle sets realistic weight"
+    )
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, base),
+        (4, "completely different text about spark shuffles and parquet files"),
+        (5, "another unrelated document that shares nothing with the others"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            d, num_hashes=48, bands=8, threshold=0.7, est_min_matches=29
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
