@@ -4,7 +4,11 @@ and measure how every bench-flagged query scales.
 
 Usage:  python scripts/soak.py [--scale 10] [--dir /root/repo/.soak/sf1]
         [--base /root/testdata/sf0.1] [--skip q1,q2] [--only q1,q2]
-        [--build-only]
+        [--build-only] [--isolate]
+
+``--isolate`` runs every (tier, query) cell in a FRESH subprocess/JVM —
+session-age GC/heap effects inflated long-sweep cells by up to 3.5x in
+round 3 (doc_simhash_pairs); isolation gives each cell a clean heap.
 
 ``--only`` selects an explicit query subset from the FULL registry (not
 just bench-flagged) — used for targeted experiments like the capped-minhash
@@ -156,8 +160,57 @@ def run_tier(spark, sf_dir: str, specs) -> dict[str, float]:
     return timings
 
 
+def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
+    """One fresh subprocess (fresh JVM, fresh session) per query.
+
+    The round-3 sweep showed up to 3.5x spread between a query timed late
+    in a long-lived session and the same query in a fresh one
+    (doc_simhash_pairs: 423 s sweep vs 122 s fresh at 100x) — session-age
+    effects (heap fragmentation / GC pressure / accumulated broadcast and
+    shuffle state) hit the widest shuffles hardest. Isolation makes every
+    cell of the scaling table a fresh-session measurement, at the price of
+    one JVM startup (~10 s, excluded: the child times only the query).
+    """
+    import subprocess
+
+    timings = {}
+    for name in names:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--run-one", name, "--tier-dir", sf_dir,
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        marker = [
+            ln for ln in res.stdout.splitlines() if ln.startswith('{"query"')
+        ]
+        if res.returncode != 0 or not marker:
+            sys.stderr.write(res.stdout[-2000:] + res.stderr[-2000:])
+            raise SystemExit(f"--run-one {name} failed (rc={res.returncode})")
+        timings[name] = json.loads(marker[-1])["sec"]
+        print(f"  {sf_dir} {name}: {timings[name]}s [fresh session]", flush=True)
+    return timings
+
+
+def run_one(name: str, sf_dir: str) -> int:
+    """Child entry for --isolate: time ONE query cold in this fresh session."""
+    from stock_etl_pipeline_spark.session import get_spark
+    from stock_etl_pipeline_spark.workload import load_all
+
+    spark = get_spark(app_name=f"soak-{name}")
+    s = load_all()[name]
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    print(json.dumps({"query": name, "sec": round(time.perf_counter() - t0, 2)}), flush=True)
+    return 0
+
+
 def main() -> int:
     argv = sys.argv
+    if "--run-one" in argv:
+        return run_one(
+            argv[argv.index("--run-one") + 1], argv[argv.index("--tier-dir") + 1]
+        )
     scale = int(argv[argv.index("--scale") + 1]) if "--scale" in argv else 10
     out_dir = (
         argv[argv.index("--dir") + 1] if "--dir" in argv else "/root/repo/.soak/sf1"
@@ -197,9 +250,14 @@ def main() -> int:
     if "--build-only" in argv:
         return 0
 
-    base = run_tier(spark, BASE_SF, specs)
-    print(json.dumps({"tier": "base_sf0.1", "queries": base}), flush=True)
-    scaled = run_tier(spark, out_dir, specs)
+    if "--isolate" in argv:
+        base = run_tier_isolated(BASE_SF, specs)
+        print(json.dumps({"tier": "base_sf0.1", "queries": base}), flush=True)
+        scaled = run_tier_isolated(out_dir, specs)
+    else:
+        base = run_tier(spark, BASE_SF, specs)
+        print(json.dumps({"tier": "base_sf0.1", "queries": base}), flush=True)
+        scaled = run_tier(spark, out_dir, specs)
     print(json.dumps({"tier": f"scaled_{out_dir}", "queries": scaled}), flush=True)
 
     print(f"\n{'query':28s} {'sf0.1':>8s} {'tier':>8s} {'ratio':>7s}")

@@ -212,8 +212,15 @@ def _delta_merge(
         .whenNotMatchedInsertAll()
         .execute()
     )
-    out = spark.read.format("delta").load(target_path)
+    out = _read_delta(spark, target_path)
     return {"rows_loaded": out.count(), "destination": target_path, "mode": "merge-delta"}
+
+
+def _read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Post-merge readback, split out as a seam so tests can exercise the
+    whole MERGE INTO branch with a sys.modules-injected fake DeltaTable
+    (the image carries no delta-spark jar — see tests/test_sources_sinks.py)."""
+    return spark.read.format("delta").load(path)
 
 
 def write_bucketed(

@@ -261,3 +261,119 @@ def test_create_table_with_cluster_fields(spark):
         assert not sinks.create_table_if_not_exists(spark, "t_clustered", schema)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_clustered")
+
+
+# --- Delta MERGE branch, exercised via a sys.modules-injected fake ----------
+# The image carries no delta-spark jar, so the transactional branch of
+# merge_write (_delta_merge) would otherwise never execute anywhere. The
+# fake records the builder call chain; sinks._read_delta is the seam for
+# the post-merge readback.
+
+
+class _FakeMergeBuilder:
+    def __init__(self, log):
+        self._log = log
+
+    def merge(self, source, cond):
+        self._log.append(("merge", cond))
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self._log.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self._log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def execute(self):
+        self._log.append(("execute",))
+
+
+def _install_fake_delta(monkeypatch, *, is_delta, log, forpath_raises=False):
+    import sys
+    import types
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(("isDeltaTable", path))
+            return is_delta
+
+        @staticmethod
+        def forPath(spark, path):
+            if forpath_raises:
+                raise RuntimeError("corrupt delta log")
+            log.append(("forPath", path))
+            b = _FakeMergeBuilder(log)
+            b.alias = lambda a: (log.append(("alias", a)), b)[1]
+            return b
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+
+def test_delta_merge_happy_path_builder_sequence(spark, tmp_path, monkeypatch):
+    """With a Delta target: exactly one MERGE with the key-equality ON
+    condition, matched-update-all BEFORE not-matched-insert-all, one
+    execute — and no parquet fall-through write."""
+    log = []
+    _install_fake_delta(monkeypatch, is_delta=True, log=log)
+    readback = spark.createDataFrame(
+        [("AAPL", dt.date(2024, 1, 2), 101.0)], "symbol string, date date, close double"
+    )
+    monkeypatch.setattr(sinks, "_read_delta", lambda sp, p: readback)
+
+    target = str(tmp_path / "delta_tbl")
+    source = spark.createDataFrame(
+        [("AAPL", dt.date(2024, 1, 2), 101.0)], "symbol string, date date, close double"
+    )
+    report = sinks.merge_write(spark, target, source, ["symbol", "date"])
+
+    assert report == {"rows_loaded": 1, "destination": target, "mode": "merge-delta"}
+    assert log == [
+        ("isDeltaTable", target),
+        ("forPath", target),
+        ("alias", "t"),
+        ("merge", "t.`symbol` = s.`symbol` AND t.`date` = s.`date`"),
+        ("whenMatchedUpdateAll",),
+        ("whenNotMatchedInsertAll",),
+        ("execute",),
+    ]
+    import os
+
+    assert not os.path.exists(target)  # transactional branch, no parquet write
+
+
+def test_delta_merge_falls_through_when_not_delta(spark, tmp_path, monkeypatch):
+    """isDeltaTable=False -> _delta_merge returns None and merge_write runs
+    the plain-parquet path (create on a fresh target)."""
+    log = []
+    _install_fake_delta(monkeypatch, is_delta=False, log=log)
+    target = str(tmp_path / "plain_tbl")
+    source = spark.createDataFrame(
+        [("AAPL", dt.date(2024, 1, 2), 101.0)], "symbol string, date date, close double"
+    )
+    report = sinks.merge_write(spark, target, source, ["symbol", "date"])
+    assert report["mode"] == "create"
+    assert ("isDeltaTable", target) in log
+    assert not any(e[0] == "merge" for e in log)
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_delta_merge_falls_through_when_forpath_raises(spark, tmp_path, monkeypatch):
+    """A raising DeltaTable (corrupt log, version skew) must not break the
+    sink: merge_write falls through to parquet."""
+    log = []
+    _install_fake_delta(monkeypatch, is_delta=True, log=log, forpath_raises=True)
+    target = str(tmp_path / "raises_tbl")
+    source = spark.createDataFrame(
+        [("AAPL", dt.date(2024, 1, 2), 101.0)], "symbol string, date date, close double"
+    )
+    report = sinks.merge_write(spark, target, source, ["symbol", "date"])
+    assert report["mode"] == "create"
+    assert spark.read.parquet(target).count() == 1
