@@ -229,7 +229,7 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """.strip()
 
 
-@spec("embedding_ann_multiprobe", oracle=_ANN_MP_ORACLE, tags=("similarity", "ann", "lsh", "multiprobe"))
+@spec("embedding_ann_multiprobe", oracle=_ANN_MP_ORACLE, tags=("similarity", "ann", "lsh", "multiprobe"), bench=True)
 def q_embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: 7 probes per query (home + 1-bit flips) against
     single-bucket corpus placement — recall close to exact top-k at ~7/64 of
@@ -292,7 +292,7 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """.strip()
 
 
-@spec("embedding_ann_multitable", oracle=_ANN_MT_ORACLE, tags=("similarity", "ann", "lsh", "multitable"))
+@spec("embedding_ann_multitable", oracle=_ANN_MT_ORACLE, tags=("similarity", "ann", "lsh", "multitable"), bench=True)
 def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (8 tables × 5 sign bits, OR-construction): a
     neighbor is a candidate if ANY table agrees — recall ≈ 1-(1-p^5)^8 vs
@@ -395,7 +395,7 @@ FROM ranked WHERE rnk <= {_TOP_K}
 # the CTE single-pass matters less than keeping it mechanically generated.
 
 
-@spec("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "kmeans"))
+@spec("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "kmeans"), bench=True)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 2-iteration exact k-means (8 cells) coarse quantizer, 2-cell
     probes, exact cosine within probed cells. Data-adaptive cells beat
@@ -598,7 +598,7 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """.strip()
 
 
-@spec("embedding_ivf_pq", oracle=_IVF_PQ_ORACLE, tags=("similarity", "ann", "ivf", "pq"))
+@spec("embedding_ivf_pq", oracle=_IVF_PQ_ORACLE, tags=("similarity", "ann", "ivf", "pq"), bench=True)
 def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: the IVF coarse cells plus a product-quantization residual
     codebook (8 subspaces × 16 codewords, 1 Lloyd step), scoring candidates
