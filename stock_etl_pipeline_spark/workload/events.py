@@ -18,23 +18,84 @@ from ..functions import exact_avg, exact_sum, pround, sql_exact_avg, sql_exact_s
 from ..operators import analytics
 from . import spec
 
+# Ingestion stats by derived day (A7) FUSED with the per-event-type agg as a
+# block-discriminated union over ONE events scan — the registry-slot pattern
+# of source_report / doc_lang_report. Column semantics per block:
+# by_day rows carry n_event_types / avg_value / first-last ts; by_type rows
+# carry total_value / min_value / max_value; the other block's columns are
+# typed NULLs.
 _INGESTION_ORACLE = f"""
-SELECT CAST(ts AS DATE) AS ingestion_date,
-  count(*) AS record_count,
-  count(DISTINCT user_id) AS unique_users,
-  count(DISTINCT event_type) AS unique_event_types,
+SELECT 'by_day' AS block,
+  CAST(CAST(ts AS DATE) AS STRING) AS key,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  count(DISTINCT event_type) AS n_event_types,
   {sql_pround(sql_exact_avg("value", 100.0), 6)} AS avg_value,
+  CAST(NULL AS DOUBLE) AS total_value,
+  CAST(NULL AS DOUBLE) AS min_value,
+  CAST(NULL AS DOUBLE) AS max_value,
   min(ts) AS first_event_ts,
   max(ts) AS last_event_ts
 FROM events
 GROUP BY CAST(ts AS DATE)
+UNION ALL
+SELECT 'by_type' AS block,
+  event_type AS key,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  CAST(NULL AS BIGINT) AS n_event_types,
+  CAST(NULL AS DOUBLE) AS avg_value,
+  {sql_exact_sum("value", 100.0)} AS total_value,
+  min(value) AS min_value,
+  max(value) AS max_value,
+  CAST(NULL AS TIMESTAMP) AS first_event_ts,
+  CAST(NULL AS TIMESTAMP) AS last_event_ts
+FROM events
+GROUP BY event_type
 """.strip()
 
 
-@spec("ingestion_stats", oracle=_INGESTION_ORACLE, tags=("A7",), bench=True)
+@spec("ingestion_stats", oracle=_INGESTION_ORACLE, tags=("A7", "agg"), bench=True)
 def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — GROUP BY derived day (reference plugins/helpers/queries.py:150-163)."""
-    return analytics.ingestion_stats(load_table(spark, sf_dir, "events"))
+    """A7 — GROUP BY derived day (reference plugins/helpers/queries.py:150-163)
+    fused with the per-event-type profile (count / distinct users / exact sum
+    / min / max) as a block-discriminated union: one events scan feeds both
+    aggregates (Spark reuses the scan across union branches; each branch
+    keeps its own exchange on its own grouping key)."""
+    e = load_table(spark, sf_dir, "events")
+    by_day = analytics.ingestion_stats(e).select(
+        F.lit("by_day").alias("block"),
+        F.col("ingestion_date").cast("string").alias("key"),
+        F.col("record_count").alias("n_events"),
+        F.col("unique_users").alias("n_users"),
+        F.col("unique_event_types").alias("n_event_types"),
+        "avg_value",
+        F.lit(None).cast("double").alias("total_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        "first_event_ts",
+        "last_event_ts",
+    )
+    by_type = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value"), 100.0).alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.lit("by_type").alias("block"),
+        F.col("event_type").alias("key"),
+        "n_events",
+        "n_users",
+        F.lit(None).cast("long").alias("n_event_types"),
+        F.lit(None).cast("double").alias("avg_value"),
+        "total_value",
+        "min_value",
+        "max_value",
+        F.lit(None).cast("timestamp").alias("first_event_ts"),
+        F.lit(None).cast("timestamp").alias("last_event_ts"),
+    )
+    return by_day.unionByName(by_type)
 
 
 # Tumbling (1 h) and sliding (1 h / 30 min) window aggregates FUSED into one
@@ -162,30 +223,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         exact_sum(F.col("value"), 100.0).alias("session_value"),
-    )
-
-
-_EVENT_TYPE_ORACLE = f"""
-SELECT event_type,
-  count(*) AS n_events,
-  count(DISTINCT user_id) AS n_users,
-  {sql_exact_sum("value", 100.0)} AS total_value,
-  min(value) AS min_value,
-  max(value) AS max_value
-FROM events
-GROUP BY event_type
-""".strip()
-
-
-@spec("event_type_stats", oracle=_EVENT_TYPE_ORACLE, tags=("agg",))
-def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        exact_sum(F.col("value"), 100.0).alias("total_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
     )
 
 
