@@ -1,0 +1,72 @@
+"""Pipeline-scoped cache pool for data-sized persisted intermediates.
+
+The dedup/ANN pipelines persist data-sized relations eagerly (minhash
+shingles + signatures, simhash signatures, PQ residual subvectors) because
+their DAGs are diamonds — several consumers, and exchange reuse does not
+fire across those join shapes (ROADMAP invariants). But ``persist`` pins
+executor block-manager memory until ``unpersist`` or session end, and a
+long-lived session running many queries ACCUMULATES pinned blocks from
+every pipeline it ever ran (round-3 verdict item).
+
+This pool bounds that: each pipeline invocation calls ``begin_pipeline()``
+first, which releases every intermediate the PREVIOUS invocation tracked
+via ``eager_cache``. At most one pipeline's intermediates are pinned at a
+time, and session owners can drop those too with ``release()``.
+
+Why eviction-at-next-entry instead of unpersist-on-return: the registered
+queries RETURN lazy DataFrames whose plans read the cached relations — the
+consumer (driver, bench harness, user) executes them after the builder
+returns, so in-builder unpersist would defeat the persist. Releasing on
+the next pipeline entry keeps the current query's cache alive exactly as
+long as it is plausibly needed.
+
+Correctness is unaffected either way: ``persist`` is advisory — a plan
+whose cached relation was released silently recomputes from lineage (this
+is also why the pool is safe if a session interleaves two pipelines: the
+second evicts the first's cache and the first's DataFrame, if re-executed,
+just recomputes). ``localCheckpoint`` relations are NOT tracked here —
+checkpointing truncates lineage, so releasing those blocks would lose the
+only copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def begin_pipeline() -> None:
+    """Mark a pipeline entry: release intermediates from prior pipelines."""
+    release()
+
+
+def eager_cache(df: DataFrame) -> DataFrame:
+    """Persist MEMORY_AND_DISK, eagerly fill (one count() up front — lazy
+    caches are raced by concurrent stages of the first consuming job and
+    each racer recomputes the pipeline), and track for release at the next
+    ``begin_pipeline()``."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _TRACKED.append(df)
+    return df
+
+
+def lazy_cache(df: DataFrame) -> DataFrame:
+    """Persist MEMORY_AND_DISK and track, WITHOUT the eager fill — for
+    relations whose first consumer is a single sequential job (no
+    concurrent-stage fill race), where an extra materialization job would
+    only add latency."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.append(df)
+    return df
+
+
+def release() -> None:
+    """Unpersist every tracked intermediate (non-blocking)."""
+    while _TRACKED:
+        _TRACKED.pop().unpersist()

@@ -408,8 +408,9 @@ def minhash_lsh_pairs(
     aggregate, the per-doc counts, and both exact-verify join sides, and
     the df window makes recomputation non-trivial).
     """
-    from pyspark import StorageLevel
+    from ..caching import begin_pipeline, eager_cache
 
+    begin_pipeline()
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     if est_min_matches is None:
@@ -428,15 +429,10 @@ def minhash_lsh_pairs(
             .filter(F.col("df") > shingle_df_cap)
             .select("shingle")
         )
-        sh = (
-            sh.join(hot, "shingle", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        sh.count()
+        sh = eager_cache(sh.join(hot, "shingle", "left_anti"))
     sig = minhash_signature(sh, num_hashes, id_col)
     if est_min_matches:
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        sig.count()
+        sig = eager_cache(sig)
     cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)
     if est_min_matches:
         cand = signature_estimate_filter(
@@ -640,17 +636,16 @@ def simhash_near_dup_pairs(
     """
     assert max_hamming <= bands - 1, "banding exact only for hamming <= bands-1"
     assert bands == 4 and SIMHASH_BITS == 64, "band slicing below assumes 4×16 bits"
-    from pyspark import StorageLevel
+    from ..caching import begin_pipeline, eager_cache
 
+    begin_pipeline()
     sig = simhash_signatures(df, id_col, text_col)
     if persist_signatures:
-        # Persist AND eagerly fill: the three consumers below land in
-        # concurrent stages of one job, and concurrent stages race to fill a
-        # lazy cache — each recomputes the full signature pipeline and the
-        # persist saves nothing. One count() up front materializes the cache
-        # once; every consumer then reads it.
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-        sig.count()
+        # Persist AND eagerly fill (caching.eager_cache): the three consumers
+        # below land in concurrent stages of one job, and concurrent stages
+        # race to fill a lazy cache — each recomputes the full signature
+        # pipeline and the persist saves nothing.
+        sig = eager_cache(sig)
 
     # --- identical-signature pairs (hamming 0) directly from the doc level
     sa = sig.select(

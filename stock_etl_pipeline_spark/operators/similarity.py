@@ -536,9 +536,11 @@ def ivf_pq_topk(
     # One row per (vector, subspace): the codebook-training relation.
     # Persisted — codebook training and final encoding each scan it, and the
     # residual computation above embeds the coarse-assignment join.
-    from pyspark import StorageLevel
+    # Pool-tracked (caching.lazy_cache): released at the next pipeline entry.
+    from ..caching import begin_pipeline, lazy_cache
 
-    subs = (
+    begin_pipeline()
+    subs = lazy_cache(
         withres.select(
             id_col,
             "cid",
@@ -557,7 +559,6 @@ def ivf_pq_topk(
         .select(id_col, "cid", "s.sub_id", "s.r_sub_int")
         .withColumn("r_sub_dbl", F.expr(f"transform(r_sub_int, x -> x / {MICRO}D)"))
         .withColumn("rr", F.expr(_DOT_D.format(a="r_sub_dbl", b="r_sub_dbl")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = corpus.sparkSession
 

@@ -314,10 +314,11 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (per-doc counts + both self-join sides) and no exchange
     # reuse across them — persist and eagerly fill, like the simhash
     # signature relation (measured 24.9 → 16.4 s at the 100x soak tier).
-    from pyspark import StorageLevel
+    # Pool-tracked: released at the next pipeline's begin_pipeline().
+    from ..caching import begin_pipeline, eager_cache
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    begin_pipeline()
+    sh = eager_cache(sh)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

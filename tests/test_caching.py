@@ -1,0 +1,46 @@
+"""Pipeline-scoped cache pool: persisted intermediates must not accumulate
+across pipeline invocations in a long-lived session, and releasing them must
+never change results (persist is advisory — lineage recomputes)."""
+
+from __future__ import annotations
+
+from stock_etl_pipeline_spark import caching
+
+
+def test_begin_pipeline_releases_previous_generation(spark):
+    a = caching.eager_cache(spark.range(10))
+    b = caching.lazy_cache(spark.range(20))
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    caching.begin_pipeline()
+    assert not a.storageLevel.useMemory
+    assert not b.storageLevel.useMemory
+    assert a.count() == 10  # released cache recomputes from lineage
+
+
+def test_dedup_pipelines_do_not_accumulate_cached_blocks(spark):
+    """Running minhash then simhash leaves at most the LAST pipeline's
+    intermediates pinned — the previous generation is released at the next
+    begin_pipeline()."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today ok"),
+        (2, "the quick brown fox jumps over the lazy dog again today yes"),
+        (3, "unrelated text about completely different things entirely here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    caching.release()
+    mh = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4, threshold=0.5)
+    mh_result = {(r["doc_a"], r["doc_b"]) for r in mh.collect()}
+    first_gen = list(caching._TRACKED)
+    assert first_gen  # minhash tracked its signature relation
+
+    dedup.simhash_near_dup_pairs(d).collect()
+    assert all(not df.storageLevel.useMemory for df in first_gen)
+    assert len(caching._TRACKED) == 1  # only the simhash signatures
+
+    # Releasing under the still-lazy minhash DataFrame must not change its
+    # values — the plan recomputes from lineage.
+    caching.release()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh.collect()} == mh_result
