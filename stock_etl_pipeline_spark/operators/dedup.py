@@ -233,12 +233,19 @@ def sql_minhash_base(col: str = "shingle") -> str:
     return f"(('0x' || substring(md5({col}), 1, 15))::BIGINT) % {MINHASH_M}"
 
 
-def minhash_signature(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
+def minhash_signature(
+    sh: DataFrame, num_hashes: int, id_col: str = "doc_id", with_count: bool = False
+) -> DataFrame:
     """One row per document with BIGINT columns minh_0..minh_{k-1}.
 
     One md5 per shingle → k affine families → k int mins in ONE aggregate
     pass (map-side partial combine; the shuffle carries k longs per doc,
     not the shingle set).
+
+    ``with_count`` adds the per-doc shingle-set size ``n_sh`` to the SAME
+    aggregate — the exact-Jaccard verify needs it, and folding it here
+    means the verify reads the (small, cached) signature relation instead
+    of re-aggregating the full shingle relation a fourth time.
     """
     hashed = sh.select(
         id_col,
@@ -250,9 +257,10 @@ def minhash_signature(sh: DataFrame, num_hashes: int, id_col: str = "doc_id") ->
             for j, (a, c) in enumerate(_mix_constants(num_hashes))
         ],
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"minh_{j}") for j in range(num_hashes)]
-    )
+    aggs = [F.min(f"h{j}").alias(f"minh_{j}") for j in range(num_hashes)]
+    if with_count:
+        aggs.append(F.count("*").alias("n_sh"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
@@ -299,19 +307,28 @@ def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFra
 
 
 def verified_jaccard_pairs(
-    candidates: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    cnt: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
     Joins candidates back to the shingle relation (shuffle on doc id — small:
     candidates only), counts intersections, and filters by true Jaccard.
 
+    ``cnt`` (optional): a precomputed (id, n) shingle-count relation —
+    minhash_lsh_pairs passes the signature aggregate's fused ``n_sh`` so the
+    full shingle relation is not re-aggregated here.
+
     The shingle-count relation is joined WITHOUT a broadcast hint: it has one
     row per document, so a forced broadcast is a driver OOM waiting for a
     bigger corpus (found by the 10x soak — scripts/soak.py). AQE broadcasts
     it at runtime when it is actually small.
     """
-    cnt = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if cnt is None:
+        cnt = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -429,17 +446,23 @@ def minhash_lsh_pairs(
             .filter(F.col("df") > shingle_df_cap)
             .select("shingle")
         )
-        sh = eager_cache(sh.join(hot, "shingle", "left_anti"))
-    sig = minhash_signature(sh, num_hashes, id_col)
-    if est_min_matches:
-        sig = eager_cache(sig)
+        sh = sh.join(hot, "shingle", "left_anti")
+    # The shingle relation feeds the signature aggregate AND both
+    # exact-verify join sides — without the cache the explode+distinct
+    # pipeline re-executes once per consumer (measured: the uncached
+    # exact-set variant recomputed it 3x at the 100x tier).
+    sh = eager_cache(sh)
+    # Signatures feed banding, the prefilter, and (via the fused n_sh) the
+    # verify's per-doc counts — always cached.
+    sig = eager_cache(minhash_signature(sh, num_hashes, id_col, with_count=True))
     cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)
     if est_min_matches:
         cand = signature_estimate_filter(
             cand, sig, num_hashes=num_hashes, min_matches=est_min_matches,
             id_col=id_col,
         )
-    return verified_jaccard_pairs(cand, sh, threshold, id_col)
+    cnt = sig.select(id_col, F.col("n_sh").alias("n"))
+    return verified_jaccard_pairs(cand, sh, threshold, id_col, cnt=cnt)
 
 
 # --- SimHash ----------------------------------------------------------------

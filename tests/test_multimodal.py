@@ -59,3 +59,60 @@ def test_frame_sample_counts(spark):
     ).agg(F.sum("n")).collect()[0][0]
     assert frames.count() == expected
     assert frames.filter(F.col("byte_offset") % 64 != 0).count() == 0
+
+
+# --- pillow decode branch via a sys.modules-injected fake -------------------
+# Pillow is not in this image (and installs are off-limits), so the real
+# decode branch is exercised the same way the Delta MERGE branch is: a fake
+# PIL.Image whose open() yields known dims, or raises (corrupt bytes).
+
+
+def _install_fake_pil(monkeypatch, *, width=None, height=None, raises=False):
+    import sys
+    import types
+
+    class _Im:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            if raises:
+                raise OSError("cannot identify image file")
+            im = _Im()
+            im.width, im.height = width, height
+            return im
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = FakeImage.open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_decode_pillow_path(monkeypatch):
+    from stock_etl_pipeline_spark.multimodal import _make_decoder
+
+    _install_fake_pil(monkeypatch, width=123, height=45)
+    assert _make_decoder()(b"\x89PNG...", "image") == (123, 45, "pillow")
+
+
+def test_decode_corrupt_image_flagged(monkeypatch):
+    from stock_etl_pipeline_spark.multimodal import _make_decoder
+
+    _install_fake_pil(monkeypatch, raises=True)
+    assert _make_decoder()(b"not an image", "image") == (-1, -1, "corrupt")
+
+
+def test_decode_non_image_skips_decoder(monkeypatch):
+    """audio/video blobs never enter the image decoder, even when present."""
+    from stock_etl_pipeline_spark.multimodal import _make_decoder
+
+    _install_fake_pil(monkeypatch, raises=True)
+    w, h, mode = _make_decoder()(b"riff-ish bytes", "audio")
+    assert mode == "stub" and w >= 64 and h >= 64
