@@ -187,21 +187,25 @@ def _mix_constants(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * j + 1, j * 912_367 + 7) for j in range(num_hashes)]
 
 
-# Tiered band geometry (SCALING.md round-3 analysis): with fixed (b, r) the
-# background-candidate mass n²·(1-(1-j_bg^r)^b) grows quadratically in the
-# corpus, so r must GROW with n (log-scale) to keep candidates linear. Each
-# tier re-centers the S-curve threshold j* = b^(-1/r) near the 0.7 verify
-# threshold, and — the bigger lever at 100x, measured — raises the
-# signature-estimate prefilter cutoff from 0.5 toward 0.6: with k = 48 the
-# estimate's sd at j = 0.45 is ~0.072, so P(est ≥ 0.604) ≈ 1.6% vs ~33%
-# under (k=20, cutoff 0.5) — the j ∈ [0.4, 0.6) near-threshold mass that
-# costs the exact verify its shingle-set expansion dies in the prefilter.
-# Tier 0 is the FROZEN oracle geometry: the DuckDB twins at driver SFs
-# (≤ 5k docs) are generated with (20, 4, 10) and must keep matching.
+# Tiered band geometry (SCALING.md round-3 analysis, round-4 re-measure):
+# with fixed (b, r) the background-candidate mass n²·(1-(1-j_bg^r)^b) grows
+# quadratically in the corpus, so r must GROW with n (log-scale) to keep
+# candidate ENUMERATION linear. What r does NOT need to protect anymore is
+# verification cost: the set-resident verify (verified_jaccard_pairs_from_
+# sets) made the per-candidate cost an O(|set|) array intersect, and the
+# round-4 interleaved A/B at the 100x tier (500k docs) measured the sharper
+# (48, 8) geometry SLOWER end-to-end than (20, 4) — 275 s vs 81-117 s —
+# because 2.4x signature cost plus 48-column prefilter joins outweigh the
+# now-cheap extra candidates. The tier boundaries are therefore set by when
+# the band join's own output stops being ~O(1) per doc (n·j_bg^r per doc at
+# j_bg ≈ 0.05: ~1.6 at the tier-0 boundary, ~7.8 at tier-1's), not by
+# verify protection. Tier 0 is also the FROZEN oracle geometry: the DuckDB
+# twins at driver SFs (≤ 5k docs) are generated with (20, 4, 10) and must
+# keep matching.
 LSH_GEOMETRY_TIERS: tuple[tuple[int | None, int, int, int], ...] = (
     # (max_docs, num_hashes, bands, est_min_matches); rows = k // b
-    (50_000, 20, 4, 10),  # r=5, j* = 4^(-1/5) ≈ 0.76 — oracle geometry
-    (5_000_000, 48, 8, 29),  # r=6, j* = 8^(-1/6) ≈ 0.71, prefilter ≥ 0.604
+    (5_000_000, 20, 4, 10),  # r=5, j* = 4^(-1/5) ≈ 0.76 — oracle geometry
+    (500_000_000, 48, 8, 29),  # r=6, j* = 8^(-1/6) ≈ 0.71, prefilter ≥ 0.604
     (None, 96, 12, 58),  # r=8, j* = 12^(-1/8) ≈ 0.73, prefilter ≥ 0.604
 )
 
@@ -214,8 +218,8 @@ def lsh_tier_geometry(n_docs: int) -> tuple[int, int, int]:
     per tier, so golden-plan and oracle checks at driver SFs are unaffected
     (they all land in tier 0). Recall at the verify threshold is the usual
     LSH S-curve (~50-60% AT j = 0.7, →1 by j ≈ 0.85) in every tier; the
-    tiers trade k-proportional signature cost for the quadratic candidate
-    term, which is the right trade everywhere past tier 0.
+    tiers hold the band join's candidate enumeration ~linear in n, which
+    after the set-resident verify is the only quadratic term left.
     """
     for max_docs, k, b, est_min in LSH_GEOMETRY_TIERS:
         if max_docs is None or n_docs <= max_docs:
@@ -838,6 +842,211 @@ def simhash_near_dup_pairs(
             F.greatest("id_a", "id_b").alias("doc_b"),
             F.when(a_first, F.col("simhash_a")).otherwise(F.col("simhash_b")).alias("simhash_a"),
             F.when(a_first, F.col("simhash_b")).otherwise(F.col("simhash_a")).alias("simhash_b"),
+            "hamming",
+        )
+    )
+    return inter.unionByName(intra)
+
+
+# --- SimHash-128: the wide-band scale variant --------------------------------
+# The 64-bit pair query's banding stage dominates at the 100x tier because a
+# template corpus CORRELATES signatures: 16-bit band keys concentrate into
+# hot buckets whose in-bucket comparisons are quadratic (SCALING.md round-3
+# stage split: banding +141 s of ~220). Widening the signature to the full
+# 128 md5 bits gives 4 × 32-bit bands — the same pigeonhole exactness for
+# hamming ≤ 3, with 2^16x more key space per band — for 2x the signature
+# aggregate (64 packed sums instead of 32). Hamming-on-128-bits is a
+# DIFFERENT metric than hamming-on-64 (roughly double the distance for the
+# same edit), so like the df-capped minhash this sits BESIDE the 64-bit
+# query as its scale sibling, not in place of it.
+
+SIMHASH128_BITS = 128
+
+
+def _hex_chars_with_bit(j: int) -> tuple[str, ...]:
+    return tuple("0123456789abcdef"[v] for v in range(16) if (v >> j) & 1)
+
+
+def simhash128_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document 128-bit SimHash: bit i = sign of Σ freq(token) × (±1 by
+    bit (i mod 4) of md5-nibble (i div 4)) — ALL 128 md5 bits, where the
+    64-bit variant uses only each nibble's high bit and parity.
+
+    Same packed 2-lane aggregate as the 64-bit form (bit i with bit i+64
+    per long): 64 packed sums + 1 total, sign recovered as 2·S⁺ > T, same
+    T < 2³¹ overflow guard. Output: ``simhash128`` (128-char '0'/'1'
+    string for tests/portability) and four 32-bit band ints ``sb0..sb3``
+    (bits 0-31, 32-63, 64-95, 96-127) — each band int IS its LSH band key.
+    """
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    n_packed = SIMHASH128_BITS // 2
+    packed_cols = []
+    for i in range(n_packed):
+        pos_lo, j_lo = i // 4 + 1, i % 4
+        pos_hi, j_hi = (i + n_packed) // 4 + 1, (i + n_packed) % 4
+        in_lo = ", ".join(f"'{c}'" for c in _hex_chars_with_bit(j_lo))
+        in_hi = ", ".join(f"'{c}'" for c in _hex_chars_with_bit(j_hi))
+        packed_cols.append(
+            F.expr(
+                f"CAST(CASE WHEN substring(th, {pos_lo}, 1) IN ({in_lo})"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+                f" + (CAST(CASE WHEN substring(th, {pos_hi}, 1) IN ({in_hi})"
+                f" THEN 1 ELSE 0 END AS BIGINT) * {1 << 32})"
+            ).alias(f"p{i}")
+        )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("th", F.md5(F.col("tok")))
+        .select("tok", *packed_cols)
+    )
+    weighted = toks.join(vocab, "tok")
+    agg = weighted.groupBy(id_col).agg(
+        F.sum("freq").alias("t"),
+        *[
+            F.sum(F.col("freq") * F.col(f"p{i}")).alias(f"q{i}")
+            for i in range(n_packed)
+        ],
+    )
+    agg = agg.withColumn(
+        "t",
+        F.when(F.col("t") < F.lit(1 << 31), F.col("t")).otherwise(
+            F.raise_error(
+                F.lit("simhash128: doc token mass >= 2^31 overflows packed lanes")
+            )
+        ),
+    )
+    s_plus = {}
+    for i in range(n_packed):
+        s_plus[i] = F.expr(f"q{i} % {1 << 32}")
+        s_plus[i + n_packed] = F.expr(f"q{i} DIV {1 << 32}")
+    bit = [
+        F.when(s_plus[i] * 2 > F.col("t"), 1).otherwise(0)
+        for i in range(SIMHASH128_BITS)
+    ]
+    bits_str = F.concat(*[b.cast("string") for b in bit])
+    bands = [
+        sum((bit[32 * k + r] * F.lit(1 << r) for r in range(32)), F.lit(0))
+        .cast("long")
+        .alias(f"sb{k}")
+        for k in range(4)
+    ]
+    return agg.select(id_col, bits_str.alias("simhash128"), *bands)
+
+
+def simhash128_near_dup_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """128-bit SimHash near-dup pairs with hamming ≤ max_hamming — the
+    wide-band scale sibling of simhash_near_dup_pairs (same four-step
+    structure: cached signatures, identical-signature collapse, banded
+    self-join over DISTINCT signatures with bit-parallel hamming, join-based
+    re-expansion). Banding is pigeonhole-exact for hamming ≤ 3 over the
+    4 × 32-bit bands; each band's key is its band int — no slicing, and the
+    32-bit key space keeps template-corpus buckets ~2^16x sparser than the
+    64-bit variant's 16-bit keys (the measured hot-bucket term).
+    """
+    assert max_hamming <= 3, "4-band pigeonhole exact only for hamming <= 3"
+    from ..caching import begin_pipeline, eager_cache
+
+    begin_pipeline()
+    sig = eager_cache(simhash128_signatures(df, id_col, text_col))
+    sbs = [f"sb{k}" for k in range(4)]
+
+    # identical signatures (hamming 0) straight from the doc level
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash128").alias("sig_a"), *sbs)
+    sb_ = sig.select(F.col(id_col).alias("doc_b"), *sbs)
+    intra = (
+        sa.join(sb_, sbs)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sig_a").alias("simhash_a"),
+            F.col("sig_a").alias("simhash_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+
+    dsig = sig.select("simhash128", *sbs).distinct()
+    bk = dsig.select(
+        "simhash128",
+        *sbs,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"), F.col(f"sb{k}").alias("band_key")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "simhash128", *sbs,
+        F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"),
+    )
+    a = bk.select(
+        F.col("simhash128").alias("sig_a"),
+        *[F.col(f"sb{k}").alias(f"a{k}") for k in range(4)],
+        "band_id", "band_key",
+    )
+    b = bk.select(
+        F.col("simhash128").alias("sig_b"),
+        *[F.col(f"sb{k}").alias(f"b{k}") for k in range(4)],
+        "band_id", "band_key",
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+            for k in range(4)
+        ),
+        F.lit(0),
+    )
+    lex_lt = F.struct(*[F.col(f"a{k}") for k in range(4)]) < F.struct(
+        *[F.col(f"b{k}") for k in range(4)]
+    )
+    spairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(lex_lt)
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "sig_a", *[f"a{k}" for k in range(4)],
+            "sig_b", *[f"b{k}" for k in range(4)], "hamming",
+        )
+        .distinct()
+    )
+
+    da = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sb{k}").alias(f"a{k}") for k in range(4)]
+    )
+    db = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sb{k}").alias(f"b{k}") for k in range(4)]
+    )
+    a_first = F.col("id_a") < F.col("id_b")
+    inter = (
+        spairs.join(da, [f"a{k}" for k in range(4)])
+        .join(db, [f"b{k}" for k in range(4)])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(a_first, F.col("sig_a")).otherwise(F.col("sig_b")).alias("simhash_a"),
+            F.when(a_first, F.col("sig_b")).otherwise(F.col("sig_a")).alias("simhash_b"),
             "hamming",
         )
     )

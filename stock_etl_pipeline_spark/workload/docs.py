@@ -587,17 +587,16 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec("doc_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-verified at Jaccard ≥ 0.7, with
-    the signature-estimate prefilter between banding and the exact verify.
-    Band geometry is TIERED by corpus size (operators/dedup.lsh_tier_geometry):
-    k=20/4×5 at driver SFs (the frozen oracle geometry), k=48/8×6 then
-    k=96/12×8 as the corpus grows — r must grow ~log n to keep the
-    n²·j_bg^r background-candidate mass linear, and the larger k tightens
-    the prefilter from est ≥ 0.5 to est ≥ 0.6. Candidate generation is a
-    self-equi-join on uniform (band_id, band_key) md5 buckets —
-    sub-quadratic, skew-free (vs. the raw shingle join in
-    doc_ngram_jaccard); the prefilter keeps the exact verify's shingle-set
-    expansion proportional to genuinely-similar pairs."""
+    """MinHash + LSH near-dup pairs, exact-verified at Jaccard ≥ 0.7 via
+    signature-resident hash sets, with the signature-estimate prefilter
+    between banding and the verify. Band geometry is TIERED by corpus size
+    (operators/dedup.lsh_tier_geometry): k=20/4×5 through 5M docs (the
+    frozen oracle geometry — measured fastest at the 100x tier once the
+    set-resident verify made per-candidate cost O(|set|)), then k=48/8×6
+    and k=96/12×8 as candidate ENUMERATION itself needs r to grow ~log n.
+    Candidate generation is a self-equi-join on uniform (band_id,
+    band_key) md5 buckets — sub-quadratic, skew-free (vs. the raw shingle
+    join in doc_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents")
     k, b, est_min = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(

@@ -170,11 +170,11 @@ def test_lsh_tier_geometry_boundaries():
     from stock_etl_pipeline_spark.operators.dedup import lsh_tier_geometry
 
     assert lsh_tier_geometry(500) == (20, 4, 10)
-    assert lsh_tier_geometry(50_000) == (20, 4, 10)
-    assert lsh_tier_geometry(50_001) == (48, 8, 29)
-    assert lsh_tier_geometry(5_000_000) == (48, 8, 29)
-    assert lsh_tier_geometry(5_000_001) == (96, 12, 58)
-    for n in (1, 50_001, 10_000_000):
+    assert lsh_tier_geometry(5_000_000) == (20, 4, 10)
+    assert lsh_tier_geometry(5_000_001) == (48, 8, 29)
+    assert lsh_tier_geometry(500_000_000) == (48, 8, 29)
+    assert lsh_tier_geometry(500_000_001) == (96, 12, 58)
+    for n in (1, 5_000_001, 1_000_000_000):
         k, b, est_min = lsh_tier_geometry(n)
         assert k % b == 0 and 0 < est_min < k
 
@@ -205,3 +205,85 @@ def test_minhash_tier1_geometry_finds_planted_dups(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert all(4 not in p and 5 not in p for p in pairs)
+
+
+# --- SimHash-128 (wide-band scale sibling) ----------------------------------
+
+
+def _py_simhash128(text):
+    """Pure-Python reference of operators/dedup.simhash128_signatures."""
+    import hashlib
+    from collections import Counter
+
+    freqs = Counter(t for t in text.lower().split() if t)
+    sums, total = [0] * 128, 0
+    for tok, f in freqs.items():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        total += f
+        for i in range(128):
+            if (int(h[i // 4], 16) >> (i % 4)) & 1:
+                sums[i] += f
+    bits = [1 if 2 * s > total else 0 for s in sums]
+    bands = [sum(bits[32 * k + r] << r for r in range(32)) for k in range(4)]
+    return "".join(map(str, bits)), bands
+
+
+def test_simhash128_matches_python_reference(spark):
+    from stock_etl_pipeline_spark.operators.dedup import simhash128_signatures
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "the quick brown fox jumps over the lazy dog the end"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in simhash128_signatures(d).collect()}
+    for doc_id, text in rows:
+        bits, bands = _py_simhash128(text)
+        r = got[doc_id]
+        assert r["simhash128"] == bits
+        assert [r[f"sb{k}"] for k in range(4)] == bands
+
+
+def test_simhash128_pairs_match_ground_truth(spark):
+    """The pair query returns EXACTLY the pairs at 128-bit hamming ≤ 3
+    (banding is pigeonhole-exact), with the hamming the Python reference
+    computes. Hamming-on-128-bits is a different metric than the 64-bit
+    query's (roughly double the distance for the same edit) — ground truth
+    comes from the reference, not from 64-bit intuition."""
+    from itertools import combinations
+
+    from stock_etl_pipeline_spark.operators.dedup import simhash128_near_dup_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0 via the intra path
+        (3, base + " " + base + " extra"),  # doubled mass + one token
+        (4, "totally different words live in this entirely other document"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash128_near_dup_pairs(d).collect()}
+
+    bits = {i: _py_simhash128(t)[0] for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(bits), 2):
+        h = sum(x != y for x, y in zip(bits[a], bits[b]))
+        if h <= 3:
+            want[(a, b)] = h
+    assert out == want
+    assert out.get((1, 2)) == 0  # the intra (identical-signature) path fired
+
+
+def test_simhash128_pair_set_invariant_to_partitioning(spark):
+    from stock_etl_pipeline_spark.operators.dedup import simhash128_near_dup_pairs
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(i, base) for i in range(1, 5)] + [(9, "other words here entirely")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(repr, simhash128_near_dup_pairs(d).collect()))
+    b = sorted(map(repr, simhash128_near_dup_pairs(d.repartition(7)).collect()))
+    assert a == b
+    assert len(a) == 6  # C(4,2) identical-doc pairs
