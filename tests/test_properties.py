@@ -220,3 +220,44 @@ def test_repetition_metrics_match_python_reference(spark, texts):
                 assert have is None, (t, g)
             else:
                 assert have is not None and abs(have - want) < 1e-9, (t, g)
+
+
+# --- set-resident exact-Jaccard verify ≡ expansion verify -------------------
+# Round 4 replaced the candidate × shingle expansion verify with an
+# array_intersect over signature-resident 60-bit hash sets. Same exact-set
+# semantics by construction (collision odds ~1e-15); this property pins the
+# equivalence over random corpora: identical pair sets AND identical
+# (n_a, n_b, inter, jaccard) values through both paths.
+
+_words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_doc_texts = st.lists(
+    st.lists(_words, min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(texts=_doc_texts)
+def test_set_verify_matches_expansion_verify(spark, texts):
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        list(enumerate(texts, 1)), "doc_id long, text string"
+    )
+    sh = dedup.word_shingles(d)
+    sig = dedup.minhash_signature(
+        sh, 12, with_count=True, with_hash_set=True
+    )
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_band_keys(sig, 4, 3))
+    via_sets = {
+        (r["doc_a"], r["doc_b"]): (r["n_a"], r["n_b"], r["inter"], round(r["jaccard"], 9))
+        for r in dedup.verified_jaccard_pairs_from_sets(cand, sig, 0.3).collect()
+    }
+    via_expansion = {
+        (r["doc_a"], r["doc_b"]): (r["n_a"], r["n_b"], r["inter"], round(r["jaccard"], 9))
+        for r in dedup.verified_jaccard_pairs(cand, sh, 0.3).collect()
+    }
+    assert via_sets == via_expansion
