@@ -18,12 +18,14 @@ from ..functions import exact_avg, exact_sum, pround, sql_exact_avg, sql_exact_s
 from ..operators import analytics
 from . import spec
 
-# Ingestion stats by derived day (A7) FUSED with the per-event-type agg as a
+# Ingestion stats by derived day (A7) FUSED with the per-event-type agg AND
+# the JSON-props extraction agg (§2.9 semi-structured) as a
 # block-discriminated union over ONE events scan — the registry-slot pattern
 # of source_report / doc_lang_report. Column semantics per block:
 # by_day rows carry n_event_types / avg_value / first-last ts; by_type rows
-# carry total_value / min_value / max_value; the other block's columns are
-# typed NULLs.
+# carry total_value / min_value / max_value; by_k rows (key = the typed
+# JSON-extracted props.k) carry only n_events; the other blocks' columns
+# are typed NULLs.
 _INGESTION_ORACLE = f"""
 SELECT 'by_day' AS block,
   CAST(CAST(ts AS DATE) AS STRING) AS key,
@@ -52,6 +54,20 @@ SELECT 'by_type' AS block,
   CAST(NULL AS TIMESTAMP) AS last_event_ts
 FROM events
 GROUP BY event_type
+UNION ALL
+SELECT 'by_k' AS block,
+  CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS STRING) AS key,
+  count(*) AS n_events,
+  CAST(NULL AS BIGINT) AS n_users,
+  CAST(NULL AS BIGINT) AS n_event_types,
+  CAST(NULL AS DOUBLE) AS avg_value,
+  CAST(NULL AS DOUBLE) AS total_value,
+  CAST(NULL AS DOUBLE) AS min_value,
+  CAST(NULL AS DOUBLE) AS max_value,
+  CAST(NULL AS TIMESTAMP) AS first_event_ts,
+  CAST(NULL AS TIMESTAMP) AS last_event_ts
+FROM events
+GROUP BY CAST(json_extract(props, '$.k') AS INTEGER)
 """.strip()
 
 
@@ -59,9 +75,11 @@ GROUP BY event_type
 def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — GROUP BY derived day (reference plugins/helpers/queries.py:150-163)
     fused with the per-event-type profile (count / distinct users / exact sum
-    / min / max) as a block-discriminated union: one events scan feeds both
-    aggregates (Spark reuses the scan across union branches; each branch
-    keeps its own exchange on its own grouping key)."""
+    / min / max) AND the semi-structured JSON-props extraction agg
+    (get_json_object → typed value → group count, §2.9) as a
+    block-discriminated union: one events scan feeds all three aggregates
+    (Spark reuses the scan across union branches; each branch keeps its own
+    exchange on its own grouping key)."""
     e = load_table(spark, sf_dir, "events")
     by_day = analytics.ingestion_stats(e).select(
         F.lit("by_day").alias("block"),
@@ -95,7 +113,22 @@ def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("first_event_ts"),
         F.lit(None).cast("timestamp").alias("last_event_ts"),
     )
-    return by_day.unionByName(by_type)
+    by_k = e.groupBy(
+        F.get_json_object("props", "$.k").cast("int").alias("k_value")
+    ).agg(F.count("*").alias("n_events")).select(
+        F.lit("by_k").alias("block"),
+        F.col("k_value").cast("string").alias("key"),
+        "n_events",
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(None).cast("long").alias("n_event_types"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("total_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("timestamp").alias("first_event_ts"),
+        F.lit(None).cast("timestamp").alias("last_event_ts"),
+    )
+    return by_day.unionByName(by_type).unionByName(by_k)
 
 
 # Tumbling (1 h) and sliding (1 h / 30 min) window aggregates FUSED into one
@@ -226,21 +259,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_PROPS_ORACLE = """
-SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
-  count(*) AS n_events
-FROM events
-GROUP BY CAST(json_extract(props, '$.k') AS INTEGER)
-""".strip()
-
-
-@spec("json_props_extract", oracle=_JSON_PROPS_ORACLE, tags=("json", "semi_structured"))
-def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: JSON props column → typed value → agg
-    (maps the driver tables' JSON-string props, SURVEY.md §1.3 note)."""
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy(
-        F.get_json_object("props", "$.k").cast("int").alias("k_value")
-    ).agg(F.count("*").alias("n_events"))
+# json_props_extract was a standalone query through round 4; it is now the
+# by_k block of ingestion_stats (same events scan, same extraction + agg) —
+# the fusion freed a registry slot while keeping the §2.9 semi-structured
+# op driver-checked.
 
 

@@ -45,6 +45,9 @@ DIALECT_BRIDGE = [
     ("array_to_string(list_sort(list(", "array_join(sort_array(collect_list("),
     ("array_to_string(", "array_join("),
     ("list_sort(", "sort_array("),
+    # JSON path extraction: DuckDB json_extract ≡ Spark get_json_object
+    # (both return the scalar at the path; the CAST normalizes the type)
+    ("json_extract(", "get_json_object("),
 ]
 
 
