@@ -40,6 +40,14 @@ def word_shingles(
 
     Narrow explode then one shuffle (distinct on (id, shingle)). The shingle
     string never travels further than the signature aggregate below.
+
+    Documents with fewer than ``n`` words produce NO shingles (and are
+    therefore absent downstream). The size guard is load-bearing: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (step defaults to -1
+    when start > stop), so the unguarded ``sequence(1, greatest(...))``
+    form crashes with INVALID_ARRAY_INDEX on any short document under ANSI
+    mode — while DuckDB's ``generate_series(1, 0)`` is empty. Found by
+    probing, not by the driver corpus (its shortest doc clears n).
     """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     parts = " , ' ', ".join(f"element_at(w, i+{j})" for j in range(n))
@@ -49,8 +57,9 @@ def word_shingles(
             id_col,
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-                    f"i -> concat({parts}))"
+                    f"IF(size(w) >= {n}, "
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> concat({parts})), array())"
                 )
             ).alias("shingle"),
         )
@@ -1051,3 +1060,77 @@ def simhash128_near_dup_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+# --- duplicate-span analysis (exact substring-dedup shape) -------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame, *, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the exact-substring-dedup
+    shape of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed for Spark: instead of a suffix array, a
+    position-indexed word n-gram relation whose corpus-wide occurrence
+    counts mark every position that participates in a span appearing ≥ 2
+    times anywhere in the corpus (other documents OR elsewhere in the same
+    document). Consecutive duplicated positions are grouped into runs with
+    the gaps-and-islands window (pos − row_number), giving the longest
+    duplicated span per document — the signal exact-substring dedup
+    pipelines cut on.
+
+    Output: (id, n_grams, n_dup_grams, dup_frac, max_dup_run) for every
+    document with at least ``n`` words. Linear in the corpus.
+
+    Scale shape: narrow posexplode (grams are md5 digests, 32 chars, not
+    the span text) → hash-aggregate occurrence counts (map-side combine
+    collapses hot grams before the shuffle) → join back on the uniform
+    digest key (a boilerplate gram IS a hot join key — its posting list
+    lands in one task; AQE skew-split applies, and the per-row work is a
+    hash probe) → one per-document window + aggregate sharing the doc
+    partitioning.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    parts = " , ' ', ".join(f"element_at(w, i+{j})" for j in range(n))
+    occ = (
+        df.select(F.col(id_col), words.alias("w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"IF(size(w) >= {n}, "
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> md5(concat({parts}))), array())"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    cnt = occ.groupBy("gram").agg(F.count("*").alias("c"))
+    flagged = occ.join(cnt, "gram").select(
+        id_col, "pos", (F.col("c") >= 2).alias("dup")
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.filter("dup")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy(id_col)
+        .agg(F.max("rl").alias("max_dup_run"))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+    )
+    from ..functions import pround
+
+    return per_doc.join(runs, id_col, "left").select(
+        id_col,
+        "n_grams",
+        "n_dup_grams",
+        pround(F.col("n_dup_grams") * 1.0 / F.col("n_grams"), 6).alias("dup_frac"),
+        F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run"),
+    )

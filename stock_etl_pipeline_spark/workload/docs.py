@@ -237,6 +237,66 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Duplicate-span analysis (exact substring-dedup shape, Lee et al. 2021):
+# position-indexed word 8-grams, corpus-wide occurrence counts mark every
+# position inside a span that appears >= 2 times ANYWHERE (cross-doc or
+# within-doc), gaps-and-islands gives the longest duplicated run per doc.
+_SPAN_N = 8
+_span_parts_sql = ", ' ', ".join(f"w[i+{j}]" for j in range(_SPAN_N))
+_SPAN_DEDUP_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+    unnest(generate_series(1, greatest(len(w) - {_SPAN_N - 1}, 0))) AS i
+  FROM words
+),
+occ AS (
+  SELECT doc_id, i AS p, md5(concat({_span_parts_sql})) AS gram FROM pos
+),
+cnt AS (SELECT gram, count(*) AS c FROM occ GROUP BY gram),
+flagged AS (
+  SELECT o.doc_id, o.p, (c.c >= 2) AS dup
+  FROM occ o JOIN cnt c ON o.gram = c.gram
+),
+runs AS (
+  SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM flagged WHERE dup
+),
+runlen AS (SELECT doc_id, grp, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+maxrun AS (SELECT doc_id, max(rl) AS max_dup_run FROM runlen GROUP BY doc_id),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_grams,
+    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM flagged GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, p.n_dup_grams,
+  {sql_pround("p.n_dup_grams * 1.0 / p.n_grams", 6)} AS dup_frac,
+  CAST(COALESCE(m.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM perdoc p LEFT JOIN maxrun m ON p.doc_id = m.doc_id
+""".strip()
+
+
+@spec(
+    "doc_span_dedup",
+    oracle=_SPAN_DEDUP_ORACLE,
+    tags=("dedup", "span", "substring"),
+    bench=True,
+)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics per document (operators/dedup.
+    duplicate_span_stats): word 8-grams with positions, corpus-wide
+    occurrence counts, positions in ≥2x spans flagged, gaps-and-islands
+    longest run. The exact-substring-dedup signal (Lee et al. 2021) the
+    set-level dedup family cannot see — a doc that is 40% verbatim
+    boilerplate has low whole-doc Jaccard against any single other doc but
+    a high dup_frac here. Complements doc_minhash_* (whole-doc near-dup)
+    and doc_decontaminate (n-gram overlap vs a fixed eval set)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(d, n=_SPAN_N)
+
+
 # N-gram Jaccard near-dedup: word-3-shingles → df-capped set join → pair
 # similarity. The DOCUMENT-FREQUENCY CAP is what makes the raw shingle join
 # survive scale: a shingle appearing in d documents contributes d(d-1)/2

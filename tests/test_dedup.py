@@ -287,3 +287,55 @@ def test_simhash128_pair_set_invariant_to_partitioning(spark):
     b = sorted(map(repr, simhash128_near_dup_pairs(d.repartition(7)).collect()))
     assert a == b
     assert len(a) == 6  # C(4,2) identical-doc pairs
+
+
+def test_word_shingles_short_and_empty_docs(spark):
+    """Docs with < n words produce NO shingles instead of crashing: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], so the unguarded form raised
+    INVALID_ARRAY_INDEX on short/empty docs under ANSI mode (regression)."""
+    from stock_etl_pipeline_spark.operators.dedup import word_shingles
+
+    d = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, ""), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = word_shingles(d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert set(by_doc) == {4}
+    assert sorted(by_doc[4]) == ["a b c", "b c d", "c d e"]
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Two docs share a verbatim 10-word span (cross-doc dup); one doc has
+    an internal verbatim repeat; short docs are absent. Run lengths follow
+    the gaps-and-islands construction: a shared w-word span at n=8 yields
+    w-7 consecutive duplicated gram positions."""
+    from stock_etl_pipeline_spark.operators.dedup import duplicate_span_stats
+
+    span = "one two three four five six seven eight nine ten"  # 10 words
+    rows = [
+        (1, span + " unique tail for document number one here indeed"),
+        (2, "different head words precede the shared span " + span),
+        (3, "entirely unrelated words with no duplicated span at all present"),
+        (4, "short doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep"),  # 12x same word
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(d, n=8).collect()}
+
+    assert 4 not in out  # < 8 words -> absent
+    # doc 1: 18 words -> 11 grams; the 10-word shared span gives grams at
+    # positions 1-3 (10-8+1) duplicated -> run length 3
+    assert out[1]["n_grams"] == 11 and out[1]["n_dup_grams"] == 3
+    assert out[1]["max_dup_run"] == 3
+    # doc 2: 17 words -> 10 grams; span occupies the last 3 gram positions
+    assert out[2]["n_grams"] == 10 and out[2]["n_dup_grams"] == 3
+    assert out[2]["max_dup_run"] == 3
+    # doc 3: no duplicated grams anywhere
+    assert out[3]["n_dup_grams"] == 0 and out[3]["max_dup_run"] == 0
+    # doc 5: all 5 grams are the identical "rep"*8 gram -> within-doc dup
+    assert out[5]["n_grams"] == 5 and out[5]["n_dup_grams"] == 5
+    assert out[5]["max_dup_run"] == 5
+    assert abs(out[5]["dup_frac"] - 1.0) < 1e-9
