@@ -358,9 +358,12 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark —
+                # unguarded, short docs crash on element_at (see
+                # operators/dedup.word_shingles)
                 F.expr(
-                    "transform(sequence(1, greatest(size(w) - 2, 0)), "
-                    "i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2)))"
+                    "IF(size(w) >= 3, transform(sequence(1, size(w) - 2), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2))), array())"
                 )
             ).alias("shingle"),
         )
@@ -828,8 +831,9 @@ def q_doc_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {_KR_GRAM - 1}, 0)), "
-                f"i -> substring(text, i, {_KR_GRAM}))"
+                f"IF(length(text) >= {_KR_GRAM}, "
+                f"transform(sequence(1, length(text) - {_KR_GRAM - 1}), "
+                f"i -> substring(text, i, {_KR_GRAM})), array())"
             )
         ).alias("gram"),
     )
@@ -903,8 +907,9 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {_KR_GRAM - 1}, 0)), "
-                f"i -> substring(text, i, {_KR_GRAM}))"
+                f"IF(length(text) >= {_KR_GRAM}, "
+                f"transform(sequence(1, length(text) - {_KR_GRAM - 1}), "
+                f"i -> substring(text, i, {_KR_GRAM})), array())"
             )
         ).alias("gram"),
     ).select("doc_id", F.expr(f"({_kr_hash_terms('gram')}) % {_KR_M}").alias("h"))
