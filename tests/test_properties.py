@@ -261,3 +261,55 @@ def test_set_verify_matches_expansion_verify(spark, texts):
         for r in dedup.verified_jaccard_pairs(cand, sh, 0.3).collect()
     }
     assert via_sets == via_expansion
+
+
+# --- duplicate_span_stats vs pure-Python reference --------------------------
+
+
+def _py_span_stats(texts, n=4):
+    """Reference: corpus-wide n-gram occurrence counts -> per-doc dup flags
+    -> gaps-and-islands max run."""
+    from collections import Counter
+
+    grams = {}
+    for doc_id, t in texts:
+        ws = t.lower().split()
+        grams[doc_id] = [
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        ] if len(ws) >= n else []
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    for doc_id, gs in grams.items():
+        if not gs:
+            continue
+        flags = [cnt[g] >= 2 for g in gs]
+        runs, cur, best = [], 0, 0
+        for f in flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        out[doc_id] = (len(gs), sum(flags), best)
+    return out
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("red blue green gold iron wood salt rain".split()),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_span_stats_matches_python_reference(spark, texts):
+    from stock_etl_pipeline_spark.operators.dedup import duplicate_span_stats
+
+    rows = list(enumerate(texts, 1))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["max_dup_run"])
+        for r in duplicate_span_stats(d, n=4).collect()
+    }
+    assert got == _py_span_stats(rows, n=4)
