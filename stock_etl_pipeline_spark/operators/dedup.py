@@ -696,11 +696,18 @@ def hamming_expr(a: str, b: str, n_bits: int = SIMHASH_BITS) -> Column:
 
 
 def sql_hamming(a: str, b: str, n_bits: int = SIMHASH_BITS) -> str:
-    return " + ".join(
+    # Chunked into parenthesized groups of 16: a flat left-nested chain of
+    # 128 `+` terms exceeds DuckDB's 128-deep expression-binder recursion
+    # limit; grouping bounds the tree depth at ~16 + n_bits/16.
+    terms = [
         f"(CASE WHEN substring({a}, {i + 1}, 1) = substring({b}, {i + 1}, 1)"
         f" THEN 0 ELSE 1 END)"
         for i in range(n_bits)
-    )
+    ]
+    groups = [
+        "(" + " + ".join(terms[j : j + 16]) + ")" for j in range(0, n_bits, 16)
+    ]
+    return " + ".join(groups)
 
 
 def simhash_near_dup_pairs(
@@ -951,6 +958,40 @@ def simhash128_signatures(
         for k in range(4)
     ]
     return agg.select(id_col, bits_str.alias("simhash128"), *bands)
+
+
+def sql_simhash128_signatures(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of simhash128_signatures as CTE bodies ending in ``sig``
+    — a mechanical doubling of :func:`sql_simhash_signatures`: bit i reads
+    bit (i mod 4) of md5 hex char (i div 4) instead of the 64-bit variant's
+    high-bit/parity pair, and the per-bit sign sum s_i > 0 recovers the
+    identical bit to the packed-lane 2·S⁺ > T form."""
+    contrib_terms = []
+    for i in range(SIMHASH128_BITS):
+        pos = i // 4 + 1
+        in_list = ", ".join(f"'{c}'" for c in _hex_chars_with_bit(i % 4))
+        contrib_terms.append(
+            f"sum(CASE WHEN substring(th, {pos}, 1) IN ({in_list})"
+            f" THEN freq ELSE -freq END) AS s{i}"
+        )
+    contribs = ",\n    ".join(contrib_terms)
+    bits = ", ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(SIMHASH128_BITS)
+    )
+    return f"""
+  toks AS (
+    SELECT {id_col}, tok, count(*) AS freq, md5(tok) AS th
+    FROM (SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '\\s+')) AS tok FROM {table})
+    WHERE tok <> ''
+    GROUP BY {id_col}, tok, md5(tok)
+  ),
+  sums AS (SELECT {id_col},
+    {contribs}
+    FROM toks GROUP BY {id_col}),
+  sig AS (SELECT {id_col}, concat({bits}) AS simhash128 FROM sums)
+""".strip()
 
 
 def simhash128_near_dup_pairs(

@@ -741,6 +741,53 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+# --- SimHash-128: the wide-band scale sibling --------------------------------
+# Same four-step plan as the 64-bit query, but all 128 md5 bits and 4 × 32-bit
+# band keys — 2^16x sparser buckets kill the template-corpus hot-bucket term
+# (134 vs 199 s at the 100x tier, SCALING.md round 4). A DIFFERENT metric
+# than 64-bit hamming (≈2x the distance per edit), so it sits BESIDE
+# doc_simhash_pairs, like doc_minhash_capped beside doc_minhash_lsh.
+_sh128_band_selects = "\n    UNION ALL ".join(
+    f"SELECT doc_id, simhash128, {b} AS band_id,"
+    f" substring(simhash128, {b * 32 + 1}, 32) AS band_key FROM sig"
+    for b in range(4)
+)
+_SIMHASH128_ORACLE = rf"""
+WITH
+  {dedup.sql_simhash128_signatures("documents")},
+  bands AS (
+    {_sh128_band_selects}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash128 AS simhash_a,
+                    b.doc_id AS doc_b, b.simhash128 AS simhash_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+  CAST({dedup.sql_hamming("simhash_a", "simhash_b", n_bits=dedup.SIMHASH128_BITS)} AS INTEGER) AS hamming
+FROM cand
+WHERE {dedup.sql_hamming("simhash_a", "simhash_b", n_bits=dedup.SIMHASH128_BITS)} <= {_SH_MAX_HAMMING}
+""".strip()
+
+
+@spec(
+    "doc_simhash128_pairs",
+    oracle=_SIMHASH128_ORACLE,
+    tags=("dedup", "simhash", "scale_sibling"),
+    bench=True,
+)
+def q_doc_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs (hamming ≤ 3) over 4 × 32-bit bands —
+    each band int IS its LSH key (no string slicing), pigeonhole-exact for
+    hamming ≤ 3, and the 32-bit key space keeps correlated template corpora
+    from concentrating into the hot buckets that dominate the 64-bit
+    variant's banding stage at the 100x tier."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash128_near_dup_pairs(d, max_hamming=_SH_MAX_HAMMING)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 # --- BPE-ish subword token counting ----------------------------------------
 # A GPT-2-style pre-tokenizer simplified to the regex subset both engines
 # share: letter runs, digit runs, and single non-alphanumeric marks.
