@@ -192,12 +192,23 @@ def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
 
 
 def run_one(name: str, sf_dir: str) -> int:
-    """Child entry for --isolate: time ONE query cold in this fresh session."""
+    """Child entry for --isolate: time ONE query cold in this fresh session.
+
+    An untimed warm-up query runs first (same policy as bench.py) so the
+    cell measures plan cost, not plan + session start: JVM/codegen/parquet
+    footer warm-up is a ~5 s constant that compresses small-query scaling
+    ratios when folded into every cell. The warm-up is a DIFFERENT query
+    than the timed one (never warms the timed plan), over the base SF so
+    even tier-dir scan caches stay cold for the measurement.
+    """
     from stock_etl_pipeline_spark.session import get_spark
     from stock_etl_pipeline_spark.workload import load_all
 
     spark = get_spark(app_name=f"soak-{name}")
-    s = load_all()[name]
+    registry = load_all()
+    warmup = "source_report" if name != "source_report" else "transform_metrics"
+    registry[warmup].fn(spark, BASE_SF).write.mode("overwrite").format("noop").save()
+    s = registry[name]
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
