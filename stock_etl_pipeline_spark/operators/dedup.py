@@ -177,9 +177,118 @@ def near_dup_keepers(
             raise ValueError(
                 f"near_dup_keepers: {changed} labels still changing after "
                 f"{rounds} rounds — a component has diameter > {rounds}; "
-                f"raise `rounds`"
+                f"raise `rounds` or use connected_components() (exact for "
+                f"any diameter)"
             )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Exact connected components over a near-dup pair relation —
+    alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"), the scale-correct sibling of
+    :func:`near_dup_keepers`'s fixed-round min-label propagation.
+
+    Propagation is exact only for components of diameter ≤ rounds; its
+    convergence certificate can DETECT a deeper component but not fix it.
+    Large-star/small-star converges for ANY diameter in O(log n)
+    alternations (each round halves tree heights), so this is the right
+    operator when the pair graph's shape is unknown — chain-shaped
+    components arise in practice from transitive near-dup overlaps
+    (A≈B≈C without A≈C).
+
+    Each alternation is two co-partitioned groupBy+join rounds over the
+    edge relation (linear, no broadcast); ``localCheckpoint`` truncates
+    the iterative lineage exactly as in the propagation path. Convergence
+    is an edge-set fixpoint test (count + exceptAll) — exact, not a
+    fingerprint. ``max_rounds`` is a runaway backstop (log₂ of any real
+    corpus is < 50), raising instead of silently returning partial labels.
+
+    Returns (doc_id, keeper_id): every node that appears in ``pairs``,
+    labeled with its component's minimum id — identical contract and
+    labeling to ``near_dup_keepers``, so the two are interchangeable
+    downstream.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Undirected edge set, kept canonical (lo < hi) between alternations.
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _same(a: DataFrame, b: DataFrame) -> bool:
+        # Exact set equality on distinct checkpointed relations: counts
+        # first (metadata-cheap), exceptAll only when counts agree.
+        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+    for _ in range(max_rounds):
+        # Large-star: for every node u, connect each STRICTLY LARGER
+        # neighbor v to m = min(Γ(u) ∪ {u}).  Symmetrize, take per-u min
+        # neighbor, emit (v, m) for v > u; (v, m) is already v > m.
+        sym = edges.unionByName(
+            edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+        ).select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        m_u = sym.groupBy("u").agg(F.min("v").alias("min_nbr"))
+        m_u = m_u.select("u", F.least("u", "min_nbr").alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_u, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        # Small-star: orient edges toward the smaller endpoint; for every u,
+        # m = min(Γ≤(u) ∪ {u}) and every v ∈ Γ≤(u) ∪ {u} \ {m} links to m.
+        down = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_u = down.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            down.join(m_u, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+        )
+        self_link = m_u.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        small = relink.unionByName(self_link).distinct().localCheckpoint()
+
+        # Fixpoint: BOTH phases leave the edge set unchanged — a star graph
+        # is a fixpoint of each phase individually, and requiring both rules
+        # out a non-star set that one phase maps onto the other's output
+        # (comparing only small-star's output to large-star's converges
+        # early on chains).
+        converged = _same(large, edges) and _same(small, large)
+        edges = small
+        if converged:
+            break
+    else:
+        raise ValueError(
+            f"connected_components: no fixpoint after {max_rounds} "
+            f"alternations — pathological input (cycle in id ordering?)"
+        )
+
+    # At the fixpoint every edge is a star edge (root=lo, member=hi);
+    # isolated-in-pairs nodes (self-pairs only) label themselves.
+    stars = edges.select(F.col("hi").alias("id"), F.col("lo").alias("root"))
+    return nodes.join(stars, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("id")).alias("keeper_id"),
+    )
 
 
 # --- MinHash + LSH ----------------------------------------------------------

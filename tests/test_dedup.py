@@ -339,3 +339,81 @@ def test_duplicate_span_stats_planted(spark):
     assert out[5]["n_grams"] == 5 and out[5]["n_dup_grams"] == 5
     assert out[5]["max_dup_run"] == 5
     assert abs(out[5]["dup_frac"] - 1.0) < 1e-9
+
+
+# --- large-star/small-star connected components ------------------------------
+
+
+def _cc(spark, pairs):
+    from stock_etl_pipeline_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = connected_components(df)
+    return {r["doc_id"]: r["keeper_id"] for r in out.collect()}
+
+
+def _uf_reference(pairs):
+    """Plain union-find ground truth with min-id canonical labels."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_long_chain_beyond_propagation_rounds(spark):
+    # Diameter-60 path: fixed-round propagation (rounds=3) can only DETECT
+    # this via its certificate; large-star/small-star must SOLVE it.
+    chain = [(i, i + 1) for i in range(100, 160)]
+    assert _cc(spark, chain) == {i: 100 for i in range(100, 161)}
+
+
+def test_cc_matches_union_find_on_mixed_graph(spark):
+    # Cliques + chains + isolated pair + self-pair, shuffled ids.
+    pairs = (
+        [(1, 2), (2, 3), (1, 3)]          # clique
+        + [(10, 50), (50, 20), (20, 40)]  # chain with non-monotone ids
+        + [(7, 8)]                        # pair
+        + [(99, 99)]                      # self-pair → own keeper
+        + [(60, 61), (62, 61), (62, 63), (63, 60)]  # cycle
+    )
+    got = _cc(spark, pairs)
+    want = _uf_reference([(a, b) for a, b in pairs if a != b])
+    want[99] = 99
+    assert got == want
+
+
+def test_cc_agrees_with_propagation_when_rounds_suffice(spark):
+    from stock_etl_pipeline_spark.operators.dedup import near_dup_keepers
+
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(4, 6), (8, 10)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    prop = {r["doc_id"]: r["keeper_id"] for r in near_dup_keepers(df, rounds=3).collect()}
+    cc = _cc(spark, pairs)
+    assert cc == prop
+
+
+def test_cc_empty_pairs(spark):
+    from stock_etl_pipeline_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).collect() == []
+
+
+def test_cc_string_ids(spark):
+    from stock_etl_pipeline_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("d2", "d1"), ("d2", "d3"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x": "x", "y": "x"}
