@@ -977,3 +977,116 @@ def ann_bucketed_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --- semantic dedup (SemDeDup composition) ----------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    *,
+    k_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus into cells,
+    find within-cell pairs with cosine ≥ ``threshold``, group them into
+    duplicate components, keep ONE representative per component.
+
+    Composition of three existing operators, no new machinery:
+    ``kmeans_exact`` (deterministic coarse clustering) →
+    per-cell exact pairwise cosine (the same Arrow GEMM kernel as the
+    bucketed near-dup path, bounded by the cell) →
+    ``dedup.connected_components`` (exact grouping for any component shape).
+
+    Like the paper, duplicate search is WITHIN-CELL only: a near-dup pair
+    split across two cells is missed (the paper accepts this; raise
+    ``k_clusters`` slowly, or lower ``iters``, to trade recall for cell
+    size). Cells bound the quadratic term at Σ n_cell² — the 100 TB story
+    is the cell count growing with the corpus so cells stay
+    executor-sized.
+
+    Keeper policy:
+    - ``min_id`` (default): smallest id in the component — cheap,
+      deterministic, matches the text-dedup keeper convention.
+    - ``far_from_centroid``: the paper's policy — keep the component member
+      with the LARGEST distance to its cell centroid (low-redundancy
+      representative); ties break to the smaller id. Distances are the
+      same 1e-6-quantized values the assignment argmin uses, so the choice
+      is engine-deterministic.
+
+    Returns one row per input vector: (``id_col``, cid, group_id,
+    keeper_id) where group_id is the component's min id (singletons:
+    themselves) and keeper_id follows the policy. Rows to keep are
+    ``keeper_id == id_col``; the relation is linear in the corpus.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keeper policy {keep!r}")
+    import pandas as pd
+
+    from .dedup import connected_components
+
+    v = with_micro_vectors(df.select(id_col, vec_col), vec_col)
+    centroids = kmeans_exact(v, k_clusters=k_clusters, iters=iters, id_col=id_col)
+    assigned = assign_to_centroids(v, centroids, id_col=id_col)
+    # distance to own centroid (same quantization as the assignment argmin)
+    vc = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
+    dist = F.floor(
+        (F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    cells = (
+        assigned.join(F.broadcast(centroids), "cid")
+        .withColumn("cdist", dist)
+        .withColumn("unit", F.expr(f"transform(v_dbl, x -> x / sqrt(vv))"))
+        .select(id_col, "cid", "cdist", "unit")
+    )
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    # Un-annotated on purpose — see block_pair_cosines above.
+    def cell_cosines(key, pdf):
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        m = np.stack(pdf["unit"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        cos = m @ m.T
+        ia, ib = np.nonzero(cos >= threshold)
+        kp = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {"vec_a": ids[ia][kp], "vec_b": ids[ib][kp], "cosine": cos[ia, ib][kp]}
+        )
+
+    pairs = (
+        cells.select(F.col(id_col).alias("_id"), "cid", "unit")
+        .groupBy("cid")
+        .applyInPandas(cell_cosines, out_schema)
+    )
+    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    labeled = cells.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        "cid",
+        "cdist",
+        F.coalesce(F.col("keeper_id"), F.col(id_col)).alias("group_id"),
+    )
+    if keep == "min_id":
+        return labeled.select(
+            id_col, "cid", "group_id", F.col("group_id").alias("keeper_id")
+        )
+    # far_from_centroid: per-component argmax distance, ties to smaller id —
+    # hash-agg min(struct(-dist, id)) (no window sort over the corpus).
+    reps = (
+        labeled.groupBy("group_id")
+        .agg(F.min(F.struct(-F.col("cdist"), F.col(id_col))).alias("m"))
+        .select("group_id", F.col(f"m.{id_col}").alias("keeper_id"))
+    )
+    return labeled.join(reps, "group_id").select(
+        id_col, "cid", "group_id", "keeper_id"
+    )

@@ -417,3 +417,82 @@ def test_cc_string_ids(spark):
     )
     got = {r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()}
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x": "x", "y": "x"}
+
+
+# --- semantic dedup (SemDeDup composition) -----------------------------------
+
+
+def _sem_corpus(spark):
+    """3 planted families (intra-cosine ≥ 0.999, inter < 0.75) + 2 singletons;
+    ids interleaved so kmeans_exact's first-k init seeds one centroid per
+    family."""
+    fam = {
+        "A": [1.0, 0.0, 0.0, 0.0],
+        "B": [0.0, 1.0, 0.0, 0.0],
+        "C": [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for rep in range(3):
+        for fi, base in enumerate(fam.values()):
+            vec = list(base)
+            vec[3] = 0.01 * rep  # tiny perturbation, cosine ≈ 0.99995
+            rows.append((rep * 3 + fi, vec))
+    rows.append((9, [0.0, 0.0, 0.0, 1.0]))
+    rows.append((10, [0.6, 0.64, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_min_id(spark):
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _sem_corpus(spark), 0.99, k_clusters=3, iters=2
+    ).collect()
+    got = {r["vec_id"]: (r["group_id"], r["keeper_id"]) for r in out}
+    assert len(got) == 11
+    # families {0,3,6}, {1,4,7}, {2,5,8} collapse to min id; singletons keep
+    for ids in ([0, 3, 6], [1, 4, 7], [2, 5, 8]):
+        for i in ids:
+            assert got[i] == (ids[0], ids[0]), (i, got[i])
+    for i in (9, 10):
+        assert got[i] == (i, i)
+
+
+def test_semantic_dedup_far_from_centroid(spark):
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _sem_corpus(spark), 0.99, k_clusters=3, iters=2, keep="far_from_centroid"
+    ).collect()
+    got = {r["vec_id"]: r["keeper_id"] for r in out}
+    # exactly one keeper per family, drawn FROM the family
+    for ids in ([0, 3, 6], [1, 4, 7], [2, 5, 8]):
+        keepers = {got[i] for i in ids}
+        assert len(keepers) == 1 and keepers <= set(ids)
+    assert got[9] == 9 and got[10] == 10
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _sem_corpus(spark)
+    a = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, k_clusters=3, iters=2,
+                                keep="far_from_centroid").collect()
+    }
+    b = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base.repartition(7), 0.99, k_clusters=3,
+                                iters=2, keep="far_from_centroid").collect()
+    }
+    assert a == b
+
+
+def test_semantic_dedup_rejects_unknown_policy(spark):
+    import pytest
+
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    with pytest.raises(ValueError, match="keeper policy"):
+        semantic_dedup(_sem_corpus(spark), 0.99, keep="random")
