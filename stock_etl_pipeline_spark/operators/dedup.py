@@ -183,6 +183,28 @@ def near_dup_keepers(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keeper_id"))
 
 
+def sql_propagation_rounds(rounds: int) -> str:
+    """Generated CTE rounds replaying :func:`near_dup_keepers`'s min-label
+    propagation in SQL — expects an ``edges(src, dst)`` CTE (symmetrized)
+    and emits ``l0 .. l{rounds}``; the final labels are ``l{rounds}(id,
+    label)``. The oracle pattern doc_dedup_clusters established, factored
+    for reuse (the semantic-dedup oracle replays the same algorithm)."""
+    parts = ["l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"]
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f"""l{k} AS (
+    SELECT l.id, least(l.label, COALESCE(m.nm, l.label)) AS label
+    FROM {prev} l LEFT JOIN (
+      SELECT e.src AS id, min(nl.label) AS nm
+      FROM edges e JOIN {prev} nl ON nl.id = e.dst
+      GROUP BY e.src
+    ) m ON m.id = l.id
+  )"""
+        )
+    return ",\n  ".join(parts)
+
+
 def connected_components(
     pairs: DataFrame,
     *,

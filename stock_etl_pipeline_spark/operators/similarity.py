@@ -991,6 +991,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "min_id",
+    pair_backend: str = "gemm",
+    propagation_rounds: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus into cells,
@@ -1019,6 +1021,20 @@ def semantic_dedup(
       same 1e-6-quantized values the assignment argmin uses, so the choice
       is engine-deterministic.
 
+    Pair backends (``pair_backend``):
+    - ``gemm`` (default): per-cell Arrow-batched numpy GEMM — the fast
+      path; cosines are float64 with BLAS-order last-ulp variation, so
+      consumers quantize before comparing.
+    - ``jvm``: co-partitioned self-join per cell with the engine's
+      micro-quantized dot product, cosine floor-rounded to 1e-6 BEFORE the
+      threshold — bit-identical in any engine, the oracle-checkable path
+      (same machinery as the IVF family).
+
+    Component grouping: ``dedup.connected_components`` by default (exact
+    for any diameter); ``propagation_rounds=N`` switches to N-round
+    min-label propagation (``near_dup_keepers``) — the cheap near-clique
+    path whose fixed rounds a SQL oracle can replay as generated CTEs.
+
     Returns one row per input vector: (``id_col``, cid, group_id,
     keeper_id) where group_id is the component's min id (singletons:
     themselves) and keeper_id follows the policy. Rows to keep are
@@ -1026,9 +1042,11 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keeper policy {keep!r}")
+    if pair_backend not in ("gemm", "jvm"):
+        raise ValueError(f"unknown pair backend {pair_backend!r}")
     import pandas as pd
 
-    from .dedup import connected_components
+    from .dedup import connected_components, near_dup_keepers
 
     v = with_micro_vectors(df.select(id_col, vec_col), vec_col)
     centroids = kmeans_exact(v, k_clusters=k_clusters, iters=iters, id_col=id_col)
@@ -1041,33 +1059,61 @@ def semantic_dedup(
     cells = (
         assigned.join(F.broadcast(centroids), "cid")
         .withColumn("cdist", dist)
-        .withColumn("unit", F.expr(f"transform(v_dbl, x -> x / sqrt(vv))"))
-        .select(id_col, "cid", "cdist", "unit")
+        .withColumn("unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))"))
+        .select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
     )
 
-    out_schema = "vec_a long, vec_b long, cosine double"
-
-    # Un-annotated on purpose — see block_pair_cosines above.
-    def cell_cosines(key, pdf):
-        import numpy as np
-
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        m = np.stack(pdf["unit"].to_numpy())
-        ids = pdf["_id"].to_numpy()
-        cos = m @ m.T
-        ia, ib = np.nonzero(cos >= threshold)
-        kp = ids[ia] < ids[ib]
-        return pd.DataFrame(
-            {"vec_a": ids[ia][kp], "vec_b": ids[ib][kp], "cosine": cos[ia, ib][kp]}
+    if pair_backend == "jvm":
+        a = cells.select(
+            F.col(id_col).alias("vec_a"), "cid",
+            F.col("v_dbl").alias("da"), F.col("vv").alias("va"),
         )
+        b = cells.select(
+            F.col(id_col).alias("vec_b"), "cid",
+            F.col("v_dbl").alias("db"), F.col("vv").alias("vb"),
+        )
+        qcos = F.floor(
+            F.expr(_DOT_D.format(a="da", b="db"))
+            / (F.sqrt(F.col("va")) * F.sqrt(F.col("vb")))
+            * 1e6
+            + F.lit(0.5)
+        ) / 1e6
+        pairs = (
+            a.join(b, "cid")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", qcos)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+    else:
+        out_schema = "vec_a long, vec_b long, cosine double"
 
-    pairs = (
-        cells.select(F.col(id_col).alias("_id"), "cid", "unit")
-        .groupBy("cid")
-        .applyInPandas(cell_cosines, out_schema)
-    )
-    comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+        # Un-annotated on purpose — see block_pair_cosines above.
+        def cell_cosines(key, pdf):
+            import numpy as np
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            m = np.stack(pdf["unit"].to_numpy())
+            ids = pdf["_id"].to_numpy()
+            cos = m @ m.T
+            ia, ib = np.nonzero(cos >= threshold)
+            kp = ids[ia] < ids[ib]
+            return pd.DataFrame(
+                {"vec_a": ids[ia][kp], "vec_b": ids[ib][kp], "cosine": cos[ia, ib][kp]}
+            )
+
+        pairs = (
+            cells.select(F.col(id_col).alias("_id"), "cid", "unit")
+            .groupBy("cid")
+            .applyInPandas(cell_cosines, out_schema)
+        )
+    if propagation_rounds is None:
+        comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
+    else:
+        comp = near_dup_keepers(
+            pairs, id_a="vec_a", id_b="vec_b", rounds=propagation_rounds
+        )
     labeled = cells.join(
         comp.withColumnRenamed("doc_id", id_col), id_col, "left"
     ).select(

@@ -224,36 +224,51 @@ def q_cross_source_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3/A6 — grouped collection rendered portably (reference queries.py:57,142)
 # ---------------------------------------------------------------------------
 
-# source_details (A3) + source_distribution (A6) FUSED into one registry
-# slot (round-3 headroom for the capped-set minhash query): both are
-# aggregates over the same prices scan, discriminated by a block column on
-# a unified (block, key, date, sources, n_rows) schema. The standalone
-# operators remain in operators/analytics.py; only the driver registration
-# is fused.
+# source_details (A3) + source_distribution (A6) + source_close_pivot FUSED
+# into one registry slot (round-3 headroom for the capped-set minhash query;
+# the pivot block joined in round 4 to free a slot for the semantic-dedup
+# query): all three are aggregates over the same prices scan, discriminated
+# by a block column on a unified (block, key, date, sources, n_rows,
+# av_close, yf_close) schema. The standalone operators remain in
+# operators/analytics.py (and `.pivot()` stays exercised in the pivot
+# block); only the driver registration is fused.
 _SOURCE_REPORT_ORACLE = oracle_with_prices(
     """
 SELECT 'details' AS block, symbol AS key, date,
   array_to_string(list_sort(list(DISTINCT data_source)), ',') AS sources,
-  count(*) AS n_rows
+  count(*) AS n_rows,
+  CAST(NULL AS DOUBLE) AS av_close, CAST(NULL AS DOUBLE) AS yf_close
 FROM prices GROUP BY symbol, date
 UNION ALL
 SELECT 'distribution' AS block, data_source AS key,
   CAST(NULL AS DATE) AS date, CAST(NULL AS VARCHAR) AS sources,
-  count(*) AS n_rows
+  count(*) AS n_rows,
+  CAST(NULL AS DOUBLE) AS av_close, CAST(NULL AS DOUBLE) AS yf_close
 FROM prices GROUP BY data_source
+UNION ALL
+SELECT 'pivot' AS block, symbol AS key, date,
+  CAST(NULL AS VARCHAR) AS sources, CAST(NULL AS BIGINT) AS n_rows,
+  max(close) FILTER (WHERE data_source = 'alpha_vantage') AS av_close,
+  max(close) FILTER (WHERE data_source = 'yahoo_finance') AS yf_close
+FROM prices GROUP BY symbol, date
 """.rstrip()
 )
 
 
-@spec("source_report", oracle=_SOURCE_REPORT_ORACLE, tags=("A3", "A6", "array_agg"))
+@spec("source_report", oracle=_SOURCE_REPORT_ORACLE, tags=("A3", "A6", "array_agg", "pivot"))
 def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = load_prices(spark, sf_dir)
+    null_close = [
+        F.lit(None).cast("double").alias("av_close"),
+        F.lit(None).cast("double").alias("yf_close"),
+    ]
     details = analytics.source_details(prices).select(
         F.lit("details").alias("block"),
         F.col("symbol").alias("key"),
         "date",
         "sources",
         "n_rows",
+        *null_close,
     )
     dist = analytics.source_distribution(prices).select(
         F.lit("distribution").alias("block"),
@@ -261,8 +276,26 @@ def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("date"),
         F.lit(None).cast("string").alias("sources"),
         F.col("record_count").alias("n_rows"),
+        *null_close,
     )
-    return details.unionByName(dist)
+    # Wide reshape block: one close column per source via pivot with an
+    # EXPLICIT value list — omitting it would cost an extra distinct-values
+    # job and make the output schema data-dependent (both wrong at scale).
+    piv = (
+        prices.groupBy("symbol", "date")
+        .pivot("data_source", ["alpha_vantage", "yahoo_finance"])
+        .agg(F.max("close"))
+        .select(
+            F.lit("pivot").alias("block"),
+            F.col("symbol").alias("key"),
+            "date",
+            F.lit(None).cast("string").alias("sources"),
+            F.lit(None).cast("bigint").alias("n_rows"),
+            F.col("alpha_vantage").alias("av_close"),
+            F.col("yahoo_finance").alias("yf_close"),
+        )
+    )
+    return details.unionByName(dist).unionByName(piv)
 
 
 # ---------------------------------------------------------------------------
@@ -581,29 +614,8 @@ def q_price_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark pivot() compiles to conditional aggregates over a fixed value list;
 # the oracle writes those conditional aggregates directly (the portable
 # two-step the engine defines for BigQuery's in-agg histograms, SURVEY §2.5).
-_PIVOT_ORACLE = oracle_with_prices("""
-SELECT symbol, date,
-  max(close) FILTER (WHERE data_source = 'alpha_vantage') AS alpha_vantage_close,
-  max(close) FILTER (WHERE data_source = 'yahoo_finance') AS yahoo_finance_close
-FROM prices
-GROUP BY symbol, date
-""".strip())
-
-
-@spec("source_close_pivot", oracle=_PIVOT_ORACLE, tags=("pivot", "reshape"))
-def q_source_close_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide reshape: one close column per source via pivot with an EXPLICIT
-    value list — omitting it would cost an extra distinct-values job and
-    make the output schema data-dependent (both wrong at scale)."""
-    p = load_prices(spark, sf_dir)
-    return (
-        p.groupBy("symbol", "date")
-        .pivot("data_source", ["alpha_vantage", "yahoo_finance"])
-        .agg(F.max("close"))
-        .withColumnsRenamed(
-            {"alpha_vantage": "alpha_vantage_close", "yahoo_finance": "yahoo_finance_close"}
-        )
-    )
+# Registered as source_report's 'pivot' block since round 4 (slot freed for
+# the semantic-dedup query).
 
 
 # --- set operations: INTERSECT / EXCEPT -------------------------------------

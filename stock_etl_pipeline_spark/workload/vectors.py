@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..datasets import load_table
 from ..functions import pround, sql_pround
-from ..operators import similarity
+from ..operators import dedup, similarity
 from . import spec
 
 _N_QUERIES = 5
@@ -617,4 +617,95 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "query_id", "neighbor_id", "approx_cosine", "cosine",
         F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# --- semantic dedup (SemDeDup): k-means cells → within-cell pairs → keeper --
+# The LLM-corpus semantic-dedup shape (Abbas et al. 2023) driver-checked
+# end-to-end: the SAME exact k-means replay the IVF oracle established,
+# within-cell pair generation on the micro-quantized dot product (cosine
+# floor-rounded to 1e-6 BEFORE the threshold — bit-identical in both
+# engines), 3 generated rounds of min-label propagation (the
+# doc_dedup_clusters pattern, factored as dedup.sql_propagation_rounds),
+# and the paper's farthest-from-centroid keeper policy decided on the
+# SAME quantized distances the assignment argmin uses. The operator's fast
+# path (Arrow-GEMM pairs + exact connected components) is pinned to this
+# oracle-checkable composition by tests/test_dedup.py equivalence tests.
+_SEM_THRESHOLD = 0.4
+_SEM_ROUNDS = 3
+_SEM_QCOS = (
+    "floor(list_dot_product(a.v_dbl, b.v_dbl) / (sqrt(a.vv) * sqrt(b.vv))"
+    " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+_SEMANTIC_ORACLE = f"""
+WITH vx AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v_int,
+    list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
+  FROM embeddings
+),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
+       FROM vv0 WHERE vec_id < {_IVF_K}),
+{_ivf_iters_sql},
+caq AS (
+  SELECT vec_id, cid, v_dbl, vv, cdist FROM (
+    SELECT t.vec_id, t.v_dbl, t.vv, c.cid, {_IVF_DIST} AS cdist,
+      row_number() OVER (PARTITION BY t.vec_id
+        ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
+    FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
+  ) WHERE r = 1
+),
+prs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM caq a JOIN caq b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_SEM_QCOS} >= {_SEM_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM prs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM prs
+),
+{dedup.sql_propagation_rounds(_SEM_ROUNDS)},
+lbl AS (
+  SELECT q.vec_id, q.cid, q.cdist, COALESCE(l.label, q.vec_id) AS group_id
+  FROM caq q LEFT JOIN l{_SEM_ROUNDS} l ON l.id = q.vec_id
+),
+reps AS (
+  SELECT group_id, vec_id AS keeper_id FROM (
+    SELECT group_id, vec_id, row_number() OVER (
+      PARTITION BY group_id ORDER BY cdist DESC, vec_id ASC) AS r
+    FROM lbl
+  ) WHERE r = 1
+)
+SELECT l.vec_id, CAST(l.cid AS INTEGER) AS cid, l.group_id, r.keeper_id
+FROM lbl l JOIN reps r USING (group_id)
+""".strip()
+
+
+@spec(
+    "embedding_semantic_dedup",
+    oracle=_SEMANTIC_ORACLE,
+    tags=("similarity", "dedup", "semdedup", "kmeans", "graph"),
+    bench=True,
+)
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: exact k-means cells (the IVF
+    coarse quantizer), within-cell pairs at quantized cosine ≥ 0.4, 3-round
+    min-label grouping, farthest-from-centroid keeper per group — one
+    (vec_id, cid, group_id, keeper_id) row per vector, linear output. The
+    jvm pair backend + fixed propagation rounds make the whole iterative
+    composition oracle-replayable; the production fast path swaps in the
+    Arrow-GEMM pair kernel and exact connected components
+    (tests/test_dedup.py pins both equivalences)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e,
+        _SEM_THRESHOLD,
+        k_clusters=_IVF_K,
+        iters=_IVF_ITERS,
+        keep="far_from_centroid",
+        pair_backend="jvm",
+        propagation_rounds=_SEM_ROUNDS,
     )

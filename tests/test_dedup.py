@@ -496,3 +496,39 @@ def test_semantic_dedup_rejects_unknown_policy(spark):
 
     with pytest.raises(ValueError, match="keeper policy"):
         semantic_dedup(_sem_corpus(spark), 0.99, keep="random")
+
+
+def test_semantic_dedup_jvm_backend_matches_gemm(spark):
+    """The oracle-checkable jvm pair backend and the Arrow-GEMM backend must
+    produce identical (group, keeper) labelings (cosines differ only at the
+    last ulp, far from the planted corpus's threshold margins)."""
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _sem_corpus(spark)
+    kw = dict(k_clusters=3, iters=2, keep="far_from_centroid")
+    g = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, **kw).collect()
+    }
+    j = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, pair_backend="jvm", **kw).collect()
+    }
+    assert g == j
+
+
+def test_semantic_dedup_propagation_matches_cc(spark):
+    """Families are cliques, so 3-round propagation and exact CC agree."""
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _sem_corpus(spark)
+    kw = dict(k_clusters=3, iters=2, pair_backend="jvm")
+    cc = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, **kw).collect()
+    }
+    prop = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, propagation_rounds=3, **kw).collect()
+    }
+    assert cc == prop
