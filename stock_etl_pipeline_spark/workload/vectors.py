@@ -684,6 +684,30 @@ FROM lbl l JOIN reps r USING (group_id)
 """.strip()
 
 
+# Cell-count tier (the lsh_tier_geometry pattern): tier 0 — ≤ 40k vectors —
+# is the FROZEN oracle geometry (8 cells, jvm pairs, 3 propagation rounds;
+# every driver/bench SF lands here). Above it, cells grow with the corpus so
+# the per-cell quadratic term stays executor-sized (~5k vectors/cell), and
+# the pair stage switches to the Arrow-GEMM kernel + exact connected
+# components — the production fast path the equivalence tests pin to the
+# oracle path. 8 fixed cells at 500k vectors would be ~1.2e9 JVM pair
+# evaluations; 100 cells of 5k via BLAS is seconds of GEMM.
+_SEM_TIER0_MAX = 40_000
+_SEM_CELL_SIZE = 5_000
+
+
+def _sem_tier(n_vecs: int) -> dict:
+    if n_vecs <= _SEM_TIER0_MAX:
+        return dict(
+            k_clusters=_IVF_K, pair_backend="jvm", propagation_rounds=_SEM_ROUNDS
+        )
+    return dict(
+        k_clusters=-(-n_vecs // _SEM_CELL_SIZE),
+        pair_backend="gemm",
+        propagation_rounds=None,
+    )
+
+
 @spec(
     "embedding_semantic_dedup",
     oracle=_SEMANTIC_ORACLE,
@@ -692,20 +716,20 @@ FROM lbl l JOIN reps r USING (group_id)
 )
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: exact k-means cells (the IVF
-    coarse quantizer), within-cell pairs at quantized cosine ≥ 0.4, 3-round
-    min-label grouping, farthest-from-centroid keeper per group — one
-    (vec_id, cid, group_id, keeper_id) row per vector, linear output. The
-    jvm pair backend + fixed propagation rounds make the whole iterative
-    composition oracle-replayable; the production fast path swaps in the
-    Arrow-GEMM pair kernel and exact connected components
-    (tests/test_dedup.py pins both equivalences)."""
+    coarse quantizer), within-cell pairs at quantized cosine ≥ 0.4,
+    component grouping, farthest-from-centroid keeper per group — one
+    (vec_id, cid, group_id, keeper_id) row per vector, linear output. At
+    driver/bench SFs (tier 0) the jvm pair backend + fixed propagation
+    rounds make the whole iterative composition oracle-replayable; larger
+    corpora switch to proportionally more cells, the Arrow-GEMM pair
+    kernel, and exact connected components (tests/test_dedup.py pins the
+    backend and grouping equivalences). The count() is a metadata-only
+    parquet job, same as _mh_geometry."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         e,
         _SEM_THRESHOLD,
-        k_clusters=_IVF_K,
         iters=_IVF_ITERS,
         keep="far_from_centroid",
-        pair_backend="jvm",
-        propagation_rounds=_SEM_ROUNDS,
+        **_sem_tier(e.count()),
     )

@@ -532,3 +532,15 @@ def test_semantic_dedup_propagation_matches_cc(spark):
         for r in semantic_dedup(base, 0.99, propagation_rounds=3, **kw).collect()
     }
     assert cc == prop
+
+
+def test_sem_tier_boundaries():
+    from stock_etl_pipeline_spark.workload.vectors import _sem_tier, _IVF_K
+
+    t0 = _sem_tier(500)
+    assert t0 == dict(k_clusters=_IVF_K, pair_backend="jvm", propagation_rounds=3)
+    assert _sem_tier(40_000) == t0  # frozen oracle tier boundary inclusive
+    t1 = _sem_tier(40_001)
+    assert t1["pair_backend"] == "gemm" and t1["propagation_rounds"] is None
+    assert t1["k_clusters"] == 9  # ceil(40001 / 5000)
+    assert _sem_tier(500_000)["k_clusters"] == 100
