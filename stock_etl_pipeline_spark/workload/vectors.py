@@ -686,14 +686,17 @@ FROM lbl l JOIN reps r USING (group_id)
 
 # Cell-count tier (the lsh_tier_geometry pattern): tier 0 — ≤ 40k vectors —
 # is the FROZEN oracle geometry (8 cells, jvm pairs, 3 propagation rounds;
-# every driver/bench SF lands here). Above it, cells grow with the corpus so
-# the per-cell quadratic term stays executor-sized (~5k vectors/cell), and
-# the pair stage switches to the Arrow-GEMM kernel + exact connected
-# components — the production fast path the equivalence tests pin to the
-# oracle path. 8 fixed cells at 500k vectors would be ~1.2e9 JVM pair
-# evaluations; 100 cells of 5k via BLAS is seconds of GEMM.
+# every driver/bench SF lands here). Above it the pair stage switches to the
+# Arrow-GEMM kernel + exact connected components (the production fast path
+# the equivalence tests pin to the oracle path), and the cell count follows
+# a √n rule: total cost is a·n·K for the JVM-row assignment cross join plus
+# g·n²/K for the per-cell BLAS GEMM, minimized at K* = √(n·g/a) ∝ √n —
+# total work O(n^1.5), with the n²/K term carried by BLAS flops, not JVM
+# rows. The measured constants (100x tier: 50M assignment rows dominated
+# while 2.5G GEMM MACs were seconds) put K* ≈ √n/7 — ~100 cells of ~5k at
+# 500k vectors, ~1000 cells of ~50k at 50M. A LINEAR cells rule (fixed cell
+# size) would make the assignment term n²/cell — quadratic in JVM rows.
 _SEM_TIER0_MAX = 40_000
-_SEM_CELL_SIZE = 5_000
 
 
 def _sem_tier(n_vecs: int) -> dict:
@@ -702,7 +705,7 @@ def _sem_tier(n_vecs: int) -> dict:
             k_clusters=_IVF_K, pair_backend="jvm", propagation_rounds=_SEM_ROUNDS
         )
     return dict(
-        k_clusters=-(-n_vecs // _SEM_CELL_SIZE),
+        k_clusters=max(_IVF_K + 1, round(n_vecs**0.5 / 7)),
         pair_backend="gemm",
         propagation_rounds=None,
     )

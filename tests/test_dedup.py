@@ -542,5 +542,6 @@ def test_sem_tier_boundaries():
     assert _sem_tier(40_000) == t0  # frozen oracle tier boundary inclusive
     t1 = _sem_tier(40_001)
     assert t1["pair_backend"] == "gemm" and t1["propagation_rounds"] is None
-    assert t1["k_clusters"] == 9  # ceil(40001 / 5000)
-    assert _sem_tier(500_000)["k_clusters"] == 100
+    assert t1["k_clusters"] == 29  # round(sqrt(40001) / 7)
+    assert _sem_tier(500_000)["k_clusters"] == 101  # √n rule: ~100 at 100x
+    assert _sem_tier(50_000_000)["k_clusters"] == 1010  # O(n^1.5) total work
