@@ -574,20 +574,6 @@ _CC_ROUNDS = 3
 # stays beside it as the exact baseline.
 
 
-def _cc_round(k: int) -> str:
-    prev = f"l{k - 1}"
-    return f"""
-l{k} AS (
-    SELECT l.id, least(l.label, COALESCE(m.nm, l.label)) AS label
-    FROM {prev} l LEFT JOIN (
-      SELECT e.src AS id, min(nl.label) AS nm
-      FROM edges e JOIN {prev} nl ON nl.id = e.dst
-      GROUP BY e.src
-    ) m ON m.id = l.id
-  )""".strip()
-
-
-_cc_rounds_sql = ",\n  ".join(_cc_round(k) for k in range(1, _CC_ROUNDS + 1))
 _pairs_body = (
     _MINHASH_CAPPED_ORACLE.split("WITH\n", 1)[1]
     .rsplit("SELECT doc_a", 1)[0]
@@ -607,8 +593,7 @@ WITH
     UNION
     SELECT doc_b AS src, doc_a AS dst FROM verified
   ),
-  l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
-  {_cc_rounds_sql}
+  {dedup.sql_propagation_rounds(_CC_ROUNDS)}
 SELECT id AS doc_id, label AS keeper_id FROM l{_CC_ROUNDS}
 """.strip()
 
