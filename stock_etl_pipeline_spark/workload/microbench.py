@@ -167,6 +167,14 @@ STAGES: dict[str, list[tuple[str, Builder]]] = {
         ("buckets", _ann_buckets),
         ("topk", _ann_topk),
     ],
+    # SemDeDup composition: the first two stages are the same k-means model
+    # and corpus assignment the IVF index builds; the final stage adds the
+    # within-cell pair join + label grouping + keeper selection.
+    "embedding_semantic_dedup": [
+        ("kmeans", _ivf_centroids),
+        ("assignment", _ivf_assignments),
+        ("dedup", lambda spark, sf_dir: vectors.q_embedding_semantic_dedup(spark, sf_dir)),
+    ],
 }
 
 
