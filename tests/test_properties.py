@@ -313,3 +313,48 @@ def test_duplicate_span_stats_matches_python_reference(spark, texts):
         for r in duplicate_span_stats(d, n=4).collect()
     }
     assert got == _py_span_stats(rows, n=4)
+
+
+# --- connected components ≡ union-find ---------------------------------------
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    """Large-star/small-star labels ≡ union-find min-id components on
+    arbitrary small graphs (self-loops label themselves)."""
+    from stock_etl_pipeline_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()}
+    want = _uf_components([(a, b) for a, b in pairs if a != b])
+    for a, b in pairs:
+        if a == b:
+            want.setdefault(a, a)
+    assert got == want
