@@ -545,3 +545,12 @@ def test_sem_tier_boundaries():
     assert t1["k_clusters"] == 29  # round(sqrt(40001) / 7)
     assert _sem_tier(500_000)["k_clusters"] == 101  # √n rule: ~100 at 100x
     assert _sem_tier(50_000_000)["k_clusters"] == 1010  # O(n^1.5) total work
+
+
+def test_sem_tier_env_override(monkeypatch):
+    from stock_etl_pipeline_spark.workload.vectors import _sem_tier, _IVF_K
+
+    monkeypatch.setenv("SPARK_GRAFT_SEM_CELLS", "42")
+    assert _sem_tier(500_000)["k_clusters"] == 42
+    # never tier 0 — the frozen oracle geometry ignores the knob
+    assert _sem_tier(500)["k_clusters"] == _IVF_K

@@ -24,3 +24,17 @@ def test_breakdown_names_are_registered_queries():
     registry = load_all()
     for name in STAGES:
         assert name in registry, f"{name} not a registered query"
+
+
+def test_ab_parse_arm():
+    from scripts.ab import parse_arm
+
+    assert parse_arm("doc_simhash_pairs") == {
+        "label": "doc_simhash_pairs", "query": "doc_simhash_pairs", "env": {},
+    }
+    assert parse_arm("k50=embedding_semantic_dedup:SPARK_GRAFT_SEM_CELLS=50") == {
+        "label": "k50",
+        "query": "embedding_semantic_dedup",
+        "env": {"SPARK_GRAFT_SEM_CELLS": "50"},
+    }
+    assert parse_arm("a=q:X=1,Y=2")["env"] == {"X": "1", "Y": "2"}
