@@ -308,6 +308,7 @@ def kmeans_exact(
     k_clusters: int,
     iters: int,
     id_col: str = "vec_id",
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """Fixed-iteration k-means whose every step is engine-portable exact:
 
@@ -334,8 +335,16 @@ def kmeans_exact(
         F.col("v_dbl").alias("c_dbl"),
         F.col("vv").alias("cc"),
     )
+    # assign_backend="arrow" swaps each iteration's assignment for the
+    # Arrow/BLAS kernel (assign_to_centroids_arrow) — last-ulp caveat
+    # documented there; the jvm default stays oracle-exact.
+    assign = (
+        assign_to_centroids
+        if assign_backend == "jvm"
+        else assign_to_centroids_arrow
+    )
     for _ in range(iters):
-        assigned = assign_to_centroids(vecs, centroids, id_col=id_col)
+        assigned = assign(vecs, centroids, id_col=id_col)
         per_dim = (
             assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -412,6 +421,76 @@ def assign_to_centroids(
         .filter(F.col("__r") <= nprobe)
         .drop("__r", "c_dbl", "cc", "dist")
     )
+
+
+def assign_to_centroids_arrow(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment — the fast path for the
+    a·n·K JVM-row term that dominates large-K compositions (semantic dedup
+    measured the k=100 assignment cross join as its 100x bottleneck, and
+    the cost ORDERING inverted with K: k50 < k100 < k200 end-to-end).
+
+    One ``mapInPandas`` pass: centroids collect to a K×d numpy matrix (a
+    bounded MODEL relation by construction), each Arrow batch computes
+    ‖v‖² + ‖c‖² − 2·V@Cᵀ in float64 BLAS, floor-quantizes to 1e-6 — the
+    same quantization as the JVM path — and argmins with ties to the
+    LOWEST cid (centroid columns sorted by cid; np.argmin keeps the first
+    occurrence), matching the JVM struct-min tiebreak. The narrow
+    assignment never shuffles.
+
+    vs the JVM path: BLAS may accumulate the dot in a different order, so
+    a distance within one ulp of a 0.5e-6 quantization boundary can round
+    differently — the same last-ulp caveat as the GEMM pair kernel; the
+    JVM path remains the oracle-exact one. Returns (id_col, cid, cdist)
+    plus the v_dbl/vv payload (what the cell stages consume).
+    """
+    import numpy as np
+
+    model = sorted(
+        centroids.select("cid", "c_dbl", "cc").collect(), key=lambda r: r["cid"]
+    )
+    C = np.stack([np.asarray(r["c_dbl"], dtype=np.float64) for r in model])
+    cc = np.array([r["cc"] for r in model], dtype=np.float64)
+    cids = np.array([r["cid"] for r in model], dtype=np.int64)
+
+    carry_int = "v_int" in vecs.columns
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v_dbl"].to_numpy())
+            vv = pdf["vv"].to_numpy()
+            d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
+            dq = np.floor(d * 1e6 + 0.5) / 1e6
+            j = dq.argmin(axis=1)  # ties -> first occurrence = lowest cid
+            out = {
+                id_col: pdf[id_col],
+                "cid": cids[j].astype("int32"),
+                "cdist": dq[np.arange(len(j)), j],
+                "v_dbl": pdf["v_dbl"],
+                "vv": vv,
+            }
+            if carry_int:
+                out["v_int"] = pdf["v_int"]
+            yield pd.DataFrame(out)
+
+    id_type = dict(vecs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, cid int, cdist double,"
+        " v_dbl array<double>, vv double"
+    )
+    cols = [id_col, "v_dbl", "vv"]
+    if carry_int:
+        schema += ", v_int array<bigint>"
+        cols.append("v_int")
+    return vecs.select(*cols).mapInPandas(batches, schema)
 
 
 def ivf_topk(
@@ -993,6 +1072,7 @@ def semantic_dedup(
     keep: str = "min_id",
     pair_backend: str = "gemm",
     propagation_rounds: int | None = None,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus into cells,
@@ -1044,24 +1124,33 @@ def semantic_dedup(
         raise ValueError(f"unknown keeper policy {keep!r}")
     if pair_backend not in ("gemm", "jvm"):
         raise ValueError(f"unknown pair backend {pair_backend!r}")
+    if assign_backend not in ("jvm", "arrow"):
+        raise ValueError(f"unknown assign backend {assign_backend!r}")
     import pandas as pd
 
     from .dedup import connected_components, near_dup_keepers
 
     v = with_micro_vectors(df.select(id_col, vec_col), vec_col)
-    centroids = kmeans_exact(v, k_clusters=k_clusters, iters=iters, id_col=id_col)
-    assigned = assign_to_centroids(v, centroids, id_col=id_col)
-    # distance to own centroid (same quantization as the assignment argmin)
-    vc = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
-    dist = F.floor(
-        (F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)
-    ) / 1e6
-    cells = (
-        assigned.join(F.broadcast(centroids), "cid")
-        .withColumn("cdist", dist)
-        .withColumn("unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))"))
-        .select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
+    centroids = kmeans_exact(
+        v, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        assign_backend=assign_backend,
     )
+    if assign_backend == "arrow":
+        # the Arrow kernel emits cdist directly — no broadcast-join recompute
+        cells = assign_to_centroids_arrow(v, centroids, id_col=id_col)
+    else:
+        assigned = assign_to_centroids(v, centroids, id_col=id_col)
+        # distance to own centroid (same quantization as the assignment argmin)
+        vc = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
+        dist = F.floor(
+            (F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)
+        ) / 1e6
+        cells = assigned.join(F.broadcast(centroids), "cid").withColumn(
+            "cdist", dist
+        )
+    cells = cells.withColumn(
+        "unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))")
+    ).select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
 
     if pair_backend == "jvm":
         a = cells.select(

@@ -706,14 +706,17 @@ def _sem_tier(n_vecs: int) -> dict:
         )
     import os
 
-    # Tier-1 experiment knob (never tier 0 — the oracle geometry stays
-    # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count so scripts/ab.py
-    # env-arms can A/B the √n constant at the soak tiers.
+    # Tier-1 experiment knobs (never tier 0 — the oracle geometry stays
+    # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count and
+    # SPARK_GRAFT_SEM_ASSIGN pins the assignment backend, so scripts/ab.py
+    # env-arms can A/B the √n constant and the Arrow/JVM assignment at the
+    # soak tiers.
     override = os.environ.get("SPARK_GRAFT_SEM_CELLS")
     return dict(
         k_clusters=int(override) if override else max(_IVF_K + 1, round(n_vecs**0.5 / 7)),
         pair_backend="gemm",
         propagation_rounds=None,
+        assign_backend=os.environ.get("SPARK_GRAFT_SEM_ASSIGN", "arrow"),
     )
 
 

@@ -554,3 +554,47 @@ def test_sem_tier_env_override(monkeypatch):
     assert _sem_tier(500_000)["k_clusters"] == 42
     # never tier 0 — the frozen oracle geometry ignores the knob
     assert _sem_tier(500)["k_clusters"] == _IVF_K
+
+
+def test_arrow_assignment_matches_jvm(spark):
+    """assign_to_centroids_arrow must reproduce the JVM path's (cid, cdist)
+    exactly on the planted corpus (distances far from quantization
+    boundaries), including the lowest-cid tiebreak."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    v = similarity.with_micro_vectors(_sem_corpus(spark))
+    cents = similarity.kmeans_exact(v, k_clusters=3, iters=2)
+    jvm = similarity.assign_to_centroids(v, cents)
+    vc = F.expr(
+        "aggregate(zip_with(v_dbl, c_dbl, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    dist = F.floor((F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)) / 1e6
+    jvm = (
+        jvm.join(F.broadcast(cents), "cid")
+        .withColumn("cdist", dist)
+        .select("vec_id", "cid", "cdist")
+    )
+    arrow = similarity.assign_to_centroids_arrow(v, cents).select(
+        "vec_id", "cid", "cdist"
+    )
+    a = {r["vec_id"]: (r["cid"], r["cdist"]) for r in jvm.collect()}
+    b = {r["vec_id"]: (r["cid"], r["cdist"]) for r in arrow.collect()}
+    assert a == b
+
+
+def test_semantic_dedup_arrow_assignment_matches_jvm(spark):
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _sem_corpus(spark)
+    kw = dict(k_clusters=3, iters=2, keep="far_from_centroid")
+    a = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, **kw).collect()
+    }
+    b = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, assign_backend="arrow", **kw).collect()
+    }
+    assert a == b
