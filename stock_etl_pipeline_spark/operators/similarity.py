@@ -505,6 +505,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     rank_digits: int = 4,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer → corpus assigned to ONE cell each →
     queries probe their ``nprobe`` nearest cells → exact cosine top-k within
@@ -515,13 +516,28 @@ def ivf_topk(
     the data. Unlike sign-LSH, cells adapt to the data distribution —
     the right tool when neighbor similarity is moderate (see
     tests/test_ann_recall.py for the measured comparison).
+
+    ``assign_backend="arrow"`` routes the k-means iterations AND the corpus
+    encoding through the Arrow/BLAS assignment kernel — the large-K scale
+    path (the a·n·K JVM-row term measured as the semantic-dedup 100x
+    bottleneck applies identically to a large-K IVF build); the jvm default
+    stays oracle-exact. Query probing keeps the JVM window path (the query
+    relation is small by contract).
     """
     from pyspark.sql import Window
 
     cu = with_micro_vectors(corpus, vec_col)
     qu = with_micro_vectors(queries, vec_col)
-    centroids = kmeans_exact(cu, k_clusters=k_clusters, iters=iters, id_col=id_col)
-    c_cells = assign_to_centroids(cu, centroids, id_col=id_col).select(
+    centroids = kmeans_exact(
+        cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        assign_backend=assign_backend,
+    )
+    c_assign = (
+        assign_to_centroids_arrow(cu, centroids, id_col=id_col)
+        if assign_backend == "arrow"
+        else assign_to_centroids(cu, centroids, id_col=id_col)
+    )
+    c_cells = c_assign.select(
         F.col(id_col).alias("neighbor_id"), "cid",
         F.col("v_dbl").alias("n_dbl"), F.col("vv").alias("n_vv"),
     )

@@ -111,3 +111,28 @@ def test_bucketed_matmul_near_dup_precision_and_recall(spark):
     # recall floor (deterministic planes + deterministic data)
     recall = len(approx) / len(exact)
     assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_ivf_arrow_assignment_matches_jvm(spark):
+    """ivf_topk(assign_backend='arrow') must return the same ranked top-k
+    as the oracle-exact JVM path on the test corpus (cosines rounded to
+    rank_digits on both paths; planted distances sit far from quantization
+    boundaries)."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    kw = dict(k_clusters=8, iters=2, nprobe=2, k=10,
+              id_col="vec_id", query_id_col="query_id")
+    a = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in similarity.ivf_topk(e, q, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in similarity.ivf_topk(e, q, assign_backend="arrow", **kw).collect()
+    }
+    assert a == b and len(a) > 0
