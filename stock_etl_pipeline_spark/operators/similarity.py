@@ -579,9 +579,13 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     rank_digits: int = 4,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """IVF-PQ ANN: the IVF coarse quantizer plus a product-quantization
     residual codebook, with an exact re-rank of the PQ shortlist.
+    ``assign_backend="arrow"`` routes the coarse k-means and corpus cell
+    assignment through the Arrow/BLAS kernel (see ivf_topk) — the large-K
+    build path; jvm stays oracle-exact.
 
     Pipeline (every step exact + engine-portable, so the full construction
     carries a DuckDB oracle despite being an iterative compressed index):
@@ -613,7 +617,10 @@ def ivf_pq_topk(
 
     cu = with_micro_vectors(corpus, vec_col)
     qu = with_micro_vectors(queries, vec_col)
-    centroids = kmeans_exact(cu, k_clusters=k_clusters, iters=iters, id_col=id_col)
+    centroids = kmeans_exact(
+        cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        assign_backend=assign_backend,
+    )
     # Re-quantize centroids to the micro grid → residual = exact int64 per dim.
     cq = (
         centroids.withColumn(
@@ -623,7 +630,11 @@ def ivf_pq_topk(
         .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO}D)"))
         .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
     )
-    assigned = assign_to_centroids(cu, centroids, id_col=id_col)
+    assigned = (
+        assign_to_centroids_arrow(cu, centroids, id_col=id_col)
+        if assign_backend == "arrow"
+        else assign_to_centroids(cu, centroids, id_col=id_col)
+    )
     withres = assigned.join(cq.select("cid", "c_int"), "cid").withColumn(
         "r_int", F.zip_with("v_int", "c_int", lambda x, y: x - y)
     )

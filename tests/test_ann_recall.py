@@ -136,3 +136,27 @@ def test_ivf_arrow_assignment_matches_jvm(spark):
         for r in similarity.ivf_topk(e, q, assign_backend="arrow", **kw).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ivf_pq_arrow_assignment_matches_jvm(spark):
+    """ivf_pq_topk(assign_backend='arrow') must reproduce the JVM path's
+    ranked output on the test corpus (same rounded scores, same ranks)."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    kw = dict(dim=64, k_clusters=8, iters=2, nprobe=2, n_subspaces=8,
+              n_codes=16, pq_iters=1, k=10, shortlist_factor=3,
+              id_col="vec_id", query_id_col="query_id")
+    a = {
+        (r["query_id"], r["neighbor_id"], r["approx_cosine"], r["cosine"], r["rnk"])
+        for r in similarity.ivf_pq_topk(e, q, **kw).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["approx_cosine"], r["cosine"], r["rnk"])
+        for r in similarity.ivf_pq_topk(e, q, assign_backend="arrow", **kw).collect()
+    }
+    assert a == b and len(a) > 0
