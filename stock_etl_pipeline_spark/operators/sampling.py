@@ -116,3 +116,65 @@ def sql_hash_unit_salted(col: str, salt: str) -> str:
         f"(CAST(('0x' || substring(md5(concat('{salt}', CAST({col} AS VARCHAR))), 1, 15))::BIGINT AS DOUBLE)"
         f" / CAST({_SCALE!r} AS DOUBLE))"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic sequence packing — the concatenate-then-chop layout a
+    causal-LM training pipeline feeds its dataloader: documents are laid
+    out in a deterministic pseudo-random order and chopped into fixed
+    ``seq_len`` token windows; a document may straddle a window boundary
+    (the standard GPT-style packing, no padding waste).
+
+    Distribution shape: documents hash-shard into ``shards`` independent
+    streams (salted hash → uncorrelated with split/balance decisions);
+    within a shard the layout order is (hash, id) and the token offsets
+    are one window cumulative sum sharing the shard partitioning — one
+    shuffle, one per-shard sort, no driver state. ``shards`` is the
+    parallelism knob: at 100 TB set it so a shard's documents fit a task's
+    sort (the packing is embarrassingly parallel across shards by
+    construction; sequence ids are (shard, seq_id) pairs so shards never
+    coordinate).
+
+    Determinism: the layout is a pure function of (id, salt, seq_len,
+    shards) — repartition/rerun-stable, same property as split_column.
+
+    Returns one row per input document: (id_col, count_col, shard, seq_id,
+    offset, end_seq) where seq_id/offset locate the document's first token
+    in its shard's window stream and end_seq is the window holding its
+    last token (end_seq > seq_id ⇔ the doc straddles a boundary). Callers
+    reconstruct window w of shard s by concatenating docs with
+    seq_id ≤ w ≤ end_seq in (u, id) order.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from pyspark.sql import Window
+
+    u = hash_unit_salted(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("u", id_col)
+    return (
+        df.select(id_col, count_col)
+        .withColumn("u", u)
+        .withColumn("shard", F.floor(F.col("u") * shards).cast("int"))
+        .withColumn("start_tok", F.sum(count_col).over(w) - F.col(count_col))
+        .select(
+            id_col,
+            count_col,
+            "shard",
+            F.floor(F.col("start_tok") / seq_len).cast("bigint").alias("seq_id"),
+            (F.col("start_tok") % seq_len).cast("bigint").alias("offset"),
+            F.floor(
+                (F.col("start_tok") + F.greatest(F.col(count_col), F.lit(1)) - 1)
+                / seq_len
+            )
+            .cast("bigint")
+            .alias("end_seq"),
+        )
+    )

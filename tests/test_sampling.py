@@ -129,3 +129,87 @@ def test_salted_hash_sql_twin_agrees(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def _pack_reference(rows, seq_len, shards, salt="pack"):
+    """Pure-Python replay of pack_sequences' layout."""
+    import hashlib
+
+    out = {}
+    by_shard = {}
+    for doc_id, n in rows:
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15]
+        u = int(h, 16) / float(1 << 60)
+        shard = int(u * shards)
+        by_shard.setdefault(shard, []).append((u, doc_id, n))
+    for shard, docs in by_shard.items():
+        cum = 0
+        for u, doc_id, n in sorted(docs):
+            start = cum
+            out[doc_id] = (
+                shard,
+                start // seq_len,
+                start % seq_len,
+                (start + max(n, 1) - 1) // seq_len,
+            )
+            cum += n
+    return out
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from stock_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["offset"], r["end_seq"])
+        for r in pack_sequences(df, seq_len=512, shards=8).collect()
+    }
+    assert got == _pack_reference(rows, 512, 8)
+
+
+def test_pack_sequences_repartition_invariant(spark):
+    from stock_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 13) % 300 + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = {tuple(r) for r in pack_sequences(df, seq_len=256, shards=4).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(df.repartition(11), seq_len=256, shards=4).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_straddle_and_contiguity(spark):
+    """Within a shard, consecutive docs tile the token stream with no gaps,
+    and end_seq > seq_id exactly when a doc straddles a window boundary."""
+    from stock_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 200) for i in range(60)]  # uniform 200-token docs, 512 windows
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=512, shards=3).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: (r["seq_id"], r["offset"]))
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] * 512 + r["offset"] == cum
+            straddles = (cum % 512) + 200 > 512
+            assert (r["end_seq"] > r["seq_id"]) == straddles
+            cum += 200
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    import pytest
+
+    from stock_etl_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, seq_len=0)
