@@ -970,20 +970,57 @@ _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 # balanced-mix training pipeline applies before splitting.
 _BALANCE = {"en": 0.5}
 
+# Sequence-packing block (round 4): the concatenate-then-chop dataloader
+# layout (sampling.pack_sequences) summarized per hash shard — n_chars is
+# the length unit (a deterministic column; packing semantics are
+# unit-agnostic). The window cumsum replays exactly in DuckDB, so the
+# layout itself — shard, window id, offset, straddle — is driver-checked.
+_PACK_SEQ_LEN = 2048
+_PACK_SHARDS = 8
+
 _SPLIT_ORACLE = f"""
 WITH labeled AS (
   SELECT doc_id, lang,
     {sampling.sql_split_column("doc_id", _SPLITS)} AS split,
     {sampling.sql_stratified_keep("doc_id", "lang", _BALANCE)} AS kept
   FROM documents
+),
+pk AS (
+  SELECT doc_id, n_chars,
+    CAST(floor(u * {_PACK_SHARDS}) AS INTEGER) AS shard, u
+  FROM (SELECT doc_id, n_chars,
+          {sampling.sql_hash_unit_salted("doc_id", "pack")} AS u
+        FROM documents)
+),
+pos AS (
+  SELECT shard, doc_id, n_chars,
+    sum(n_chars) OVER (PARTITION BY shard ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start_tok
+  FROM pk
+),
+packstats AS (
+  SELECT shard,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(max((start_tok + greatest(n_chars, 1) - 1) // {_PACK_SEQ_LEN}) + 1 AS BIGINT) AS n_seqs,
+    CAST(count(*) FILTER (
+      WHERE (start_tok + greatest(n_chars, 1) - 1) // {_PACK_SEQ_LEN} > start_tok // {_PACK_SEQ_LEN}
+    ) AS BIGINT) AS n_straddle
+  FROM pos GROUP BY shard
 )
-SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_balanced
+SELECT 'split' AS block, split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_balanced,
+  CAST(NULL AS INTEGER) AS shard, CAST(NULL AS BIGINT) AS n_seqs,
+  CAST(NULL AS BIGINT) AS n_straddle
 FROM labeled GROUP BY split, lang
+UNION ALL
+SELECT 'pack' AS block, CAST(NULL AS VARCHAR) AS split,
+  CAST(NULL AS VARCHAR) AS lang, n_docs,
+  CAST(NULL AS BIGINT) AS n_balanced, shard, n_seqs, n_straddle
+FROM packstats
 """.strip()
 
 
-@spec("doc_train_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split", "balancing"))
+@spec("doc_train_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split", "balancing", "packing"))
 def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test assignment by hashing doc_id, counted per
     (split, lang), alongside the stratified-balancing survivor count (en
@@ -991,14 +1028,52 @@ def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not correlate with the split decision). Same doc lands in the same
     split/sample no matter how the corpus is partitioned, grown, or
     re-ingested — the property per-partition-seeded sampling cannot give a
-    training pipeline."""
+    training pipeline.
+
+    The 'pack' block summarizes sampling.pack_sequences' deterministic
+    concatenate-then-chop layout per hash shard (docs, windows, boundary
+    straddles at seq_len {2048} chars) — the dataloader-facing layout,
+    driver-checked via the replayed window cumsum."""
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
         sampling.split_column("doc_id", _SPLITS).alias("split"),
         "lang",
         sampling.stratified_keep("doc_id", "lang", _BALANCE).alias("kept"),
     )
-    return labeled.groupBy("split", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.count_if(F.col("kept")).alias("n_balanced"),
+    null_pack = [
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("bigint").alias("n_seqs"),
+        F.lit(None).cast("bigint").alias("n_straddle"),
+    ]
+    split_block = (
+        labeled.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("kept")).alias("n_balanced"),
+        )
+        .select(F.lit("split").alias("block"), "split", "lang", "n_docs", "n_balanced", *null_pack)
     )
+    packed = sampling.pack_sequences(
+        d.select("doc_id", F.col("n_chars").alias("n_tokens")),
+        seq_len=_PACK_SEQ_LEN,
+        shards=_PACK_SHARDS,
+    )
+    pack_block = (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("end_seq") + F.lit(1)).alias("n_seqs"),
+            F.count_if(F.col("end_seq") > F.col("seq_id")).alias("n_straddle"),
+        )
+        .select(
+            F.lit("pack").alias("block"),
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("string").alias("lang"),
+            "n_docs",
+            F.lit(None).cast("bigint").alias("n_balanced"),
+            "shard",
+            "n_seqs",
+            "n_straddle",
+        )
+    )
+    return split_block.unionByName(pack_block)
