@@ -175,6 +175,14 @@ STAGES: dict[str, list[tuple[str, Builder]]] = {
         ("assignment", _ivf_assignments),
         ("dedup", lambda spark, sf_dir: vectors.q_embedding_semantic_dedup(spark, sf_dir)),
     ],
+    # IVF-PQ (the largest sf0.1 bench entry): same shared coarse stages,
+    # so the final delta isolates everything PQ adds on top of the IVF
+    # model — codebook training, residual encode, ADC scoring, re-rank.
+    "embedding_ivf_pq": [
+        ("kmeans", _ivf_centroids),
+        ("assignment", _ivf_assignments),
+        ("pq", lambda spark, sf_dir: vectors.q_embedding_ivf_pq(spark, sf_dir)),
+    ],
 }
 
 
