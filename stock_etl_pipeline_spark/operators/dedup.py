@@ -1306,3 +1306,80 @@ def duplicate_span_stats(
         pround(F.col("n_dup_grams") * 1.0 / F.col("n_grams"), 6).alias("dup_frac"),
         F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run"),
     )
+
+
+
+# --- per-row SimHash: the streaming-safe formulation -------------------------
+
+
+def with_rowwise_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a 64-bit SimHash computed entirely WITHIN each row — one
+    higher-order `aggregate` over packed 2-lane sums (split → md5 per
+    token → fold), no groupBy, no vocabulary relation, no shuffle.
+
+    Bit-identical to :func:`simhash_signatures` (equivalence test-pinned):
+    same packed-lane arithmetic and the same T < 2³¹ overflow guard; the
+    batch form deduplicates md5 work through the vocab relation while this
+    recomputes md5 per token occurrence. The trade makes it legal where
+    streaming forbids a stateful aggregation ahead of the stateful
+    operator — per-row signatures are a narrow stateless projection, so a
+    stream can band-key and route documents with no pre-aggregation.
+
+    Appends: ``simhash_hi``/``simhash_lo`` (bits 0-31 / 32-63, matching
+    simhash_signatures) and ``sb0..sb3`` 16-bit band-key ints (sb0 = bits
+    0-15 … sb3 = bits 48-63 — integer equality ⟺ the batch banding's
+    substring-of-bit-string equality). The packed fold lands in interim
+    ``_p``/``_t`` columns that are dropped; referencing them from 68 bit
+    expressions keeps Catalyst from inlining the fold (CollapseProject
+    refuses to duplicate non-cheap expressions), so the aggregate runs
+    once per row.
+    """
+    n_packed = SIMHASH_BITS // 2
+    lane_terms = []
+    for i in range(n_packed):
+        pos_lo, nib_lo = _bit_nibbles(i)
+        pos_hi, nib_hi = _bit_nibbles(i + n_packed)
+        in_lo = ", ".join(f"'{c}'" for c in nib_lo)
+        in_hi = ", ".join(f"'{c}'" for c in nib_hi)
+        lane_terms.append(
+            f"CAST(CASE WHEN substring(h, {pos_lo}, 1) IN ({in_lo})"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+            f" + (CAST(CASE WHEN substring(h, {pos_hi}, 1) IN ({in_hi})"
+            f" THEN 1 ELSE 0 END AS BIGINT) * {1 << 32})"
+        )
+    lanes = ", ".join(lane_terms)
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    hashes = f"transform({toks}, t -> md5(t))"
+    packed = (
+        f"aggregate({hashes}, array_repeat(CAST(0 AS BIGINT), {n_packed}),"
+        f" (acc, h) -> zip_with(acc, array({lanes}), (a, b) -> a + b))"
+    )
+    t_guarded = (
+        f"CASE WHEN size({toks}) < {1 << 31} THEN size({toks}) ELSE"
+        f" CAST(raise_error('simhash: doc token mass >= 2^31 overflows packed"
+        f" lanes') AS INT) END"
+    )
+
+    def bit(i: int) -> str:
+        if i < n_packed:
+            s_plus = f"(element_at(_p, {i + 1}) % {1 << 32})"
+        else:
+            s_plus = f"(element_at(_p, {i - n_packed + 1}) DIV {1 << 32})"
+        return f"(CASE WHEN {s_plus} * 2 > _t THEN 1 ELSE 0 END)"
+
+    def packed_int(lo_bit: int, n_bits: int) -> str:
+        return " + ".join(
+            f"CAST({bit(lo_bit + r)} AS BIGINT) * {1 << r}" for r in range(n_bits)
+        )
+
+    out = (
+        df.withColumn("_p", F.expr(packed))
+        .withColumn("_t", F.expr(t_guarded))
+        .withColumn("simhash_hi", F.expr(packed_int(0, 32)))
+        .withColumn("simhash_lo", F.expr(packed_int(32, 32)))
+        .withColumn("sb0", F.expr(packed_int(0, 16)))
+        .withColumn("sb1", F.expr(packed_int(16, 16)))
+        .withColumn("sb2", F.expr(packed_int(32, 16)))
+        .withColumn("sb3", F.expr(packed_int(48, 16)))
+    )
+    return out.drop("_p", "_t")

@@ -16,6 +16,7 @@ from .pipeline import (
     stateful_sessionize,
     stateful_user_totals,
     stream_merge_upsert,
+    streaming_simhash_near_dup,
     tumbling_event_counts,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "run_to_memory",
     "sessionize_stream",
     "stateful_sessionize",
+    "streaming_simhash_near_dup",
     "stateful_user_totals",
     "stream_merge_upsert",
     "tumbling_event_counts",

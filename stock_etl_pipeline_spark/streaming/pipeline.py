@@ -353,3 +353,157 @@ def run_to_memory(
         q.stop()
         raise TimeoutError(f"stream {query_name} did not finish in {timeout_s}s")
     return q
+
+
+_INTERVAL_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _interval_us(interval: str) -> int:
+    """Parse the '<n> <unit>' watermark-interval subset to microseconds."""
+    n, unit = interval.strip().split()
+    try:
+        return int(n) * _INTERVAL_UNITS_US[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported interval unit in {interval!r}") from None
+
+
+def streaming_simhash_near_dup(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    watermark: str = "2 hours",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Streaming near-duplicate flagging — the dedup family's streaming
+    sibling: each arriving document is checked against the documents seen
+    within the watermark horizon and flagged with its nearest match.
+
+    Composition mirrors the batch pair query, re-shaped for unbounded
+    input:
+
+    - **per-row signatures** (``dedup.with_rowwise_simhash``): a narrow
+      stateless projection (no groupBy — streaming forbids stateful
+      aggregation ahead of the stateful operator), bit-identical to the
+      batch ``simhash_signatures``;
+    - **pigeonhole banding**: 4 × 16-bit band keys explode to 4 routed
+      copies per doc, so any pair within hamming ≤ 3 shares at least one
+      bucket stream — banding recall is exact, like the batch query;
+    - **per-bucket state** (``applyInPandasWithState``, event-time
+      timeout): each (band_id, band_key) group holds the signatures seen
+      within the horizon (FIFO-capped at ``bucket_cap`` — a hot template
+      bucket cannot grow state without bound; the cap is the recall
+      trade, documented, default 256); an idle bucket is evicted when the
+      watermark passes its last arrival + horizon, so state is bounded on
+      an unbounded stream.
+
+    Determinism: within a micro-batch docs process in (ts, doc_id) order
+    and the reported match minimizes (hamming, doc_id) — replay-stable.
+
+    Output: one row per (doc, band): (doc_id, ts, band_id, band_key,
+    matched_id, hamming); ``matched_id`` is NULL when nothing within
+    ``max_hamming`` was in the bucket. A document is a near-dup iff ANY
+    of its 4 rows carries a match — callers keep-first by dropping
+    flagged doc_ids (the batch twin of that filter is
+    ``simhash_near_dup_pairs`` + ``near_dup_keepers``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import with_rowwise_simhash
+
+    horizon_us = _interval_us(watermark)
+
+    sig = with_rowwise_simhash(docs)
+    banded = sig.select(
+        "doc_id",
+        "ts",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_id"),
+                        F.col(f"sb{b}").alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "ts", "simhash_hi", "simhash_lo",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+    out_schema = (
+        "doc_id long, ts timestamp, band_id int, band_key long, "
+        "matched_id long, hamming int"
+    )
+    state_schema = "ids array<long>, his array<long>, los array<long>, last_us long"
+
+    def update(key, pdf_iter, state: GroupState):
+        band_id, band_key = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = [p for p in pdf_iter if len(p)]
+        if not batch:
+            return
+        pdf = pd.concat(batch).sort_values(["ts", "doc_id"])
+        if state.exists:
+            ids, his, los, last_us = state.get
+            ids, his, los = list(ids), list(his), list(los)
+        else:
+            ids, his, los, last_us = [], [], [], 0
+        out = {k: [] for k in ("doc_id", "ts", "matched_id", "hamming")}
+        for doc_id, ts, hi, lo in zip(
+            pdf["doc_id"], pdf["ts"], pdf["simhash_hi"], pdf["simhash_lo"]
+        ):
+            best = None  # (hamming, matched_id)
+            for mid, mhi, mlo in zip(ids, his, los):
+                h = ((int(hi) ^ int(mhi)).bit_count()
+                     + (int(lo) ^ int(mlo)).bit_count())
+                if h <= max_hamming:
+                    cand = (h, int(mid))
+                    if best is None or cand < best:
+                        best = cand
+            out["doc_id"].append(int(doc_id))
+            out["ts"].append(ts)
+            out["matched_id"].append(None if best is None else best[1])
+            out["hamming"].append(None if best is None else best[0])
+            ids.append(int(doc_id))
+            his.append(int(hi))
+            los.append(int(lo))
+            if len(ids) > bucket_cap:  # FIFO cap — oldest member leaves
+                ids.pop(0), his.pop(0), los.pop(0)
+            last_us = max(last_us, int(pd.Timestamp(ts).value) // 1000)
+        state.update((ids, his, los, int(last_us)))
+        state.setTimeoutTimestamp((last_us + horizon_us) // 1000)  # epoch ms
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "ts": out["ts"],
+                "band_id": band_id,
+                "band_key": band_key,
+                "matched_id": pd.array(out["matched_id"], dtype="Int64"),
+                "hamming": pd.array(out["hamming"], dtype="Int64"),
+            }
+        )
+
+    return (
+        banded.withWatermark("ts", watermark)
+        .groupBy("band_id", "band_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -598,3 +598,26 @@ def test_semantic_dedup_arrow_assignment_matches_jvm(spark):
         for r in semantic_dedup(base, 0.99, assign_backend="arrow", **kw).collect()
     }
     assert a == b
+
+
+def test_rowwise_simhash_matches_batch_signatures(spark):
+    """with_rowwise_simhash (per-row fold, streaming-safe) must be
+    bit-identical to the batch simhash_signatures on real corpus text,
+    including the hi/lo packing and the 16-bit band-key ints."""
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    rw = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"],
+                      r["sb0"], r["sb1"], r["sb2"], r["sb3"])
+        for r in dedup.with_rowwise_simhash(d).collect()
+    }
+    bt = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dedup.simhash_signatures(d).collect()
+    }
+    assert set(bt) <= set(rw)  # batch drops token-less docs; rowwise keeps them
+    for k, (hi, lo) in bt.items():
+        bands = (hi & 65535, (hi >> 16) & 65535, lo & 65535, (lo >> 16) & 65535)
+        assert rw[k] == (hi, lo, *bands), k

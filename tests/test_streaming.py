@@ -247,3 +247,58 @@ def test_stateful_sessionize_late_event_keeps_boundaries_monotone(spark, tmp_pat
     }
     # late 10:10 event absorbed; end = 10:20 + 30m, NOT 10:10 + 30m
     assert (9, ts(10, 0), ts(10, 50), 3, 7.0) in got
+
+
+def test_streaming_simhash_near_dup_across_batches(spark, tmp_path):
+    """Streaming near-dup flagging: the second occurrence of a near-
+    duplicate is flagged against the first — including across micro-batch
+    boundaries (per-bucket state survives) — and the flag set matches the
+    batch pair query's verdict on the same corpus."""
+    import datetime as dt
+
+    # 400 distinct tokens: per-bit sums are large, so a one-token edit
+    # flips ≤ 3 signature bits (hamming 1 measured for the append)
+    base = " ".join(f"w{i}" for i in range(400))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [
+        (1, t0, base),
+        (2, t0 + dt.timedelta(minutes=1), "totally different words live here now ok yes"),
+    ]
+    batch2 = [
+        (3, t0 + dt.timedelta(minutes=10), base + " extra"),  # near-dup of 1
+        (4, t0 + dt.timedelta(minutes=11), base),             # exact dup of 1
+        (5, t0 + dt.timedelta(minutes=12), "another unrelated document about spark plans"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    flagged = streaming.streaming_simhash_near_dup(stream, watermark="1 hour")
+    streaming.run_to_memory(flagged, "t_neardup", str(tmp_path / "ckpt_nd"))
+    out = spark.table("t_neardup").collect()
+
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5}
+    matches = {}
+    for r in out:
+        if r["matched_id"] is not None:
+            prev = matches.get(r["doc_id"])
+            cand = (r["hamming"], r["matched_id"])
+            matches[r["doc_id"]] = cand if prev is None or cand < prev else prev
+
+    # batch ground truth: every pair the batch query emits whose LATER doc
+    # (by ts order = doc_id order here) should be flagged in the stream
+    from stock_etl_pipeline_spark.operators import dedup as dedup_ops
+
+    all_rows = batch1 + batch2
+    d = spark.createDataFrame([(i, t) for i, _, t in all_rows], "doc_id long, text string")
+    batch_pairs = dedup_ops.simhash_near_dup_pairs(d).collect()
+    want_flagged = {max(r["doc_a"], r["doc_b"]) for r in batch_pairs}
+    assert set(matches) == want_flagged
+    # the exact dup reports hamming 0 against an earlier doc
+    assert matches[4][0] == 0 and matches[4][1] in (1, 3)
+    # doc 3 (near-dup arriving in batch 2) matched doc 1 from batch 1
+    assert matches[3][1] == 1 and matches[3][0] <= 3
