@@ -302,3 +302,15 @@ def test_streaming_simhash_near_dup_across_batches(spark, tmp_path):
     assert matches[4][0] == 0 and matches[4][1] in (1, 3)
     # doc 3 (near-dup arriving in batch 2) matched doc 1 from batch 1
     assert matches[3][1] == 1 and matches[3][0] <= 3
+
+
+def test_interval_us_parser():
+    from stock_etl_pipeline_spark.streaming.pipeline import _interval_us
+
+    assert _interval_us("2 hours") == 7_200_000_000
+    assert _interval_us("1 minute") == 60_000_000
+    assert _interval_us("30 seconds") == 30_000_000
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported interval"):
+        _interval_us("3 fortnights")
