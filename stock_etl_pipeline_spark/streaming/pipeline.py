@@ -484,7 +484,15 @@ def streaming_simhash_near_dup(
                 ids.pop(0), his.pop(0), los.pop(0)
             last_us = max(last_us, int(pd.Timestamp(ts).value) // 1000)
         state.update((ids, his, los, int(last_us)))
-        state.setTimeoutTimestamp((last_us + horizon_us) // 1000)  # epoch ms
+        # Eviction deadline = last arrival + horizon, CLAMPED to just above
+        # the current watermark: rows are not pre-filtered against the
+        # watermark before this operator, so a bucket fed only by late data
+        # can have last_us + horizon already behind the watermark — Spark
+        # rejects a timeout in the past (INVALID_TIMEOUT_TIMESTAMP; hit at
+        # the 10x tier, where event time spans 14h against a 1h horizon).
+        # The clamp evicts such a bucket at the next watermark advance.
+        deadline_ms = (last_us + horizon_us) // 1000
+        state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             {
                 "doc_id": out["doc_id"],
