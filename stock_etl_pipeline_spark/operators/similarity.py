@@ -337,14 +337,16 @@ def kmeans_exact(
     )
     # assign_backend="arrow" swaps each iteration's assignment for the
     # Arrow/BLAS kernel (assign_to_centroids_arrow) — last-ulp caveat
-    # documented there; the jvm default stays oracle-exact.
-    assign = (
-        assign_to_centroids
-        if assign_backend == "jvm"
-        else assign_to_centroids_arrow
-    )
+    # documented there; the jvm default stays oracle-exact. The arrow input
+    # is pre-narrowed to what the update consumes (cid + v_int) so payload
+    # columns don't ride the Arrow transfer every iteration.
+    if assign_backend == "jvm":
+        assign, a_in = assign_to_centroids, vecs
+    else:
+        assign = assign_to_centroids_arrow
+        a_in = vecs.select(id_col, "v_int", "v_dbl", "vv")
     for _ in range(iters):
-        assigned = assign(vecs, centroids, id_col=id_col)
+        assigned = assign(a_in, centroids, id_col=id_col)
         per_dim = (
             assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -446,10 +448,19 @@ def assign_to_centroids_arrow(
     a distance within one ulp of a 0.5e-6 quantization boundary can round
     differently — the same last-ulp caveat as the GEMM pair kernel; the
     JVM path remains the oracle-exact one. Returns (id_col, cid, cdist)
-    plus the v_dbl/vv payload (what the cell stages consume).
+    followed by EVERY non-id input column unchanged (the jvm path's
+    payload-passthrough contract, plus cdist), so the backends swap
+    without changing a caller's downstream schema. Perf-sensitive callers
+    should pre-select the columns they need — every payload column rides
+    the Arrow transfer.
     """
     import numpy as np
 
+    missing = [c for c in ("v_dbl", "vv") if c not in vecs.columns]
+    if missing:
+        raise ValueError(
+            f"assign_to_centroids_arrow requires {missing} (see with_micro_vectors)"
+        )
     model = sorted(
         centroids.select("cid", "c_dbl", "cc").collect(), key=lambda r: r["cid"]
     )
@@ -457,7 +468,8 @@ def assign_to_centroids_arrow(
     cc = np.array([r["cc"] for r in model], dtype=np.float64)
     cids = np.array([r["cid"] for r in model], dtype=np.int64)
 
-    carry_int = "v_int" in vecs.columns
+    dtypes = dict(vecs.dtypes)
+    payload = [c for c in vecs.columns if c != id_col]
 
     def batches(it):
         import pandas as pd
@@ -474,23 +486,15 @@ def assign_to_centroids_arrow(
                 id_col: pdf[id_col],
                 "cid": cids[j].astype("int32"),
                 "cdist": dq[np.arange(len(j)), j],
-                "v_dbl": pdf["v_dbl"],
-                "vv": vv,
             }
-            if carry_int:
-                out["v_int"] = pdf["v_int"]
+            for c in payload:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    id_type = dict(vecs.dtypes)[id_col]
-    schema = (
-        f"{id_col} {id_type}, cid int, cdist double,"
-        " v_dbl array<double>, vv double"
+    schema = f"{id_col} {dtypes[id_col]}, cid int, cdist double" + "".join(
+        f", {c} {dtypes[c]}" for c in payload
     )
-    cols = [id_col, "v_dbl", "vv"]
-    if carry_int:
-        schema += ", v_int array<bigint>"
-        cols.append("v_int")
-    return vecs.select(*cols).mapInPandas(batches, schema)
+    return vecs.mapInPandas(batches, schema)
 
 
 def ivf_topk(
@@ -533,7 +537,9 @@ def ivf_topk(
         assign_backend=assign_backend,
     )
     c_assign = (
-        assign_to_centroids_arrow(cu, centroids, id_col=id_col)
+        assign_to_centroids_arrow(
+            cu.select(id_col, "v_dbl", "vv"), centroids, id_col=id_col
+        )
         if assign_backend == "arrow"
         else assign_to_centroids(cu, centroids, id_col=id_col)
     )
@@ -631,7 +637,9 @@ def ivf_pq_topk(
         .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
     )
     assigned = (
-        assign_to_centroids_arrow(cu, centroids, id_col=id_col)
+        assign_to_centroids_arrow(
+            cu.select(id_col, "v_int", "v_dbl", "vv"), centroids, id_col=id_col
+        )
         if assign_backend == "arrow"
         else assign_to_centroids(cu, centroids, id_col=id_col)
     )
@@ -1164,7 +1172,9 @@ def semantic_dedup(
     )
     if assign_backend == "arrow":
         # the Arrow kernel emits cdist directly — no broadcast-join recompute
-        cells = assign_to_centroids_arrow(v, centroids, id_col=id_col)
+        cells = assign_to_centroids_arrow(
+            v.select(id_col, "v_dbl", "vv"), centroids, id_col=id_col
+        )
     else:
         assigned = assign_to_centroids(v, centroids, id_col=id_col)
         # distance to own centroid (same quantization as the assignment argmin)
@@ -1202,7 +1212,10 @@ def semantic_dedup(
             .select("vec_a", "vec_b", "cosine")
         )
     else:
-        out_schema = "vec_a long, vec_b long, cosine double"
+        # id type follows the input (string ids work on this path too — the
+        # jvm backend and connected_components already handle them).
+        id_type = dict(df.dtypes)[id_col]
+        out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
 
         # Un-annotated on purpose — see block_pair_cosines above.
         def cell_cosines(key, pdf):

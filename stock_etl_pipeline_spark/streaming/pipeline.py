@@ -364,12 +364,28 @@ _INTERVAL_UNITS_US = {
 
 
 def _interval_us(interval: str) -> int:
-    """Parse the '<n> <unit>' watermark-interval subset to microseconds."""
-    n, unit = interval.strip().split()
-    try:
-        return int(n) * _INTERVAL_UNITS_US[unit.lower()]
-    except KeyError:
-        raise ValueError(f"unsupported interval unit in {interval!r}") from None
+    """Parse a watermark interval ('<n> <unit>', or a Spark compound like
+    '1 hour 30 minutes') to microseconds."""
+    toks = interval.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"expected '<n> <unit>' pairs in interval {interval!r}"
+        )
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += int(n) * _INTERVAL_UNITS_US[unit.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r}"
+            ) from None
+        except ValueError as e:
+            if "invalid literal" in str(e):
+                raise ValueError(
+                    f"expected '<n> <unit>' pairs in interval {interval!r}"
+                ) from None
+            raise
+    return total
 
 
 def streaming_simhash_near_dup(

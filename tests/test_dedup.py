@@ -584,6 +584,51 @@ def test_arrow_assignment_matches_jvm(spark):
     assert a == b
 
 
+def test_arrow_assignment_carries_payload(spark):
+    """Swapping the jvm backend for the Arrow kernel must not change a
+    caller's downstream schema: every non-id input column (including the
+    original embedding and arbitrary payload) passes through unchanged,
+    with cid/cdist prepended."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    base = _sem_corpus(spark).withColumn(
+        "label", F.concat(F.lit("l"), F.col("vec_id"))
+    )
+    v = similarity.with_micro_vectors(base)
+    cents = similarity.kmeans_exact(v, k_clusters=3, iters=1)
+    out = similarity.assign_to_centroids_arrow(v, cents)
+    assert out.columns == [
+        "vec_id", "cid", "cdist", "embedding", "label", "v_int", "v_dbl", "vv"
+    ]
+    got = {r["vec_id"]: (r["label"], list(r["embedding"])) for r in out.collect()}
+    want = {r["vec_id"]: (r["label"], list(r["embedding"])) for r in base.collect()}
+    assert got == want
+
+
+def test_semantic_dedup_string_ids_gemm(spark):
+    """The gemm pair backend derives its output id type from the input —
+    string ids work identically on both pair backends."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = _sem_corpus(spark).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    kw = dict(k_clusters=3, iters=2)
+    a = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, pair_backend="jvm", **kw).collect()
+    }
+    b = {
+        (r["vec_id"], r["group_id"], r["keeper_id"])
+        for r in semantic_dedup(base, 0.99, pair_backend="gemm", **kw).collect()
+    }
+    assert a == b and len(a) == 11
+
+
 def test_semantic_dedup_arrow_assignment_matches_jvm(spark):
     from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
 

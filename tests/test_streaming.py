@@ -310,7 +310,14 @@ def test_interval_us_parser():
     assert _interval_us("2 hours") == 7_200_000_000
     assert _interval_us("1 minute") == 60_000_000
     assert _interval_us("30 seconds") == 30_000_000
+    # Spark compound intervals parse too
+    assert _interval_us("1 hour 30 minutes") == 5_400_000_000
+    assert _interval_us("1 day 2 hours 3 minutes") == 93_780_000_000
     import pytest
 
     with pytest.raises(ValueError, match="unsupported interval"):
         _interval_us("3 fortnights")
+    with pytest.raises(ValueError, match="pairs in interval"):
+        _interval_us("1 hour 30")  # dangling value
+    with pytest.raises(ValueError, match="pairs in interval"):
+        _interval_us("hour 1")  # value/unit swapped
