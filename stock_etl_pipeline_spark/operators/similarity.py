@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 
 _DOT_D = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
+# ADC table lookup: {arr}[m][code_arr[m] + 1] (1-based positions) — shared by
+# the IVF-PQ corpus-side (t_arr) and query-side (q_arr) scoring expressions.
+_ADC_LOOKUP = "element_at(element_at({arr}, {m}), element_at(code_arr, {m}) + 1)"
+
 
 def with_unit_vector(
     df: DataFrame, vec_col: str = "embedding", unit_col: str = "unit"
@@ -335,18 +339,16 @@ def kmeans_exact(
         F.col("v_dbl").alias("c_dbl"),
         F.col("vv").alias("cc"),
     )
-    # assign_backend="arrow" swaps each iteration's assignment for the
-    # Arrow/BLAS kernel (assign_to_centroids_arrow) — last-ulp caveat
-    # documented there; the jvm default stays oracle-exact. The arrow input
-    # is pre-narrowed to what the update consumes (cid + v_int) so payload
-    # columns don't ride the Arrow transfer every iteration.
-    if assign_backend == "jvm":
-        assign, a_in = assign_to_centroids, vecs
-    else:
-        assign = assign_to_centroids_arrow
-        a_in = vecs.select(id_col, "v_int", "v_dbl", "vv")
+    # assign_backend="arrow" runs each Lloyd iteration as ONE shuffle-free
+    # Arrow kernel job (assignment + per-partition int64 partial sums,
+    # combined driver-side) — last-ulp caveat as assign_to_centroids_arrow;
+    # the jvm default stays oracle-exact.
+    if assign_backend == "arrow":
+        return _kmeans_exact_arrow(
+            vecs, k_clusters=k_clusters, iters=iters, id_col=id_col
+        )
     for _ in range(iters):
-        assigned = assign(a_in, centroids, id_col=id_col)
+        assigned = assign_to_centroids(vecs, centroids, id_col=id_col)
         per_dim = (
             assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -371,6 +373,90 @@ def kmeans_exact(
             vecs.sparkSession, centroids, ["cid", "c_dbl", "cc"]
         )
     return centroids
+
+
+def _kmeans_exact_arrow(
+    vecs: DataFrame,
+    *,
+    k_clusters: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kmeans_exact's Arrow backend: each Lloyd iteration is ONE shuffle-free
+    ``mapInPandas`` job that fuses quantized-argmin assignment (BLAS, ties to
+    lowest cid — the assign_to_centroids_arrow contract) with per-partition
+    int64 partial sums per cell; the driver combines partials with Python
+    ints (exact, order-independent — the same totals the jvm posexplode
+    aggregate produces) and rebuilds centroids with the jvm's own update
+    arithmetic (s / (1e6·n) per dim, ``_DOT_D``-order norm fold). Replaces
+    the jvm path's per-iteration shuffle + materialize-collect pair: at
+    bench scale those fixed job costs are the whole k-means wall time.
+
+    Same caveat as every Arrow kernel: BLAS dot accumulation order can
+    differ from the jvm fold by one ulp, so assignments within one ulp of a
+    0.5e-6 quantization boundary can differ; the jvm path stays the oracle.
+
+    Returns centroids (cid, c_dbl, cc) as a literal relation, cells with no
+    members dropped — the jvm inner-join behavior.
+    """
+    import numpy as np
+
+    spark = vecs.sparkSession
+    init = (
+        vecs.filter(F.col(id_col) < k_clusters)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col("v_dbl").alias("c_dbl"),
+            F.col("vv").alias("cc"),
+        )
+        .collect()
+    )
+    cur = sorted(
+        ((int(r["cid"]), list(r["c_dbl"]), float(r["cc"])) for r in init),
+        key=lambda t: t[0],
+    )
+    data = vecs.select("v_int", "v_dbl", "vv")
+    dim = None
+    for _ in range(iters):
+        C = np.asarray([c for _, c, _ in cur], dtype=np.float64)
+        cc = np.asarray([n for _, _, n in cur], dtype=np.float64)
+        cids = np.asarray([cid for cid, _, _ in cur], dtype=np.int64)
+        dim = C.shape[1]
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v_dbl"].to_numpy())
+                vv = pdf["vv"].to_numpy()
+                d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
+                j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+                Vi = np.stack(pdf["v_int"].to_numpy()).astype(np.int64)
+                rows = []
+                for ci in np.unique(j):
+                    mask = j == ci
+                    rows.append(
+                        (
+                            int(cids[ci]),
+                            int(mask.sum()),
+                            [int(x) for x in Vi[mask].sum(axis=0)],
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+        acc: dict[int, tuple[int, list[int]]] = {}
+        for r in data.mapInPandas(
+            partials, "cid int, n long, s array<long>"
+        ).collect():
+            n0, s0 = acc.get(r["cid"], (0, [0] * dim))
+            acc[r["cid"]] = (n0 + r["n"], [a + b for a, b in zip(s0, r["s"])])
+        cur = []
+        for cid, (n, s) in sorted(acc.items()):
+            c_dbl = [float(x) / (MICRO * n) for x in s]
+            cur.append((cid, c_dbl, _py_dot(c_dbl, c_dbl)))
+    return spark.createDataFrame(cur, "cid int, c_dbl array<double>, cc double")
 
 
 def _materialize_model(spark, df: DataFrame, cols: list[str]) -> DataFrame:
@@ -568,6 +654,266 @@ def ivf_topk(
 # --- IVF-PQ: product-quantized residuals over the IVF cells ------------------
 
 
+def _py_dot(a, b) -> float:
+    """Pure-Python left-to-right dot product — the exact IEEE operation
+    sequence of the ``_DOT_D`` fold (aggregate over zip_with, acc starts at
+    0.0), so driver-side model math is bit-identical to the JVM expression.
+    Bounded-model use only (K·dim / M·codes·dsub flops)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_q6(x: float) -> float:
+    """floor(x * 1e6 + 0.5) / 1e6 exactly as the JVM expression evaluates it
+    (double multiply, double add, floor to integral, double divide)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _pq_train_encode_arrow(
+    spark,
+    cu: DataFrame,
+    qu: DataFrame,
+    centroids: DataFrame,
+    *,
+    dim: int,
+    n_subspaces: int,
+    dsub: int,
+    n_codes: int,
+    pq_iters: int,
+    id_col: str,
+    query_id_col: str,
+):
+    """Arrow/driver-side PQ training + corpus encoding — the large-scale
+    build path for ``ivf_pq_topk`` (assign_backend="arrow").
+
+    The JVM training chain is correct but pays ~6 sequential driver-blocking
+    shuffle jobs on BOUNDED model relations (codebook init, each Lloyd step,
+    the cwt/qwt ADC tables) — at bench scale those fixed costs ARE the query
+    (measured: 5.3 s of 7.3 s at sf0.1). This path exploits the same fact
+    the models' materialization already relies on: every model is O(K·dim)
+    or O(M·codes·dsub) doubles BY CONSTRUCTION, so their math can run on the
+    driver in pure Python using the exact ``_DOT_D`` fold order
+    (bit-identical doubles), while the two data-sized passes —
+    Lloyd-partials and final encoding — each run as ONE shuffle-free
+    ``mapInPandas`` kernel over the corpus:
+
+    - training: the kernel fuses coarse assignment (quantized argmin, ties
+      to lowest cid — same contract as ``assign_to_centroids_arrow``),
+      exact int64 residuals, per-subspace code argmin, and per-batch int64
+      partial sums; the driver combines partials with Python ints (exact,
+      order-independent) and rebuilds the codebook with the JVM's own
+      update arithmetic (s / (1e6 · n) per dimension).
+    - encoding: the same kernel shape emits (neighbor_id, cid, code_arr,
+      aa) directly — the ADC norm ``aa`` is accumulated left-to-right from
+      driver-built lookup tables, the same operation order as the JVM
+      ``aa_expr`` — so the groupBy/collect_list encode relation and the
+      cwt broadcast join disappear entirely.
+
+    BLAS dot-product accumulation order inside the kernels differs from the
+    JVM fold, so a distance within one ulp of a 0.5e-6 quantization
+    boundary can round differently — the standard Arrow-kernel caveat; the
+    JVM path remains the oracle-exact one and pins this path in
+    tests/test_ann_recall.py.
+
+    Returns (cq_sel, qwt, enc): the three relations the shared ADC scoring
+    tail consumes.
+    """
+    import numpy as np
+
+    # Bounded models: centroids were just materialized as a literal
+    # relation, so this collect scans a LocalRelation (no recompute).
+    cent = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = [int(r["cid"]) for r in cent]
+    c_dbl = [list(r["c_dbl"]) for r in cent]
+    cc = [float(r["cc"]) for r in cent]
+    # Re-quantized centroids (the jvm cq relation, driver-side, exact).
+    c_int = [[int(math.floor(x * MICRO + 0.5)) for x in row] for row in c_dbl]
+    cq_dbl = [[x / MICRO for x in row] for row in c_int]
+    cqq = [_py_dot(row, row) for row in cq_dbl]
+
+    def _coarse_py(v_dbl, vv):
+        """Driver-side coarse assignment replaying assign_to_centroids'
+        quantized distance + lowest-cid tiebreak exactly (pure Python)."""
+        best, best_cid, best_i = None, None, None
+        for i, cid in enumerate(cids):
+            d = _py_q6(vv + cc[i] - 2 * _py_dot(v_dbl, c_dbl[i]))
+            if best is None or d < best:
+                best, best_cid, best_i = d, cid, i
+        return best_i
+
+    # Codebook init = residual sub-vectors of the first n_codes ids (the jvm
+    # subs.filter(id < n_codes) relation) — one bounded scan job.
+    init_rows = (
+        cu.filter(F.col(id_col) < n_codes)
+        .select(id_col, "v_int", "v_dbl", "vv")
+        .collect()
+    )
+    # cb: per sub_id, sorted (code_id, w_dbl, ww) lists.
+    cb: list[list[tuple[int, list[float], float]]] = [[] for _ in range(n_subspaces)]
+    for r in sorted(init_rows, key=lambda r: r[id_col]):
+        i = _coarse_py(list(r["v_dbl"]), float(r["vv"]))
+        r_int = [v - c for v, c in zip(r["v_int"], c_int[i])]
+        for m in range(n_subspaces):
+            w = [x / MICRO for x in r_int[m * dsub : (m + 1) * dsub]]
+            cb[m].append((int(r[id_col]), w, _py_dot(w, w)))
+
+    C_np = np.asarray(c_dbl, dtype=np.float64)
+    cc_np = np.asarray(cc, dtype=np.float64)
+    cint_np = np.asarray(c_int, dtype=np.int64)
+    cids_np = np.asarray(cids, dtype=np.int64)
+
+    def _cb_np(cb):
+        """Dense per-sub numpy views of the ragged codebook."""
+        out = []
+        for m in range(n_subspaces):
+            codes = np.asarray([c for c, _, _ in cb[m]], dtype=np.int64)
+            W = np.asarray([w for _, w, _ in cb[m]], dtype=np.float64)
+            ww = np.asarray([n for _, _, n in cb[m]], dtype=np.float64)
+            out.append((codes, W, ww))
+        return out
+
+    def _kernel_parts(pdf, cbn):
+        """Shared per-batch math: coarse cells, int residuals, PQ codes.
+        Returns (j cell-index, R int residuals (n,dim), code_idx (n,M))."""
+        V = np.stack(pdf["v_dbl"].to_numpy())
+        vv = pdf["vv"].to_numpy()
+        d = vv[:, None] + cc_np[None, :] - 2.0 * (V @ C_np.T)
+        j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+        Vi = np.stack(pdf["v_int"].to_numpy()).astype(np.int64)
+        R = Vi - cint_np[j]
+        Rd = (R / MICRO).reshape(len(R), n_subspaces, dsub)
+        code_idx = np.empty((len(R), n_subspaces), dtype=np.int64)
+        for m in range(n_subspaces):
+            _, W, ww = cbn[m]
+            rm = Rd[:, m, :]
+            rr = np.einsum("nd,nd->n", rm, rm)
+            dist = rr[:, None] + ww[None, :] - 2.0 * (rm @ W.T)
+            dq = np.floor(dist * 1e6 + 0.5) / 1e6
+            code_idx[:, m] = dq.argmin(axis=1)  # first min = lowest code_id
+        return j, R, code_idx
+
+    for _ in range(pq_iters):
+        cbn = _cb_np(cb)
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                _, R, code_idx = _kernel_parts(pdf, cbn)
+                Rs = R.reshape(len(R), n_subspaces, dsub)
+                rows = []
+                for m in range(n_subspaces):
+                    codes_m = cbn[m][0]
+                    for ci in range(len(codes_m)):
+                        mask = code_idx[:, m] == ci
+                        n = int(mask.sum())
+                        if n:
+                            s = Rs[mask, m, :].sum(axis=0)
+                            rows.append(
+                                (m, int(codes_m[ci]), n, [int(x) for x in s])
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["sub_id", "code_id", "n", "s"]
+                )
+
+        # ONE data-sized job per Lloyd step: per-partition int64 partials
+        # collect to the driver (≤ partitions × M × codes rows) and combine
+        # with Python ints — exact and order-independent, the same totals
+        # the jvm posexplode aggregate produces.
+        acc: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        part_rows = cu.select("v_int", "v_dbl", "vv").mapInPandas(
+            partials, "sub_id int, code_id int, n long, s array<long>"
+        ).collect()
+        for r in part_rows:
+            key = (r["sub_id"], r["code_id"])
+            n0, s0 = acc.get(key, (0, [0] * dsub))
+            acc[key] = (n0 + r["n"], [a + b for a, b in zip(s0, r["s"])])
+        new_cb: list[list[tuple[int, list[float], float]]] = [
+            [] for _ in range(n_subspaces)
+        ]
+        for (m, code), (n, s) in sorted(acc.items()):
+            # The jvm update: dv = CAST(s AS DOUBLE) / (1e6 * n) per dim;
+            # codes with no assigned vectors drop out (the jvm inner join
+            # drops them the same way).
+            w = [float(x) / (MICRO * n) for x in s]
+            new_cb[m].append((code, w, _py_dot(w, w)))
+        cb = new_cb
+
+    # Driver-built ADC tables (the jvm cwt/qwt relations):
+    #   t[i][m][c] = 2⟨cq_m, w_{m,c}⟩ + ww   and   aa = cqq + Σ_m t[...]
+    # accumulated left-to-right in the kernel, matching aa_expr's order.
+    cbn = _cb_np(cb)
+    T = [
+        np.asarray(
+            [
+                [
+                    2 * _py_dot(cq_dbl[i][m * dsub : (m + 1) * dsub], w) + ww
+                    for _, w, ww in cb[m]
+                ]
+                for i in range(len(cids))
+            ],
+            dtype=np.float64,
+        )
+        for m in range(n_subspaces)
+    ]
+    cqq_np = np.asarray(cqq, dtype=np.float64)
+
+    id_type = dict(cu.dtypes)[id_col]
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            j, _, code_idx = _kernel_parts(pdf, cbn)
+            aa = cqq_np[j].copy()
+            codes_out = np.empty((len(j), n_subspaces), dtype=np.int32)
+            for m in range(n_subspaces):
+                aa = aa + T[m][j, code_idx[:, m]]
+                codes_out[:, m] = cbn[m][0][code_idx[:, m]]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cid": cids_np[j].astype("int32"),
+                    "code_arr": list(codes_out),
+                    "aa": aa,
+                }
+            )
+
+    enc = cu.select(id_col, "v_int", "v_dbl", "vv").mapInPandas(
+        encode, f"neighbor_id {id_type}, cid int, code_arr array<int>, aa double"
+    )
+
+    # Bounded query-side ADC table (the jvm qwt): q_arr[m][c] = ⟨q_m, w_{m,c}⟩.
+    q_rows = qu.select(query_id_col, "v_dbl").collect()
+    qwt_data = [
+        (
+            r[query_id_col],
+            [
+                [
+                    _py_dot(list(r["v_dbl"])[m * dsub : (m + 1) * dsub], w)
+                    for _, w, _ in cb[m]
+                ]
+                for m in range(n_subspaces)
+            ],
+        )
+        for r in q_rows
+    ]
+    qid_type = dict(qu.dtypes)[query_id_col]
+    qwt = spark.createDataFrame(
+        qwt_data, f"{query_id_col} {qid_type}, q_arr array<array<double>>"
+    )
+    cq_sel = spark.createDataFrame(
+        list(zip(cids, cq_dbl)), "cid int, cq_dbl array<double>"
+    )
+    return cq_sel, qwt, enc
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -627,6 +973,21 @@ def ivf_pq_topk(
         cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
     )
+    from ..caching import begin_pipeline, lazy_cache
+
+    begin_pipeline()
+    tail_kw = dict(
+        n_subspaces=n_subspaces, nprobe=nprobe, k=k,
+        shortlist_factor=shortlist_factor, rank_digits=rank_digits,
+        id_col=id_col, query_id_col=query_id_col,
+    )
+    if assign_backend == "arrow":
+        cq_sel, qwt, enc = _pq_train_encode_arrow(
+            corpus.sparkSession, cu, qu, centroids,
+            dim=dim, n_subspaces=n_subspaces, dsub=dsub, n_codes=n_codes,
+            pq_iters=pq_iters, id_col=id_col, query_id_col=query_id_col,
+        )
+        return _pq_adc_tail(cu, qu, centroids, cq_sel, qwt, enc, **tail_kw)
     # Re-quantize centroids to the micro grid → residual = exact int64 per dim.
     cq = (
         centroids.withColumn(
@@ -636,13 +997,7 @@ def ivf_pq_topk(
         .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO}D)"))
         .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
     )
-    assigned = (
-        assign_to_centroids_arrow(
-            cu.select(id_col, "v_int", "v_dbl", "vv"), centroids, id_col=id_col
-        )
-        if assign_backend == "arrow"
-        else assign_to_centroids(cu, centroids, id_col=id_col)
-    )
+    assigned = assign_to_centroids(cu, centroids, id_col=id_col)
     withres = assigned.join(cq.select("cid", "c_int"), "cid").withColumn(
         "r_int", F.zip_with("v_int", "c_int", lambda x, y: x - y)
     )
@@ -651,9 +1006,6 @@ def ivf_pq_topk(
     # Persisted — codebook training and final encoding each scan it, and the
     # residual computation above embeds the coarse-assignment join.
     # Pool-tracked (caching.lazy_cache): released at the next pipeline entry.
-    from ..caching import begin_pipeline, lazy_cache
-
-    begin_pipeline()
     subs = lazy_cache(
         withres.select(
             id_col,
@@ -804,9 +1156,8 @@ def ivf_pq_topk(
     cwt = _materialize_model(spark, cwt, ["cid", "cqq", "t_arr"])
 
     # Encoded corpus: (vec, cid, code per subspace) + precomputed norm aa.
-    _lookup = "element_at(element_at({arr}, {m}), element_at(code_arr, {m}) + 1)"
     aa_expr = "cqq" + "".join(
-        " + " + _lookup.format(arr="t_arr", m=m + 1) for m in range(n_subspaces)
+        " + " + _ADC_LOOKUP.format(arr="t_arr", m=m + 1) for m in range(n_subspaces)
     )
     enc = (
         codes.groupBy(id_col, "cid")
@@ -835,12 +1186,39 @@ def ivf_pq_topk(
     )
     qwt = _materialize_model(spark, qwt, [query_id_col, "q_arr"])
 
+    return _pq_adc_tail(
+        cu, qu, centroids, cq.select("cid", "cq_dbl"), qwt, enc, **tail_kw
+    )
+
+
+def _pq_adc_tail(
+    cu: DataFrame,
+    qu: DataFrame,
+    centroids: DataFrame,
+    cq_sel: DataFrame,
+    qwt: DataFrame,
+    enc: DataFrame,
+    *,
+    n_subspaces: int,
+    nprobe: int,
+    k: int,
+    shortlist_factor: int,
+    rank_digits: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ scoring tail: query-side cell probing, ADC approximate
+    scoring from the lookup tables, shortlist window, exact re-rank. Both
+    training backends (jvm chain, arrow kernels) feed the identical
+    expressions here, so backend choice cannot change scoring semantics."""
+    from pyspark.sql import Window
+
     # Queries probe nprobe cells; qcd = ⟨q, cq⟩ completes the decomposition.
     q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
         query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
     )
     q_score = (
-        q_cells.join(F.broadcast(cq.select("cid", "cq_dbl")), "cid")
+        q_cells.join(F.broadcast(cq_sel), "cid")
         .withColumn("qcd", F.expr(_DOT_D.format(a="q_dbl", b="cq_dbl")))
         .join(F.broadcast(qwt), query_id_col)
     )
@@ -848,7 +1226,8 @@ def ivf_pq_topk(
     adot = F.expr(
         "qcd"
         + "".join(
-            " + " + _lookup.format(arr="q_arr", m=m + 1) for m in range(n_subspaces)
+            " + " + _ADC_LOOKUP.format(arr="q_arr", m=m + 1)
+            for m in range(n_subspaces)
         )
     )
     acos = F.floor(

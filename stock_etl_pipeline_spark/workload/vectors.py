@@ -395,17 +395,41 @@ FROM ranked WHERE rnk <= {_TOP_K}
 # the CTE single-pass matters less than keeping it mechanically generated.
 
 
+# Execution-backend tier for the IVF family: at driver scale (≤ 1k vectors,
+# the frozen tier-0 envelope every CORRECTNESS run exercises) the jvm
+# expression chain runs — it is the DuckDB-oracle-exact path. Above it the
+# Arrow kernels take over: same results by contract (equivalence-pinned in
+# tests/test_ann_recall.py, last-ulp caveat documented on the kernels), but
+# the bounded-model training chain runs driver-side and each data-sized pass
+# is one shuffle-free kernel job — measured 8.4 s → 2.4 s for ivf_pq at
+# sf0.1, and the 100x A/B in SCALING.md. Unlike the minhash/semantic tiers
+# this knob never changes QUERY SEMANTICS, only the execution backend, so
+# the boundary can sit right above driver scale. SPARK_GRAFT_PQ_ASSIGN
+# overrides for scripts/ab.py env-arms.
+_ANN_TIER0_MAX = 1_000
+
+
+def _ann_backend(n_vecs: int) -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PQ_ASSIGN") or (
+        "jvm" if n_vecs <= _ANN_TIER0_MAX else "arrow"
+    )
+
+
 @spec("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "kmeans"), bench=True)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 2-iteration exact k-means (8 cells) coarse quantizer, 2-cell
     probes, exact cosine within probed cells. Data-adaptive cells beat
     data-oblivious hyperplanes at moderate neighbor similarity; the corpus
-    shuffles once on cell id, queries touch nprobe/K of the data."""
+    shuffles once on cell id, queries touch nprobe/K of the data. The
+    count() picking the execution backend is a metadata-only parquet job."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
     topk = similarity.ivf_topk(
         e, q, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE, k=_TOP_K,
         id_col="vec_id", query_id_col="query_id",
+        assign_backend=_ann_backend(e.count()),
     )
     return topk.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
@@ -605,7 +629,9 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ADC lookup tables and exact-re-ranking a 3k shortlist. Encoded
     corpus storage is ~(cell id + 8×4-bit codes) per vector — the index that
     fits in memory at 100 TB where raw vectors do not; raw vectors are
-    touched only for the shortlist re-rank."""
+    touched only for the shortlist re-rank. Above tier 0 the training chain
+    runs on the Arrow kernels (see _ann_backend); the count() is a
+    metadata-only parquet job."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES).withColumnRenamed("vec_id", "query_id")
     topk = similarity.ivf_pq_topk(
@@ -613,6 +639,7 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
         n_subspaces=_PQ_SUBS, n_codes=_PQ_CODES, pq_iters=1, k=_TOP_K,
         shortlist_factor=3, id_col="vec_id", query_id_col="query_id",
+        assign_backend=_ann_backend(e.count()),
     )
     return topk.select(
         "query_id", "neighbor_id", "approx_cosine", "cosine",
