@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Throughput probe for streaming_simhash_near_dup (SCALING.md's streaming
+section). Round 4 measured the probe ad-hoc; this checks it in so before/
+after comparisons rerun the same shape.
+
+Shape: take the documents table, assign synthetic 1 s-spaced event times,
+split into ``--batches`` parquet files, stream them back with
+``maxFilesPerTrigger=1`` and a 1 h watermark, and report wall time and
+docs/s over the whole availableNow run. ``--dup-factor N`` appends N-1
+extra near-duplicate copies of every doc (a " copy<k>" suffix), packing
+buckets so the per-doc bucket scan — the vectorization target — dominates
+over per-micro-batch fixed cost.
+
+Usage:
+  python scripts/stream_probe.py [--sf-dir /root/testdata/sf0.1]
+      [--batches 4] [--dup-factor 1] [--watermark "1 hour"]
+
+Output: one JSON line {"metric": "stream_neardup_probe", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--dup-factor", type=int, default=1)
+    ap.add_argument("--watermark", default="1 hour")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark import streaming
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    work = tempfile.mkdtemp(prefix="stream_probe_")
+    src = os.path.join(work, "stream_src")
+    try:
+        docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+        if args.dup_factor > 1:
+            copies = F.array(
+                *[
+                    F.struct(
+                        (F.col("doc_id") * args.dup_factor + k).alias("doc_id"),
+                        (
+                            F.col("text")
+                            if k == 0
+                            else F.concat(F.col("text"), F.lit(f" copy{k}"))
+                        ).alias("text"),
+                    )
+                    for k in range(args.dup_factor)
+                ]
+            )
+            docs = docs.select(F.explode(copies).alias("c")).select("c.*")
+        # Deterministic 1 s-spaced event times in doc_id order; batch id by
+        # row order so event time is (mostly) aligned with batch order.
+        base = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        staged = docs.select(
+            "doc_id",
+            (base + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+            "text",
+            (F.col("doc_id") % args.batches).alias("b"),
+        )
+        n_docs = staged.count()
+        for b in range(args.batches):
+            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        flagged = streaming.streaming_simhash_near_dup(
+            stream, watermark=args.watermark
+        )
+        ckpt = os.path.join(work, "ckpt")
+        t0 = time.perf_counter()
+        streaming.run_to_memory(flagged, "t_probe", ckpt, timeout_s=1800)
+        wall = time.perf_counter() - t0
+        out = spark.table("t_probe")
+        n_out = out.count()
+        n_flagged = out.filter(F.col("matched_id").isNotNull()).select(
+            "doc_id"
+        ).distinct().count()
+        print(
+            json.dumps(
+                {
+                    "metric": "stream_neardup_probe",
+                    "unit": "sec",
+                    "value": round(wall, 3),
+                    "docs": n_docs,
+                    "docs_per_s": round(n_docs / wall, 1),
+                    "out_rows": n_out,
+                    "flagged_docs": n_flagged,
+                    "batches": args.batches,
+                    "dup_factor": args.dup_factor,
+                    "sf_dir": args.sf_dir,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

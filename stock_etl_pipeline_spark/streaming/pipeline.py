@@ -415,7 +415,18 @@ def streaming_simhash_near_dup(
       bucket cannot grow state without bound; the cap is the recall
       trade, documented, default 256); an idle bucket is evicted when the
       watermark passes its last arrival + horizon, so state is bounded on
-      an unbounded stream.
+      an unbounded stream. Members carry their own event times and are
+      PRUNED at each update once the watermark passes member ts +
+      horizon, so a continuously-hot bucket cannot match new docs
+      against signatures older than the horizon — the same deadline rule
+      the whole-bucket timeout applies, at micro-batch granularity (the
+      granularity Spark's watermark machinery provides).
+
+    The bucket scan is vectorized: state members live in numpy int64
+    arrays and each arriving doc's hamming test is one
+    ``np.bitwise_xor`` + 16-bit-LUT popcount over the whole bucket —
+    O(1) numpy calls per doc instead of O(bucket_cap) Python-level
+    XOR/popcounts (the round-4 review's named hot-path concern).
 
     Determinism: within a micro-batch docs process in (ts, doc_id) order
     and the reported match minimizes (hamming, doc_id) — replay-stable.
@@ -461,7 +472,26 @@ def streaming_simhash_near_dup(
         "doc_id long, ts timestamp, band_id int, band_key long, "
         "matched_id long, hamming int"
     )
-    state_schema = "ids array<long>, his array<long>, los array<long>, last_us long"
+    state_schema = (
+        "ids array<long>, his array<long>, los array<long>, "
+        "tss array<long>, last_us long"
+    )
+
+    import numpy as np
+
+    # 16-bit popcount LUT (64 KiB, shipped once per task in the closure):
+    # popcount(x) over int64 = LUT over the four 16-bit chunks. Arithmetic
+    # shift + mask is chunk-exact for any two's-complement input (the
+    # signatures here are non-negative 32-bit halves regardless).
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint16)
+
+    def _pop64(x):
+        return (
+            pop16[x & 0xFFFF]
+            + pop16[(x >> 16) & 0xFFFF]
+            + pop16[(x >> 32) & 0xFFFF]
+            + pop16[(x >> 48) & 0xFFFF]
+        )
 
     def update(key, pdf_iter, state: GroupState):
         band_id, band_key = int(key[0]), int(key[1])
@@ -472,34 +502,74 @@ def streaming_simhash_near_dup(
         if not batch:
             return
         pdf = pd.concat(batch).sort_values(["ts", "doc_id"])
+        wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            ids, his, los, last_us = state.get
-            ids, his, los = list(ids), list(his), list(los)
+            s_ids, s_his, s_los, s_tss, last_us = state.get
+            m_ids = np.asarray(s_ids, dtype=np.int64)
+            m_his = np.asarray(s_his, dtype=np.int64)
+            m_los = np.asarray(s_los, dtype=np.int64)
+            m_tss = np.asarray(s_tss, dtype=np.int64)
+            # Per-member expiry: same deadline rule as the bucket timeout
+            # (evict once the watermark passes ts + horizon), applied to
+            # individual members so hot buckets honor the horizon too.
+            keep = (m_tss + horizon_us) // 1000 > wm_ms
+            if not keep.all():
+                m_ids, m_his, m_los, m_tss = (
+                    m_ids[keep], m_his[keep], m_los[keep], m_tss[keep]
+                )
         else:
-            ids, his, los, last_us = [], [], [], 0
-        out = {k: [] for k in ("doc_id", "ts", "matched_id", "hamming")}
-        for doc_id, ts, hi, lo in zip(
-            pdf["doc_id"], pdf["ts"], pdf["simhash_hi"], pdf["simhash_lo"]
-        ):
-            best = None  # (hamming, matched_id)
-            for mid, mhi, mlo in zip(ids, his, los):
-                h = ((int(hi) ^ int(mhi)).bit_count()
-                     + (int(lo) ^ int(mlo)).bit_count())
-                if h <= max_hamming:
-                    cand = (h, int(mid))
-                    if best is None or cand < best:
-                        best = cand
-            out["doc_id"].append(int(doc_id))
-            out["ts"].append(ts)
-            out["matched_id"].append(None if best is None else best[1])
-            out["hamming"].append(None if best is None else best[0])
-            ids.append(int(doc_id))
-            his.append(int(hi))
-            los.append(int(lo))
-            if len(ids) > bucket_cap:  # FIFO cap — oldest member leaves
-                ids.pop(0), his.pop(0), los.pop(0)
-            last_us = max(last_us, int(pd.Timestamp(ts).value) // 1000)
-        state.update((ids, his, los, int(last_us)))
+            m_ids = m_his = m_los = m_tss = np.empty(0, dtype=np.int64)
+            last_us = 0
+        nb = len(pdf)
+        m0 = len(m_ids)
+        # Members + this batch's docs share flat arrays; [start:cnt] is the
+        # live FIFO window (≤ bucket_cap entries) as docs append.
+        ids_a = np.concatenate([m_ids, pdf["doc_id"].to_numpy(dtype=np.int64)])
+        his_a = np.concatenate([m_his, pdf["simhash_hi"].to_numpy(dtype=np.int64)])
+        los_a = np.concatenate([m_los, pdf["simhash_lo"].to_numpy(dtype=np.int64)])
+        ts_us = (
+            pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
+        )
+        tss_a = np.concatenate([m_tss, ts_us])
+        matched = np.full(nb, -1, dtype=np.int64)
+        hams = np.full(nb, -1, dtype=np.int64)
+        start = 0
+        for i in range(nb):
+            cnt = m0 + i
+            if cnt - start > bucket_cap:  # FIFO cap — oldest member leaves
+                start = cnt - bucket_cap
+            if cnt > start:
+                h = _pop64(his_a[i + m0] ^ his_a[start:cnt]) + _pop64(
+                    los_a[i + m0] ^ los_a[start:cnt]
+                )
+                sel = np.nonzero(h <= max_hamming)[0]
+                if len(sel):
+                    hmin = h[sel].min()
+                    hams[i] = hmin
+                    matched[i] = ids_a[start:cnt][sel[h[sel] == hmin]].min()
+        end = m0 + nb
+        start = max(0, end - bucket_cap)
+        if nb:
+            last_us = max(int(last_us), int(ts_us.max()))
+        state.update(
+            (
+                [int(x) for x in ids_a[start:end]],
+                [int(x) for x in his_a[start:end]],
+                [int(x) for x in los_a[start:end]],
+                [int(x) for x in tss_a[start:end]],
+                int(last_us),
+            )
+        )
+        out = {
+            "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+            "ts": pdf["ts"].to_numpy(),
+            "matched_id": pd.array(
+                [None if m < 0 else int(m) for m in matched], dtype="Int64"
+            ),
+            "hamming": pd.array(
+                [None if h < 0 else int(h) for h in hams], dtype="Int64"
+            ),
+        }
         # Eviction deadline = last arrival + horizon, CLAMPED to just above
         # the current watermark: rows are not pre-filtered against the
         # watermark before this operator, so a bucket fed only by late data

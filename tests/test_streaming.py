@@ -304,6 +304,50 @@ def test_streaming_simhash_near_dup_across_batches(spark, tmp_path):
     assert matches[3][1] == 1 and matches[3][0] <= 3
 
 
+def test_streaming_simhash_member_expiry_in_hot_bucket(spark, tmp_path):
+    """A continuously-hot bucket must not match new docs against members
+    older than the watermark horizon: members carry event times and are
+    pruned once the watermark passes member ts + horizon, even while the
+    bucket itself stays alive (round-4 review finding — whole-bucket
+    timeout alone let hot buckets keep arbitrarily old signatures)."""
+    import datetime as dt
+
+    text = " ".join(f"w{i}" for i in range(400))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    docs = [
+        (1, t0, text),
+        (2, t0 + dt.timedelta(minutes=45), text),
+        (3, t0 + dt.timedelta(minutes=150), text),
+        (4, t0 + dt.timedelta(minutes=151), text),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "docs_stream")
+    for row in docs:  # one file per doc → one micro-batch per doc
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    flagged = streaming.streaming_simhash_near_dup(stream, watermark="1 hour")
+    streaming.run_to_memory(flagged, "t_member_expiry", str(tmp_path / "ckpt_me"))
+    best = {}
+    for r in spark.table("t_member_expiry").collect():
+        if r["matched_id"] is not None:
+            cand = (r["hamming"], r["matched_id"])
+            prev = best.get(r["doc_id"])
+            best[r["doc_id"]] = cand if prev is None or cand < prev else prev
+
+    # doc2 sees doc1 within the horizon; doc3 still sees doc1 because the
+    # watermark (lagging one batch) has not yet passed t0 + horizon.
+    assert best[2] == (0, 1)
+    assert best[3] == (0, 1)
+    # When doc4 processes, the watermark is t0+90m: doc1 (deadline t0+60m)
+    # is pruned from the still-hot bucket, so the minimal surviving match
+    # is doc2 — pre-fix the answer was doc1.
+    assert best[4] == (0, 2)
+
+
 def test_interval_us_parser():
     from stock_etl_pipeline_spark.streaming.pipeline import _interval_us
 
