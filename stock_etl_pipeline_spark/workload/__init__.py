@@ -35,15 +35,43 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Demoted tier: full oracle-parity + plan-budget coverage in tests, but NOT
+# exposed to the driver (its CORRECTNESS gate records only the first 50
+# registered queries — see ROADMAP invariants). Holds didactic baselines whose
+# semantics are driver-covered by a scale-shaped sibling (e.g. the uncapped
+# n-gram Jaccard join beside the MinHash-LSH family).
+TESTS_ONLY: dict[str, QuerySpec] = {}
+
 
 def spec(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in REGISTRY:
+        if name in REGISTRY or name in TESTS_ONLY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
         return fn
 
     return deco
+
+
+def spec_tests_only(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register into the tests-only tier (never benched, never driver-checked;
+    tests/test_oracle_parity.py parametrizes over ``all_specs()`` so the
+    DuckDB parity evidence is identical to a registered query's)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY or name in TESTS_ONLY:
+            raise ValueError(f"duplicate query name {name!r}")
+        TESTS_ONLY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=False)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Driver registry + tests-only tier (for tests; the driver sees
+    ``load_all()`` only)."""
+    load_all()
+    return {**TESTS_ONLY, **REGISTRY}
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -16,7 +16,7 @@ from ..datasets import load_table
 from ..functions import pround, sql_pround
 from ..operators import dedup, sampling
 from ..operators import text as textops
-from . import spec
+from . import spec, spec_tests_only
 
 _TOKEN_RE = r"\S+"
 _PUNCT_RE = r"[.,!?;:]"
@@ -337,10 +337,16 @@ WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {_JACCARD_THRESHOLD}
 """.strip()
 
 
-@spec("doc_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("dedup", "similarity_join"), bench=True)
+@spec_tests_only("doc_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("dedup", "similarity_join"))
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity join (near-dup detection) with the
     standard document-frequency cap on shingles (df ≤ 64).
+
+    Tests-only tier (round 5): this is the didactic raw-shingle-join
+    baseline beside the scale-shaped LSH family (doc_minhash_lsh /
+    doc_minhash_capped cover the same near-dup semantics under the driver
+    gate); demoted to free a registry slot per the round-4 verdict. Full
+    DuckDB parity still runs in tests/test_oracle_parity.py.
 
     Scale shape: shingle explode (narrow) → distinct (shuffle on shingle) →
     df-count window + filter (REUSES the shingle partitioning — no extra

@@ -5,11 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from stock_etl_pipeline_spark.workload import load_all
+from stock_etl_pipeline_spark.workload import all_specs
 
 from .oracle_harness import compare, duckdb_connection
 
-REGISTRY = load_all()
+REGISTRY = all_specs()  # driver registry + tests-only tier: identical parity evidence
 ORACLE_CHECKED = sorted(n for n, s in REGISTRY.items() if s.oracle)
 
 

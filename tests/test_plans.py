@@ -10,10 +10,10 @@ import re
 import pytest
 
 from stock_etl_pipeline_spark.plans import explain_formatted, n_shuffles
-from stock_etl_pipeline_spark.workload import load_all
+from stock_etl_pipeline_spark.workload import all_specs
 
 SF = "/root/testdata/sf0.001"
-REGISTRY = load_all()
+REGISTRY = all_specs()  # plan budgets cover the tests-only tier too
 
 
 def plan(spark, name: str) -> str:

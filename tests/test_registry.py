@@ -54,7 +54,9 @@ def test_golden_plan_keys_subset_of_registry():
     golden = json.loads(
         (pathlib.Path(__file__).parent / "golden_plans.json").read_text()
     )
-    orphaned = sorted(set(golden) - set(REGISTRY))
+    from stock_etl_pipeline_spark.workload import all_specs
+
+    orphaned = sorted(set(golden) - set(all_specs()))
     assert orphaned == [], (
         f"golden_plans.json keys not in registry (retired without golden "
         f"update?): {orphaned}"
