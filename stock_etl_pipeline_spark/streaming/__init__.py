@@ -16,6 +16,7 @@ from .pipeline import (
     stateful_sessionize,
     stateful_user_totals,
     stream_merge_upsert,
+    streaming_semantic_dedup,
     streaming_simhash_near_dup,
     tumbling_event_counts,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "run_to_memory",
     "sessionize_stream",
     "stateful_sessionize",
+    "streaming_semantic_dedup",
     "streaming_simhash_near_dup",
     "stateful_user_totals",
     "stream_merge_upsert",

@@ -601,3 +601,196 @@ def streaming_simhash_near_dup(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_semantic_dedup(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    watermark: str = "2 hours",
+    cell_cap: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming SemDeDup — the semantic-dedup family's streaming sibling:
+    each arriving embedding is assigned to its nearest cell of a FROZEN
+    centroid model and checked against the same-cell embeddings seen within
+    the watermark horizon; it is flagged with its most-similar in-horizon
+    match at quantized cosine ≥ ``threshold``.
+
+    Composes the batch ``similarity.semantic_dedup`` pieces, re-shaped for
+    unbounded input (the ``streaming_simhash_near_dup`` state pattern):
+
+    - **frozen model**: ``centroids`` is the (cid, c_dbl, cc) relation a
+      batch ``similarity.kmeans_exact`` trained offline — bounded O(K·dim)
+      by construction, collected once driver-side and shipped in the
+      closure (streams cannot re-train; periodic re-fits swap the model
+      between restarts, the standard IVF serving shape);
+    - **stateless Arrow assignment** (one ``mapInPandas`` pass, no
+      shuffle): micro-int quantization + 1e-6 floor-quantized distance
+      argmin with ties to the lowest cid — the exact
+      ``assign_to_centroids_arrow`` arithmetic, so stream and batch agree
+      on every cell;
+    - **per-cell state** (``applyInPandasWithState``, event-time timeout):
+      each cell holds the unit vectors seen within the horizon (FIFO-capped
+      at ``cell_cap``); members carry event times and are pruned once the
+      watermark passes member ts + horizon; idle cells evict whole. One
+      GEMM per (cell, micro-batch) scores the batch against members — the
+      streaming twin of the batch per-cell pair GEMM.
+
+    Match rule: cosine of micro-quantized unit vectors, floor-rounded to
+    1e-6 BEFORE the threshold (the batch jvm pair backend's
+    quantize-before-compare rule), so the flag decision is reproducible
+    across engines and replays. Within a micro-batch docs process in
+    (ts, id) order and the reported match maximizes (cosine, -id) — a doc
+    only matches EARLIER arrivals, so on in-order input the flagged set is
+    exactly the batch pair query's later-id sides. Like the batch operator
+    (and the SemDeDup paper), duplicate search is within-cell only.
+
+    Output: one row per arriving vector: (``id_col``, ts, cid, matched_id,
+    cosine); matched_id NULL when nothing within the horizon cleared the
+    threshold. Callers keep-first by dropping flagged ids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    horizon_us = _interval_us(watermark)
+
+    model = sorted(
+        centroids.select("cid", "c_dbl", "cc").collect(), key=lambda r: r["cid"]
+    )
+    if not model:
+        raise ValueError("centroid model is empty")
+    C = np.stack([np.asarray(r["c_dbl"], dtype=np.float64) for r in model])
+    cc = np.array([r["cc"] for r in model], dtype=np.float64)
+    cids = np.array([r["cid"] for r in model], dtype=np.int64)
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # with_micro_vectors + assign_to_centroids_arrow, replicated so
+            # stream cells match the batch pipeline bit-for-bit
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_dbl = np.floor(V * 1e6 + 0.5) / 1e6
+            vv = (v_dbl * v_dbl).sum(axis=1)
+            d = vv[:, None] + cc[None, :] - 2.0 * (v_dbl @ C.T)
+            j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+            unit = v_dbl / np.sqrt(vv)[:, None]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ts": pdf["ts"],
+                    "cid": cids[j].astype("int32"),
+                    "unit": list(unit),
+                }
+            )
+
+    assigned = vecs.select(id_col, "ts", vec_col).mapInPandas(
+        assign, f"{id_col} long, ts timestamp, cid int, unit array<double>"
+    )
+
+    out_schema = (
+        f"{id_col} long, ts timestamp, cid int, matched_id long, cosine double"
+    )
+    state_schema = (
+        "ids array<long>, units array<double>, tss array<long>, "
+        "dim int, last_us long"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        cid = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = [p for p in pdf_iter if len(p)]
+        if not batch:
+            return
+        pdf = pd.concat(batch).sort_values(["ts", id_col])
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            s_ids, s_units, s_tss, dim, last_us = state.get
+            m_ids = np.asarray(s_ids, dtype=np.int64)
+            m_tss = np.asarray(s_tss, dtype=np.int64)
+            m_units = np.asarray(s_units, dtype=np.float64).reshape(-1, dim)
+            keep = (m_tss + horizon_us) // 1000 > wm_ms  # member horizon
+            if not keep.all():
+                m_ids, m_tss, m_units = m_ids[keep], m_tss[keep], m_units[keep]
+        else:
+            m_ids = m_tss = np.empty(0, dtype=np.int64)
+            m_units = None
+            last_us = 0
+        U_batch = np.stack(
+            [np.asarray(u, dtype=np.float64) for u in pdf["unit"]]
+        )
+        dim = U_batch.shape[1]
+        if m_units is None:
+            m_units = np.empty((0, dim), dtype=np.float64)
+        nb, m0 = len(pdf), len(m_ids)
+        ids_a = np.concatenate([m_ids, pdf[id_col].to_numpy(dtype=np.int64)])
+        units_a = np.vstack([m_units, U_batch])
+        ts_us = (
+            pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
+        )
+        tss_a = np.concatenate([m_tss, ts_us])
+        # one GEMM scores the whole batch against members ∪ earlier batch
+        # rows; per-row work is a slice over its live FIFO window
+        G = np.floor((U_batch @ units_a.T) * 1e6 + 0.5) / 1e6
+        matched = np.full(nb, -1, dtype=np.int64)
+        cosines = np.full(nb, np.nan)
+        start = 0
+        for i in range(nb):
+            cnt = m0 + i
+            if cnt - start > cell_cap:  # FIFO cap — oldest member leaves
+                start = cnt - cell_cap
+            if cnt > start:
+                g = G[i, start:cnt]
+                sel = np.nonzero(g >= threshold)[0]
+                if len(sel):
+                    cmax = g[sel].max()
+                    matched[i] = ids_a[start:cnt][sel[g[sel] == cmax]].min()
+                    cosines[i] = cmax
+        end = m0 + nb
+        start = max(0, end - cell_cap)
+        if nb:
+            last_us = max(int(last_us), int(ts_us.max()))
+        state.update(
+            (
+                [int(x) for x in ids_a[start:end]],
+                [float(x) for x in units_a[start:end].ravel()],
+                [int(x) for x in tss_a[start:end]],
+                int(dim),
+                int(last_us),
+            )
+        )
+        # same clamped deadline rule as streaming_simhash_near_dup: a cell
+        # fed only by late rows must not set a timeout behind the watermark
+        deadline_ms = (last_us + horizon_us) // 1000
+        state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "ts": pdf["ts"].to_numpy(),
+                "cid": cid,
+                "matched_id": pd.array(
+                    [None if m < 0 else int(m) for m in matched], dtype="Int64"
+                ),
+                "cosine": cosines,
+            }
+        )
+
+    return (
+        assigned.withWatermark("ts", watermark)
+        .groupBy("cid")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

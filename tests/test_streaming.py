@@ -365,3 +365,129 @@ def test_interval_us_parser():
         _interval_us("1 hour 30")  # dangling value
     with pytest.raises(ValueError, match="pairs in interval"):
         _interval_us("hour 1")  # value/unit swapped
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming SemDeDup: embeddings arriving across micro-batches are
+    flagged against earlier same-cell arrivals within the horizon. The
+    full (matched_id, cosine) map must equal an independent numpy replay
+    of the contract (frozen-model quantized assignment + quantized
+    within-cell cosine vs earlier ids), and no batch semantic_dedup
+    keeper may be flagged."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    THRESH, K = 0.4, 8
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    v = similarity.with_micro_vectors(emb)
+    cents = similarity.kmeans_exact(v, k_clusters=K, iters=2)
+
+    # synthetic in-order event times: t0 + vec_id seconds, three files in
+    # id order -> three micro-batches (maxFilesPerTrigger=1)
+    t0 = 1_704_110_400  # 2024-01-01 12:00:00 UTC
+    timed = emb.withColumn(
+        "ts", F.timestamp_seconds(F.lit(t0) + F.col("vec_id"))
+    ).select("vec_id", "ts", "embedding")
+    src = str(tmp_path / "emb_stream")
+    n = emb.count()
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+        timed.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, ts timestamp, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged_df = streaming.streaming_semantic_dedup(
+        stream, cents, threshold=THRESH, watermark="2 hours"
+    )
+    streaming.run_to_memory(flagged_df, "t_semdedup", str(tmp_path / "ckpt_sd"))
+    out = spark.table("t_semdedup").collect()
+    assert len(out) == n  # one row per arriving vector
+    got = {
+        r["vec_id"]: (r["matched_id"], r["cosine"])
+        for r in out
+        if r["matched_id"] is not None
+    }
+
+    # independent numpy replay of the documented contract
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    v_dbl = np.floor(M * 1e6 + 0.5) / 1e6
+    vv = (v_dbl * v_dbl).sum(axis=1)
+    model = sorted(cents.collect(), key=lambda r: r["cid"])
+    C = np.stack([np.asarray(r["c_dbl"], dtype=np.float64) for r in model])
+    cc = np.array([r["cc"] for r in model], dtype=np.float64)
+    d = vv[:, None] + cc[None, :] - 2.0 * (v_dbl @ C.T)
+    cell = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+    U = v_dbl / np.sqrt(vv)[:, None]
+    G = np.floor((U @ U.T) * 1e6 + 0.5) / 1e6
+    want = {}
+    for i in range(len(ids)):
+        prior = np.nonzero((cell[:i] == cell[i]) & (G[i, :i] >= THRESH))[0]
+        if len(prior):
+            cmax = G[i, prior].max()
+            want[int(ids[i])] = (
+                int(ids[prior[G[i, prior] == cmax]].min()),
+                float(cmax),
+            )
+    assert len(want) > 0  # non-vacuous on this corpus at THRESH
+    assert got == want
+
+    # batch consistency: a semantic_dedup keeper has no smaller-id neighbor,
+    # so it can never be flagged by the in-id-order stream
+    batch = similarity.semantic_dedup(
+        emb, THRESH, k_clusters=K, iters=2, pair_backend="jvm"
+    ).collect()
+    keepers = {r["vec_id"] for r in batch if r["keeper_id"] == r["vec_id"]}
+    assert keepers.isdisjoint(got)
+    # and every flagged doc is a batch non-keeper (duplicate component member)
+    assert set(got) <= {r["vec_id"] for r in batch} - keepers
+
+
+def test_streaming_semantic_dedup_member_expiry(spark, tmp_path):
+    """Per-member horizon pruning in a hot cell: identical vectors arriving
+    at 0m/45m/150m/151m against a 1h horizon — the 151m arrival must match
+    the 45m member (the 0m member is pruned once the watermark passes its
+    ts + horizon), mirroring the simhash sibling's contract."""
+    import datetime as dt
+
+    vec = [0.6, 0.8, 0.0, 0.0]
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, vec),
+        (2, t0 + dt.timedelta(minutes=45), vec),
+        (3, t0 + dt.timedelta(minutes=150), vec),
+        (4, t0 + dt.timedelta(minutes=151), vec),
+    ]
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+    src = str(tmp_path / "vec_stream")
+    for row in rows:  # one file per vector -> one micro-batch each
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cents = spark.createDataFrame(
+        [(0, [0.6, 0.8, 0.0, 0.0], 1.0)], "cid int, c_dbl array<double>, cc double"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    flagged = streaming.streaming_semantic_dedup(
+        stream, cents, threshold=0.99, watermark="1 hour"
+    )
+    streaming.run_to_memory(flagged, "t_sem_expiry", str(tmp_path / "ckpt_se"))
+    got = {
+        r["vec_id"]: r["matched_id"] for r in spark.table("t_sem_expiry").collect()
+    }
+    # doc2 matches doc1 in-horizon; doc3 matches doc1 only because the
+    # watermark (lagging one batch) has not yet passed t0 + horizon; by
+    # doc4 the watermark is t0+90m and doc1 (deadline t0+60m) is pruned
+    # from the still-hot cell, so the minimal match is doc2.
+    assert got[1] is None
+    assert got[2] == 1
+    assert got[3] == 1
+    assert got[4] == 2
