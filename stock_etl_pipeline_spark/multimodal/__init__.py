@@ -64,6 +64,97 @@ def attach_media_columns(documents: DataFrame) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _make_png_decoder():
+    """Factory for the pure-stdlib PNG decoder (dynamic function → cloudpickle
+    ships it by value inside the mapInPandas closure, like _make_decoder).
+
+    A REAL decode, not a header probe: chunk CRCs are verified, the IDAT
+    stream is inflated, and every scanline filter (None/Sub/Up/Average/Paeth)
+    is reversed to raw pixel bytes. Supports the common subset — 8-bit
+    greyscale/RGB/(A), non-interlaced — and raises on anything else or on
+    corrupt input. Per-byte Python loops are fine here by design: this is the
+    fixture-scale decode branch proving the plumbing end-to-end; a production
+    deployment swaps in a native decoder (Pillow branch below) and keeps
+    every distributed concern unchanged."""
+
+    def decode_png(content: bytes) -> tuple[int, int, bytes]:
+        import struct
+        import zlib
+
+        if content[:8] != _PNG_MAGIC:
+            raise ValueError("not a PNG")
+        pos = 8
+        width = height = channels = None
+        idat = b""
+        while pos + 12 <= len(content):
+            (ln,), typ = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                raise ValueError("truncated chunk")
+            (crc,) = struct.unpack(">I", content[pos + 8 + ln : pos + 12 + ln])
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError("chunk CRC mismatch")
+            if typ == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace != 0:
+                    raise ValueError("unsupported PNG variant")
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if channels is None:
+                    raise ValueError("unsupported color type")
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if width is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        raw = zlib.decompress(idat)
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("pixel data size mismatch")
+        out = bytearray()
+        prev = bytearray(stride)
+        for y in range(height):
+            f = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if f == 1:  # Sub
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
+            elif f == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad filter byte {f}")
+            out += line
+            prev = line
+        return width, height, bytes(out)
+
+    return decode_png
+
+
+# Module-level twin for direct testing; the mapInPandas closure builds its
+# own by-value copy via the factory.
+decode_png = _make_png_decoder()
+
+
 def _make_decoder():
     """Build the per-blob decode function as a DYNAMIC function so cloudpickle
     serializes it by value: the mapInPandas closure must not reference a
@@ -71,12 +162,14 @@ def _make_decoder():
     (driver launched from another cwd, no --py-files) fail with
     ModuleNotFoundError. A factory-made closure ships its own code object."""
 
+    png = _make_png_decoder()  # by-value sibling closure
+
     def decode(content: bytes, media_type: str) -> tuple[int, int, str]:
         import hashlib
 
         digest = hashlib.md5(content).hexdigest()
         if media_type == "image":
-            try:  # real decoder path (not installed in this container)
+            try:  # native decoder path (not installed in this container)
                 import io
 
                 from PIL import Image  # type: ignore
@@ -87,6 +180,14 @@ def _make_decoder():
                 pass
             except Exception:
                 return -1, -1, "corrupt"
+            if content[:8] == _PNG_MAGIC:
+                # real stdlib decode: inflate + unfilter to pixels; a PNG
+                # that fails mid-decode is corrupt, not stub-able
+                try:
+                    w, h, _pixels = png(content)
+                    return w, h, "png-stdlib"
+                except Exception:
+                    return -1, -1, "corrupt"
         # Deterministic fake: dims from the digest (portable: ord of hex).
         width = 64 + (ord(digest[0]) % 16)
         height = 64 + (ord(digest[1]) % 16)

@@ -116,3 +116,125 @@ def test_decode_non_image_skips_decoder(monkeypatch):
     _install_fake_pil(monkeypatch, raises=True)
     w, h, mode = _make_decoder()(b"riff-ish bytes", "audio")
     assert mode == "stub" and w >= 64 and h >= 64
+
+
+# --- real PNG decode via the pure-stdlib branch ------------------------------
+# The container has no native image library, so REAL byte-stream decode is
+# proven with the stdlib PNG decoder: fixtures below are genuine PNG files
+# (zlib-deflated IDAT, correct CRCs) encoded with every scanline filter.
+
+
+def _png_bytes(pixels, width, height, channels, filters=None):
+    """Encode raw pixel bytes as a real PNG (test-side encoder): applies the
+    requested per-row filter (default 0/None) then deflates — exercising the
+    decoder's unfilter path against known ground truth."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 4: 6, 2: 4}[channels]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:  # Sub
+            for x in range(stride - 1, channels - 1, -1):
+                enc[x] = (line[x] - line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (line[x] - pr) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    from stock_etl_pipeline_spark.multimodal import decode_png
+
+    w, h, ch = 5, 6, 3
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * ch))
+    for f in range(5):
+        blob = _png_bytes(pixels, w, h, ch, filters=[f] * h)
+        gw, gh, got = decode_png(blob)
+        assert (gw, gh) == (w, h)
+        assert got == pixels, f"filter {f} unfilter mismatch"
+    # mixed filters across rows, RGBA and greyscale geometry too
+    blob = _png_bytes(pixels, w, h, ch, filters=[0, 1, 2, 3, 4, 2])
+    assert decode_png(blob)[2] == pixels
+    grey = bytes((x * 3) % 256 for x in range(4))
+    assert decode_png(_png_bytes(grey, 2, 2, 1))[2] == grey
+    rgba = bytes(range(16))
+    assert decode_png(_png_bytes(rgba, 2, 2, 4))[2] == rgba
+
+
+def test_png_decode_rejects_corruption():
+    import pytest
+
+    from stock_etl_pipeline_spark.multimodal import decode_png
+
+    blob = bytearray(_png_bytes(bytes(12), 2, 2, 3))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"plain text")
+    with pytest.raises(ValueError):
+        decode_png(_png_bytes(bytes(12), 2, 2, 3)[:-24])  # truncated mid-IDAT
+
+
+def test_real_png_decoded_end_to_end(spark):
+    """extract_media_features over REAL PNG byte-streams: the stdlib branch
+    reports true dimensions with decoder='png-stdlib'; corrupt PNGs route to
+    'corrupt'; non-PNG images keep the deterministic stub."""
+    w, h, ch = 7, 3, 3
+    good = _png_bytes(bytes((x * 5) % 256 for x in range(w * h * ch)), w, h, ch, filters=[4] * h)
+    bad = bytearray(good)
+    bad[-5] ^= 0x01  # corrupt IEND CRC... inside IDAT-decoded region? -> CRC fail
+    rows = [
+        (1, "image", bytes(good), "s"),
+        (2, "image", bytes(bad), "s"),
+        (3, "image", b"JFIF-ish bytes, not png", "s"),
+        (4, "audio", bytes(good), "s"),  # non-image: decoder never runs
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary, source string"
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["decoder"])
+        for r in extract_media_features(media).collect()
+    }
+    assert got[1] == (w, h, "png-stdlib")
+    assert got[2] == (-1, -1, "corrupt")
+    assert got[3][2] == "stub"
+    assert got[4][2] == "stub"
