@@ -191,6 +191,9 @@ def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
     return timings
 
 
+FLOOR_SF = "/root/testdata/sf0.001"
+
+
 def run_one(name: str, sf_dir: str) -> int:
     """Child entry for --isolate: time ONE query cold in this fresh session.
 
@@ -200,6 +203,17 @@ def run_one(name: str, sf_dir: str) -> int:
     ratios when folded into every cell. The warm-up is a DIFFERENT query
     than the timed one (never warms the timed plan), over the base SF so
     even tier-dir scan caches stay cold for the measurement.
+
+    The cell also times the SAME query at FLOOR_SF (sf0.001 — effectively
+    data-free) and emits it as ``floor_sec``: the plan's per-session fixed
+    cost (codegen, job scheduling, scan setup) that does NOT scale with
+    data. The scaling table subtracts it from both ends so small-query
+    ratios measure data growth instead of being compressed toward 1x by
+    the constant (round-4 verdict: the uncorrected column read ~1.3x at
+    both ends of queries whose data term was unknowable). The floor runs
+    AFTER the main measurement so it cannot warm the tier-dir scan, and
+    its plan-warming of the query itself doesn't matter — the main timing
+    already finished cold.
     """
     from stock_etl_pipeline_spark.session import get_spark
     from stock_etl_pipeline_spark.workload import load_all
@@ -212,7 +226,12 @@ def run_one(name: str, sf_dir: str) -> int:
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    print(json.dumps({"query": name, "sec": round(time.perf_counter() - t0, 2)}), flush=True)
+    sec = round(time.perf_counter() - t0, 2)
+    spark.catalog.clearCache()
+    t1 = time.perf_counter()
+    s.fn(spark, FLOOR_SF).write.mode("overwrite").format("noop").save()
+    floor = round(time.perf_counter() - t1, 2)
+    print(json.dumps({"query": name, "sec": sec, "floor_sec": floor}), flush=True)
     return 0
 
 
