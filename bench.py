@@ -6,7 +6,20 @@ Runs every bench-flagged query from the workload registry at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
   {"metric": "workload_total", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <float>}
+   "queries": {"<name>": sec, ...}, "sf": <float>,
+   "sentinel_sec": <fixed-probe sec>}
+
+``sentinel_sec`` times a FIXED probe plan (hard-coded below, independent
+of the registry so no round's code changes can touch it): a two-key
+grouped aggregate over the lineitem scan, best-of-N like every headline
+query. Round-over-round comparisons must divide out host drift with it:
+
+  drift     = sentinel_sec(rN) / sentinel_sec(rM)
+  true_rate = (t_rN / t_rM) / drift        # per query or for the total
+
+Round 5 measured 16 untouched queries "regressing" a uniform 1.23x from
+host drift alone; the sentinel makes that correction mechanical instead
+of forensic. The normalization rule is documented in BASELINE.md.
 
 Each query is forced end-to-end with the no-op sink (full computation, no
 write cost). One untimed warm-up query absorbs JVM/codegen startup.
@@ -60,13 +73,49 @@ def main() -> int:
     # stock family reads.
     run(registry["source_report"].fn(spark, sf_dir))
 
+    def sentinel_probe():
+        """Fixed host-speed probe — NEVER change this plan across rounds.
+
+        Registry-independent on purpose: a registered query's plan can be
+        (and has been) optimized between rounds, which would silently bend
+        the normalization baseline. A lineitem scan + two-key hash agg
+        exercises scan, shuffle, and codegen — the same machinery host
+        drift acts on.
+        """
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("s_qty"),
+                F.avg("l_extendedprice").alias("a_price"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    sentinel_sec = None
+    for _ in range(max(1, reps)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(sentinel_probe())
+        e = round(time.perf_counter() - t0, 3)
+        if sentinel_sec is None or e < sentinel_sec:
+            sentinel_sec = e
+
     if "--breakdown" in sys.argv:
         from stock_etl_pipeline_spark.workload.microbench import run_breakdown
 
         stages = run_breakdown(spark, sf_dir, reps=reps)
         print(
             json.dumps(
-                {"metric": "stage_breakdown", "unit": "sec", "stages": stages, "sf": sf}
+                {
+                    "metric": "stage_breakdown",
+                    "unit": "sec",
+                    "stages": stages,
+                    "sf": sf,
+                    "sentinel_sec": sentinel_sec,
+                }
             )
         )
         return 0
@@ -103,6 +152,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinel_sec": sentinel_sec,
             }
         )
     )

@@ -147,7 +147,7 @@ def build(spark, out_dir: str, scale: int, base_sf: str = BASE_SF) -> None:
         )
 
 
-def run_tier(spark, sf_dir: str, specs) -> dict[str, float]:
+def run_tier(spark, sf_dir: str, specs) -> dict[str, dict]:
     timings = {}
     for name, s in specs.items():
         # Cold-plan cost: the dedup pipelines persist intermediates that a
@@ -155,12 +155,15 @@ def run_tier(spark, sf_dir: str, specs) -> dict[str, float]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        print(f"  {sf_dir} {name}: {timings[name]}s", flush=True)
+        sec = round(time.perf_counter() - t0, 2)
+        # in-process mode carries no floor: the shared session's warmth
+        # would make it meaningless (every plan after the first is warm)
+        timings[name] = {"sec": sec, "floor_sec": None}
+        print(f"  {sf_dir} {name}: {sec}s", flush=True)
     return timings
 
 
-def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
+def run_tier_isolated(sf_dir: str, names) -> dict[str, dict]:
     """One fresh subprocess (fresh JVM, fresh session) per query.
 
     The round-3 sweep showed up to 3.5x spread between a query timed late
@@ -170,6 +173,11 @@ def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
     shuffle state) hit the widest shuffles hardest. Isolation makes every
     cell of the scaling table a fresh-session measurement, at the price of
     one JVM startup (~10 s, excluded: the child times only the query).
+
+    Each cell carries the child's ``floor_sec`` (the same plan timed at
+    FLOOR_SF — its data-free fixed cost) so the caller can print
+    floor-corrected scaling ratios; see run_one for the floor's warm-bias
+    caveat.
     """
     import subprocess
 
@@ -186,8 +194,13 @@ def run_tier_isolated(sf_dir: str, names) -> dict[str, float]:
         if res.returncode != 0 or not marker:
             sys.stderr.write(res.stdout[-2000:] + res.stderr[-2000:])
             raise SystemExit(f"--run-one {name} failed (rc={res.returncode})")
-        timings[name] = json.loads(marker[-1])["sec"]
-        print(f"  {sf_dir} {name}: {timings[name]}s [fresh session]", flush=True)
+        cell = json.loads(marker[-1])
+        timings[name] = {"sec": cell["sec"], "floor_sec": cell.get("floor_sec")}
+        print(
+            f"  {sf_dir} {name}: {cell['sec']}s "
+            f"(floor {cell.get('floor_sec')}s) [fresh session]",
+            flush=True,
+        )
     return timings
 
 
@@ -214,6 +227,15 @@ def run_one(name: str, sf_dir: str) -> int:
     AFTER the main measurement so it cannot warm the tier-dir scan, and
     its plan-warming of the query itself doesn't matter — the main timing
     already finished cold.
+
+    Warm bias (known, conservative): because the floor runs second in the
+    SAME JVM, codegen/JIT warmed by the main run deflates floor_sec
+    relative to the fixed cost embedded in the cold ``sec``. Subtracting
+    a too-small floor leaves residual fixed cost in both ends, so the
+    corrected ratio is still compressed toward 1x — the correction
+    UNDER-corrects, never inflates a scaling ratio. When the tier dir IS
+    the floor dir the subtraction would be pure noise, so the floor run
+    is skipped and floor_sec is null.
     """
     from stock_etl_pipeline_spark.session import get_spark
     from stock_etl_pipeline_spark.workload import load_all
@@ -227,10 +249,12 @@ def run_one(name: str, sf_dir: str) -> int:
     t0 = time.perf_counter()
     s.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     sec = round(time.perf_counter() - t0, 2)
-    spark.catalog.clearCache()
-    t1 = time.perf_counter()
-    s.fn(spark, FLOOR_SF).write.mode("overwrite").format("noop").save()
-    floor = round(time.perf_counter() - t1, 2)
+    floor = None
+    if os.path.realpath(sf_dir) != os.path.realpath(FLOOR_SF):
+        spark.catalog.clearCache()
+        t1 = time.perf_counter()
+        s.fn(spark, FLOOR_SF).write.mode("overwrite").format("noop").save()
+        floor = round(time.perf_counter() - t1, 2)
     print(json.dumps({"query": name, "sec": sec, "floor_sec": floor}), flush=True)
     return 0
 
@@ -290,10 +314,19 @@ def main() -> int:
         scaled = run_tier(spark, out_dir, specs)
     print(json.dumps({"tier": f"scaled_{out_dir}", "queries": scaled}), flush=True)
 
-    print(f"\n{'query':28s} {'sf0.1':>8s} {'tier':>8s} {'ratio':>7s}")
+    # corr = floor-corrected ratio: (t - floor) at both ends, floors taken
+    # from each cell's own fresh JVM (--isolate only; '-' otherwise).
+    # Clamped at 0.05 s so a floor ≈ t cell can't print a wild ratio.
+    print(f"\n{'query':28s} {'sf0.1':>8s} {'tier':>8s} {'ratio':>7s} {'corr':>7s}")
     for name in specs:
-        r = scaled[name] / base[name] if base[name] else float("inf")
-        print(f"{name:28s} {base[name]:8.2f} {scaled[name]:8.2f} {r:7.1f}")
+        b, t = base[name], scaled[name]
+        r = t["sec"] / b["sec"] if b["sec"] else float("inf")
+        corr = "      -"
+        if b["floor_sec"] is not None and t["floor_sec"] is not None:
+            bc = max(b["sec"] - b["floor_sec"], 0.05)
+            tc = max(t["sec"] - t["floor_sec"], 0.05)
+            corr = f"{tc / bc:7.1f}"
+        print(f"{name:28s} {b['sec']:8.2f} {t['sec']:8.2f} {r:7.1f} {corr}")
     return 0
 
 

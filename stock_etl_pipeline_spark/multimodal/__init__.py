@@ -89,15 +89,20 @@ def _make_png_decoder():
         pos = 8
         width = height = channels = None
         idat = b""
+        saw_iend = False
         while pos + 12 <= len(content):
             (ln,), typ = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
-            data = content[pos + 8 : pos + 8 + ln]
-            if len(data) != ln:
+            # a stream cut anywhere inside the chunk body or its CRC must
+            # surface as the documented ValueError, not a struct.error
+            if pos + 12 + ln > len(content):
                 raise ValueError("truncated chunk")
+            data = content[pos + 8 : pos + 8 + ln]
             (crc,) = struct.unpack(">I", content[pos + 8 + ln : pos + 12 + ln])
             if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
                 raise ValueError("chunk CRC mismatch")
             if typ == b"IHDR":
+                if len(data) != 13:
+                    raise ValueError("bad IHDR length")
                 width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
@@ -106,16 +111,33 @@ def _make_png_decoder():
                 channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
                 if channels is None:
                     raise ValueError("unsupported color type")
+                if not width or not height:
+                    raise ValueError("zero-sized image")
+                # sanity-bound dims BEFORE any inflate: a crafted IHDR
+                # must not license an unbounded allocation downstream
+                if (width * channels + 1) * height > 1 << 28:
+                    raise ValueError("image too large")
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
+                saw_iend = True
                 break
             pos += 12 + ln
         if width is None or not idat:
             raise ValueError("missing IHDR/IDAT")
-        raw = zlib.decompress(idat)
+        if not saw_iend:  # stream ended before a complete IEND: truncated
+            raise ValueError("truncated stream (no IEND)")
         stride = width * channels
-        if len(raw) != (stride + 1) * height:
+        expected = (stride + 1) * height
+        # bounded inflate: a tiny crafted IDAT can expand arbitrarily
+        # (decompression bomb) — cap the output at expected+1 so an
+        # oversized stream shows up as a size mismatch, not an OOM
+        try:
+            dec = zlib.decompressobj()
+            raw = dec.decompress(idat, expected + 1)
+        except zlib.error as e:  # corrupt deflate stream → documented error
+            raise ValueError(f"bad IDAT stream: {e}") from e
+        if len(raw) != expected:
             raise ValueError("pixel data size mismatch")
         out = bytearray()
         prev = bytearray(stride)

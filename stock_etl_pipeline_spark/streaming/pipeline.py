@@ -680,7 +680,14 @@ def streaming_semantic_dedup(
             vv = (v_dbl * v_dbl).sum(axis=1)
             d = vv[:, None] + cc[None, :] - 2.0 * (v_dbl @ C.T)
             j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
-            unit = v_dbl / np.sqrt(vv)[:, None]
+            # zero-norm guard: an all-zero embedding must not become a NaN
+            # unit vector silently stored in cell state (NaN >= t is always
+            # False, and NaN cosines leak past `cosine IS NULL` filters).
+            # Dividing by 1 keeps it a zero UNIT vector: cosine 0 with
+            # everything, deterministically unmatched at any t > 0.
+            norm = np.sqrt(vv)
+            norm[norm == 0.0] = 1.0
+            unit = v_dbl / norm[:, None]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -779,7 +786,13 @@ def streaming_semantic_dedup(
                 "matched_id": pd.array(
                     [None if m < 0 else int(m) for m in matched], dtype="Int64"
                 ),
-                "cosine": cosines,
+                # unmatched rows emit SQL NULL, matching matched_id's
+                # convention — a float NaN here would silently escape
+                # `cosine IS NULL` filters downstream
+                "cosine": pd.array(
+                    [None if m < 0 else float(c) for m, c in zip(matched, cosines)],
+                    dtype="Float64",
+                ),
             }
         )
 

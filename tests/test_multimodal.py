@@ -213,6 +213,71 @@ def test_png_decode_rejects_corruption():
         decode_png(_png_bytes(bytes(12), 2, 2, 3)[:-24])  # truncated mid-IDAT
 
 
+def test_png_decode_truncated_inside_crc_is_valueerror():
+    # a stream cut INSIDE a chunk CRC used to escape as struct.error,
+    # breaking the documented raises-ValueError contract
+    import pytest
+
+    from stock_etl_pipeline_spark.multimodal import decode_png
+
+    blob = _png_bytes(bytes(12), 2, 2, 3)
+    for cut in (len(blob) - 1, len(blob) - 3, 8 + 4 + 4 + 13 + 2):
+        with pytest.raises(ValueError):
+            decode_png(blob[:cut])
+
+
+def test_png_decode_bounds_decompression_bomb():
+    # a tiny IDAT claiming huge dims must be rejected BEFORE inflating,
+    # and an IDAT inflating past the declared size must not OOM
+    import struct
+    import zlib
+
+    import pytest
+
+    from stock_etl_pipeline_spark.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 1) absurd declared dims: rejected at IHDR, no inflate attempted
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(bomb)
+
+    # 2) plausible dims, oversized deflate payload: bounded inflate turns
+    # it into a size mismatch instead of materializing the whole stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    oversize = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 22)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(oversize)
+
+    # 3) corrupt deflate bytes surface as ValueError, not zlib.error
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bad)
+
+
 def test_real_png_decoded_end_to_end(spark):
     """extract_media_features over REAL PNG byte-streams: the stdlib branch
     reports true dimensions with decoder='png-stdlib'; corrupt PNGs route to

@@ -491,3 +491,47 @@ def test_streaming_semantic_dedup_member_expiry(spark, tmp_path):
     assert got[2] == 1
     assert got[3] == 1
     assert got[4] == 2
+
+
+def test_streaming_semantic_dedup_zero_norm_and_null_cosine(spark, tmp_path):
+    """An all-zero embedding must flow through as a deterministic zero UNIT
+    vector (cosine 0 with everything — never matches, never poisons cell
+    state with NaN), and every unmatched row must emit cosine as SQL NULL,
+    not float NaN (NaN silently escapes `cosine IS NULL` filters)."""
+    import datetime as dt
+    import math
+
+    vec = [0.6, 0.8, 0.0, 0.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, zero),  # zero-norm arrival, stored as zero unit
+        (2, t0 + dt.timedelta(minutes=1), vec),
+        (3, t0 + dt.timedelta(minutes=2), vec),  # matches 2, NOT 1
+        (4, t0 + dt.timedelta(minutes=3), zero),  # zero vs zero: cosine 0
+    ]
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+    src = str(tmp_path / "vec_stream_zn")
+    for row in rows:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cents = spark.createDataFrame(
+        [(0, [0.6, 0.8, 0.0, 0.0], 1.0)], "cid int, c_dbl array<double>, cc double"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    flagged = streaming.streaming_semantic_dedup(
+        stream, cents, threshold=0.99, watermark="1 hour"
+    )
+    streaming.run_to_memory(flagged, "t_sem_zn", str(tmp_path / "ckpt_zn"))
+    out = {r["vec_id"]: r for r in spark.table("t_sem_zn").collect()}
+    assert len(out) == 4  # the zero vector is emitted, not dropped
+    assert out[1]["matched_id"] is None
+    assert out[3]["matched_id"] == 2  # zero member never matched anything
+    assert out[4]["matched_id"] is None  # zero-vs-zero cosine is 0, not NaN
+    for vid in (1, 2, 4):  # every unmatched row: cosine SQL NULL, never NaN
+        c = out[vid]["cosine"]
+        assert c is None, f"vec {vid}: expected NULL cosine, got {c}"
+    assert out[3]["cosine"] is not None and not math.isnan(out[3]["cosine"])
