@@ -112,6 +112,74 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine") >= _NEAR_DUP_THRESHOLD)
 
 
+# Bucketed-GEMM scale path for the exact near-dup above (the registered
+# mitigation for its O(n²) contract): hyperplane-LSH buckets FIRST, exact
+# GEMM only within each bucket. The SAME literal planes are baked into the
+# oracle SQL so DuckDB replays the identical bucketing — parity by
+# construction. Precision is exact (every emitted cosine is computed and
+# thresholded); only recall is approximate, OR-ed across the four tables.
+_BNE_BITS, _BNE_TABLES = 6, 4
+_BNE_PLANES = [
+    similarity.make_planes(dim=64, n_planes=_BNE_BITS, seed=42 + 1000 * t)
+    for t in range(_BNE_TABLES)
+]
+_BNE_BUCKETS = [
+    similarity.sql_hyperplane_bucket("embedding", p) for p in _BNE_PLANES
+]
+_BNE_COS = sql_pround("list_cosine_similarity(a.emb_d, b.emb_d)", 4)
+# Threshold tuned to the synthetic corpus's cosine range (max pairwise
+# cosine ~0.51 at sf0.01, ~0.6 at sf0.1): the exact sibling's 0.99 row is
+# VACUOUS at driver scale (0 pairs exist). 0.4 keeps the driver row
+# non-vacuous (17 pairs at sf0.01) while the operator stays threshold-
+# agnostic; tests/test_dedup.py pins the high-threshold planted-family
+# behavior separately.
+_BUCKETED_THRESHOLD = 0.4
+
+_BUCKETED_NEAR_DUP_ORACLE = f"""
+WITH u AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+    {_BNE_BUCKETS[0]} AS b0, {_BNE_BUCKETS[1]} AS b1,
+    {_BNE_BUCKETS[2]} AS b2, {_BNE_BUCKETS[3]} AS b3
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_BNE_COS} AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE {_BNE_COS} >= {_BUCKETED_THRESHOLD}
+""".strip()
+
+
+@spec(
+    "embedding_bucketed_near_dup",
+    oracle=_BUCKETED_NEAR_DUP_ORACLE,
+    tags=("dedup", "similarity", "lsh"),
+    bench=True,
+)
+def q_embedding_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via bucketed block GEMM (operators/similarity.py):
+    the 100 TB composition the exact `embedding_near_dup` docstring names.
+    Σ_bucket n_b² flops instead of n², replication factor exactly L=4, one
+    vectorized numpy matmul per (table, bucket) group.
+
+    Same rounding slack as the exact sibling: the operator threshold
+    carries 1e-4 so the final filter on the ROUNDED cosine (oracle
+    semantics) can't drop a boundary pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.bucketed_matmul_near_dup_pairs(
+        e,
+        _BUCKETED_THRESHOLD - 1e-4,
+        dim=64,
+        id_col="vec_id",
+        bits_per_table=_BNE_BITS,
+        n_tables=_BNE_TABLES,
+        seed=42,
+    )
+    return pairs.select(
+        "vec_a", "vec_b", pround(F.col("cosine"), 4).alias("cosine")
+    ).filter(F.col("cosine") >= _BUCKETED_THRESHOLD)
+
+
 # --- LSH-bucketed ANN (approximate scale path) ------------------------------
 # The same literal hyperplanes are baked into the oracle SQL, so the oracle
 # replays the identical bucketing — parity by construction, recall visible in
