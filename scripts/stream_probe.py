@@ -14,6 +14,17 @@ over per-micro-batch fixed cost.
 Usage:
   python scripts/stream_probe.py [--sf-dir /root/testdata/sf0.1]
       [--batches 4] [--dup-factor 1] [--watermark "1 hour"]
+      [--conf spark.key=value ...] [--progress]
+
+``--conf`` (repeatable) sets session confs BEFORE the stream starts —
+the state-store experiment surface (provider class, shuffle/state
+partition count, no-data micro-batches). ``--progress`` additionally
+prints one JSON line decomposing the run from StreamingQuery progress
+events: per-batch durationMs components (addBatch / getBatch /
+queryPlanning / walCommit / commitOffsets / latestOffset) and the state
+operator's commit times — the measured breakdown of the per-micro-batch
+fixed cost (round-5 verdict: ~4.5 s/batch dominated both streaming
+operators; round 6 targets the largest term with evidence).
 
 Output: one JSON line {"metric": "stream_neardup_probe", ...}.
 """
@@ -37,6 +48,14 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--dup-factor", type=int, default=1)
     ap.add_argument("--watermark", default="1 hour")
+    ap.add_argument("--conf", action="append", default=[])
+    ap.add_argument("--progress", action="store_true")
+    ap.add_argument(
+        "--tuned",
+        action="store_true",
+        help="apply streaming.tuned_stream_confs (16 state partitions, "
+        "no-data batches off) before any --conf overrides",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -46,6 +65,11 @@ def main() -> None:
     from stock_etl_pipeline_spark.session import get_spark
 
     spark = get_spark()
+    if args.tuned:
+        streaming.tuned_stream_confs(spark)
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     work = tempfile.mkdtemp(prefix="stream_probe_")
     src = os.path.join(work, "stream_src")
     try:
@@ -90,8 +114,38 @@ def main() -> None:
         )
         ckpt = os.path.join(work, "ckpt")
         t0 = time.perf_counter()
-        streaming.run_to_memory(flagged, "t_probe", ckpt, timeout_s=1800)
+        q = streaming.run_to_memory(flagged, "t_probe", ckpt, timeout_s=1800)
         wall = time.perf_counter() - t0
+        if args.progress:
+            dur_keys = (
+                "addBatch", "getBatch", "latestOffset", "queryPlanning",
+                "walCommit", "commitOffsets", "triggerExecution",
+            )
+            batches = []
+            for p in q.recentProgress:
+                d = p.get("durationMs") or {}
+                row = {k: d.get(k) for k in dur_keys}
+                row["numInputRows"] = p.get("numInputRows")
+                ops = p.get("stateOperators") or []
+                if ops:
+                    row["stateCommitMs"] = ops[0].get("commitTimeMs")
+                    row["stateRowsTotal"] = ops[0].get("numRowsTotal")
+                batches.append(row)
+            totals = {
+                k: sum(b[k] or 0 for b in batches) for k in dur_keys
+            }
+            totals["stateCommitMs"] = sum(b.get("stateCommitMs") or 0 for b in batches)
+            print(
+                json.dumps(
+                    {
+                        "metric": "stream_progress_breakdown",
+                        "unit": "ms",
+                        "n_batches": len(batches),
+                        "totals": totals,
+                        "batches": batches,
+                    }
+                )
+            )
         out = spark.table("t_probe")
         n_out = out.count()
         n_flagged = out.filter(F.col("matched_id").isNotNull()).select(

@@ -19,6 +19,7 @@ from .pipeline import (
     streaming_semantic_dedup,
     streaming_simhash_near_dup,
     tumbling_event_counts,
+    tuned_stream_confs,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "stateful_user_totals",
     "stream_merge_upsert",
     "tumbling_event_counts",
+    "tuned_stream_confs",
 ]

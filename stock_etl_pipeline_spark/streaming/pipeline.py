@@ -328,6 +328,35 @@ def stream_merge_upsert(
     )
 
 
+def tuned_stream_confs(
+    spark,
+    *,
+    state_partitions: int = 16,
+    skip_no_data_batches: bool = True,
+) -> None:
+    """Apply the measured micro-batch fixed-cost tuning to a session before
+    starting a stateful stream (round-6 probe decomposition, SCALING.md).
+
+    - ``spark.sql.shuffle.partitions`` → ``state_partitions``: the state
+      store opens/commits one store per shuffle partition per micro-batch;
+      at 32 partitions the sf0.1 probe spent more summed commit time than
+      compute. 16 keeps local[32] parallelism for the data while halving
+      store overhead; a real cluster sizes this to key cardinality ×
+      executor count instead. Streaming state partitioning is FROZEN into
+      the checkpoint at first start — set it before the query, and never
+      change it for an existing checkpoint.
+    - no-data micro-batches off (optional): availableNow appends a final
+      data-less batch purely to advance the watermark and fire timeouts.
+      The near-dup/semantic-dedup operators emit NOTHING on timeout (state
+      cleanup only), so skipping it saves a full batch of fixed cost per
+      run. DO NOT use for operators that EMIT on timeout (sessionize's
+      final sessions fire from exactly that batch).
+    """
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if skip_no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
@@ -394,6 +423,8 @@ def streaming_simhash_near_dup(
     max_hamming: int = 3,
     watermark: str = "2 hours",
     bucket_cap: int = 256,
+    group_salts: int = 64,
+    signature_backend: str = "arrow",
 ) -> DataFrame:
     """Streaming near-duplicate flagging — the dedup family's streaming
     sibling: each arriving document is checked against the documents seen
@@ -409,18 +440,32 @@ def streaming_simhash_near_dup(
     - **pigeonhole banding**: 4 × 16-bit band keys explode to 4 routed
       copies per doc, so any pair within hamming ≤ 3 shares at least one
       bucket stream — banding recall is exact, like the batch query;
-    - **per-bucket state** (``applyInPandasWithState``, event-time
-      timeout): each (band_id, band_key) group holds the signatures seen
-      within the horizon (FIFO-capped at ``bucket_cap`` — a hot template
+    - **salted coarse-group state** (``applyInPandasWithState``,
+      event-time timeout): groups are (band_id, band_key % group_salts)
+      — 4 × ``group_salts`` groups TOTAL — and each group's state holds
+      ALL of its band-key buckets in CSR-flattened arrays (bucket_keys +
+      offsets + member columns). Matching is still strictly per
+      band_key bucket (the salt only co-locates buckets), so flag sets
+      are identical to the per-bucket grouping this replaces; what
+      changes is the per-micro-batch fixed cost. The round-6 probe
+      decomposition showed the stateful operator at ~2.5 s/batch against
+      a 0.37 s stateless floor, and the term was per-GROUP Python
+      crossing overhead (pandas assembly + Arrow state row per group):
+      1,250 docs × 4 bands touched up to ~5,000 single-row groups per
+      batch. Salting bounds crossings at 4 × ``group_salts`` (default
+      256) regardless of throughput — at higher rates each crossing just
+      carries more rows, which the vectorized scan absorbs.
+
+      Each bucket stays FIFO-capped at ``bucket_cap`` (a hot template
       bucket cannot grow state without bound; the cap is the recall
-      trade, documented, default 256); an idle bucket is evicted when the
-      watermark passes its last arrival + horizon, so state is bounded on
-      an unbounded stream. Members carry their own event times and are
-      PRUNED at each update once the watermark passes member ts +
-      horizon, so a continuously-hot bucket cannot match new docs
-      against signatures older than the horizon — the same deadline rule
-      the whole-bucket timeout applies, at micro-batch granularity (the
-      granularity Spark's watermark machinery provides).
+      trade, documented, default 256). Members carry their own event
+      times and are PRUNED at each group update once the watermark
+      passes member ts + horizon, so a continuously-hot bucket cannot
+      match new docs against signatures older than the horizon; a bucket
+      whose members all expired is dropped from the CSR on its group's
+      next update, and a fully idle group is evicted by event-time
+      timeout once the watermark passes its last arrival + horizon —
+      state stays bounded on an unbounded stream.
 
     The bucket scan is vectorized: state members live in numpy int64
     arrays and each arriving doc's hamming test is one
@@ -441,11 +486,19 @@ def streaming_simhash_near_dup(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..operators.dedup import with_rowwise_simhash
+    from ..operators.dedup import with_rowwise_simhash, with_rowwise_simhash_arrow
 
     horizon_us = _interval_us(watermark)
 
-    sig = with_rowwise_simhash(docs)
+    # 'arrow' (default) computes md5+majority in a vectorized numpy kernel
+    # (~40 µs/doc); 'jvm' keeps the interpreted HOF fold (~1.4 ms/doc, the
+    # round-6 probe's largest per-batch term) — bit-identical by test pin,
+    # kept as the A/B control and pure-JVM fallback.
+    rowwise = (
+        with_rowwise_simhash_arrow if signature_backend == "arrow"
+        else with_rowwise_simhash
+    )
+    sig = rowwise(docs)
     banded = sig.select(
         "doc_id",
         "ts",
@@ -466,13 +519,17 @@ def streaming_simhash_near_dup(
         "doc_id", "ts", "simhash_hi", "simhash_lo",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
+        F.pmod(F.col("bk.band_key"), F.lit(group_salts)).cast("int").alias("salt"),
     )
 
     out_schema = (
         "doc_id long, ts timestamp, band_id int, band_key long, "
         "matched_id long, hamming int"
     )
+    # CSR bucket map: bucket_keys[i]'s members are rows
+    # [offsets[i], offsets[i+1]) of the flat member columns.
     state_schema = (
+        "bucket_keys array<long>, offsets array<int>, "
         "ids array<long>, his array<long>, los array<long>, "
         "tss array<long>, last_us long"
     )
@@ -494,105 +551,127 @@ def streaming_simhash_near_dup(
         )
 
     def update(key, pdf_iter, state: GroupState):
-        band_id, band_key = int(key[0]), int(key[1])
+        band_id = int(key[0])
         if state.hasTimedOut:
             state.remove()
             return
         batch = [p for p in pdf_iter if len(p)]
         if not batch:
             return
-        pdf = pd.concat(batch).sort_values(["ts", "doc_id"])
+        pdf = pd.concat(batch).sort_values(["ts", "doc_id"]).reset_index(drop=True)
         wm_ms = state.getCurrentWatermarkMs()
+        # Rebuild the group's bucket map from CSR state, applying per-member
+        # expiry (same deadline rule as the group timeout — evict once the
+        # watermark passes ts + horizon — applied to individual members so
+        # hot buckets honor the horizon too). A bucket whose members all
+        # expired simply drops out of the map.
+        buckets: dict = {}
+        last_us = 0
         if state.exists:
-            s_ids, s_his, s_los, s_tss, last_us = state.get
-            m_ids = np.asarray(s_ids, dtype=np.int64)
-            m_his = np.asarray(s_his, dtype=np.int64)
-            m_los = np.asarray(s_los, dtype=np.int64)
-            m_tss = np.asarray(s_tss, dtype=np.int64)
-            # Per-member expiry: same deadline rule as the bucket timeout
-            # (evict once the watermark passes ts + horizon), applied to
-            # individual members so hot buckets honor the horizon too.
-            keep = (m_tss + horizon_us) // 1000 > wm_ms
-            if not keep.all():
-                m_ids, m_his, m_los, m_tss = (
-                    m_ids[keep], m_his[keep], m_los[keep], m_tss[keep]
-                )
-        else:
-            m_ids = m_his = m_los = m_tss = np.empty(0, dtype=np.int64)
-            last_us = 0
+            s_keys, s_off, s_ids, s_his, s_los, s_tss, last_us = state.get
+            a_ids = np.asarray(s_ids, dtype=np.int64)
+            a_his = np.asarray(s_his, dtype=np.int64)
+            a_los = np.asarray(s_los, dtype=np.int64)
+            a_tss = np.asarray(s_tss, dtype=np.int64)
+            for bi, bk in enumerate(s_keys):
+                lo, hi = s_off[bi], s_off[bi + 1]
+                keep = (a_tss[lo:hi] + horizon_us) // 1000 > wm_ms
+                if keep.any():
+                    buckets[int(bk)] = [
+                        a_ids[lo:hi][keep], a_his[lo:hi][keep],
+                        a_los[lo:hi][keep], a_tss[lo:hi][keep],
+                    ]
         nb = len(pdf)
-        m0 = len(m_ids)
-        # Members + this batch's docs share flat arrays; [start:cnt] is the
-        # live FIFO window (≤ bucket_cap entries) as docs append.
-        ids_a = np.concatenate([m_ids, pdf["doc_id"].to_numpy(dtype=np.int64)])
-        his_a = np.concatenate([m_his, pdf["simhash_hi"].to_numpy(dtype=np.int64)])
-        los_a = np.concatenate([m_los, pdf["simhash_lo"].to_numpy(dtype=np.int64)])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        his_b = pdf["simhash_hi"].to_numpy(dtype=np.int64)
+        los_b = pdf["simhash_lo"].to_numpy(dtype=np.int64)
         ts_us = (
             pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
         )
-        tss_a = np.concatenate([m_tss, ts_us])
         matched = np.full(nb, -1, dtype=np.int64)
         hams = np.full(nb, -1, dtype=np.int64)
-        start = 0
-        for i in range(nb):
-            cnt = m0 + i
-            if cnt - start > bucket_cap:  # FIFO cap — oldest member leaves
-                start = cnt - bucket_cap
-            if cnt > start:
-                h = _pop64(his_a[i + m0] ^ his_a[start:cnt]) + _pop64(
-                    los_a[i + m0] ^ los_a[start:cnt]
-                )
-                sel = np.nonzero(h <= max_hamming)[0]
-                if len(sel):
-                    hmin = h[sel].min()
-                    hams[i] = hmin
-                    matched[i] = ids_a[start:cnt][sel[h[sel] == hmin]].min()
-        end = m0 + nb
-        start = max(0, end - bucket_cap)
+        # Per band-key bucket, in this group's row order (pdf is sorted, so
+        # each bucket's sub-batch is already (ts, doc_id)-ordered and
+        # bucket-vs-bucket order is irrelevant — buckets are independent).
+        for bk, rows in pdf.groupby("band_key", sort=False).indices.items():
+            m = buckets.get(int(bk))
+            if m is None:
+                m_ids = m_his = m_los = m_tss = np.empty(0, dtype=np.int64)
+            else:
+                m_ids, m_his, m_los, m_tss = m
+            m0 = len(m_ids)
+            # Members + this bucket's docs share flat arrays; [start:cnt]
+            # is the live FIFO window (≤ bucket_cap) as docs append.
+            ids_a = np.concatenate([m_ids, doc_ids[rows]])
+            his_a = np.concatenate([m_his, his_b[rows]])
+            los_a = np.concatenate([m_los, los_b[rows]])
+            tss_a = np.concatenate([m_tss, ts_us[rows]])
+            start = 0
+            for i, r in enumerate(rows):
+                cnt = m0 + i
+                if cnt - start > bucket_cap:  # FIFO cap — oldest leaves
+                    start = cnt - bucket_cap
+                if cnt > start:
+                    h = _pop64(his_a[i + m0] ^ his_a[start:cnt]) + _pop64(
+                        los_a[i + m0] ^ los_a[start:cnt]
+                    )
+                    sel = np.nonzero(h <= max_hamming)[0]
+                    if len(sel):
+                        hmin = h[sel].min()
+                        hams[r] = hmin
+                        matched[r] = ids_a[start:cnt][sel[h[sel] == hmin]].min()
+            end = m0 + len(rows)
+            start = max(0, end - bucket_cap)
+            buckets[int(bk)] = [
+                ids_a[start:end], his_a[start:end],
+                los_a[start:end], tss_a[start:end],
+            ]
         if nb:
             last_us = max(int(last_us), int(ts_us.max()))
+        # Flatten the bucket map back to CSR (sorted keys: replay-stable
+        # state bytes).
+        keys_out = sorted(buckets)
+        offsets = [0]
+        for bk in keys_out:
+            offsets.append(offsets[-1] + len(buckets[bk][0]))
         state.update(
             (
-                [int(x) for x in ids_a[start:end]],
-                [int(x) for x in his_a[start:end]],
-                [int(x) for x in los_a[start:end]],
-                [int(x) for x in tss_a[start:end]],
+                [int(k) for k in keys_out],
+                [int(o) for o in offsets],
+                [int(x) for bk in keys_out for x in buckets[bk][0]],
+                [int(x) for bk in keys_out for x in buckets[bk][1]],
+                [int(x) for bk in keys_out for x in buckets[bk][2]],
+                [int(x) for bk in keys_out for x in buckets[bk][3]],
                 int(last_us),
             )
         )
-        out = {
-            "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-            "ts": pdf["ts"].to_numpy(),
-            "matched_id": pd.array(
-                [None if m < 0 else int(m) for m in matched], dtype="Int64"
-            ),
-            "hamming": pd.array(
-                [None if h < 0 else int(h) for h in hams], dtype="Int64"
-            ),
-        }
         # Eviction deadline = last arrival + horizon, CLAMPED to just above
         # the current watermark: rows are not pre-filtered against the
-        # watermark before this operator, so a bucket fed only by late data
+        # watermark before this operator, so a group fed only by late data
         # can have last_us + horizon already behind the watermark — Spark
         # rejects a timeout in the past (INVALID_TIMEOUT_TIMESTAMP; hit at
         # the 10x tier, where event time spans 14h against a 1h horizon).
-        # The clamp evicts such a bucket at the next watermark advance.
+        # The clamp evicts such a group at the next watermark advance.
         deadline_ms = (last_us + horizon_us) // 1000
         state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             {
-                "doc_id": out["doc_id"],
-                "ts": out["ts"],
+                "doc_id": doc_ids,
+                "ts": pdf["ts"].to_numpy(),
                 "band_id": band_id,
-                "band_key": band_key,
-                "matched_id": pd.array(out["matched_id"], dtype="Int64"),
-                "hamming": pd.array(out["hamming"], dtype="Int64"),
+                "band_key": pdf["band_key"].to_numpy(dtype=np.int64),
+                "matched_id": pd.array(
+                    [None if m < 0 else int(m) for m in matched], dtype="Int64"
+                ),
+                "hamming": pd.array(
+                    [None if h < 0 else int(h) for h in hams], dtype="Int64"
+                ),
             }
         )
 
     return (
         banded.withWatermark("ts", watermark)
-        .groupBy("band_id", "band_key")
+        .groupBy("band_id", "salt")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

@@ -666,3 +666,40 @@ def test_rowwise_simhash_matches_batch_signatures(spark):
     for k, (hi, lo) in bt.items():
         bands = (hi & 65535, (hi >> 16) & 65535, lo & 65535, (lo >> 16) & 65535)
         assert rw[k] == (hi, lo, *bands), k
+
+
+def test_rowwise_simhash_arrow_bit_identical(spark):
+    """with_rowwise_simhash_arrow (vectorized md5+majority kernel — the
+    streaming default) must be bit-identical to the JVM HOF fold on real
+    corpus text AND on the edge shapes where cross-language drift would
+    hide: empty text, whitespace-only (zero tokens after the filter),
+    single token, repeated mixed-case tokens, and non-ASCII (tokenization
+    stays JVM-side precisely so Java split/lower semantics are shared;
+    only md5 crosses the language boundary)."""
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import dedup
+
+    cols = ("simhash_hi", "simhash_lo", "sb0", "sb1", "sb2", "sb3")
+
+    def sigmap(df):
+        return {r["doc_id"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    assert sigmap(dedup.with_rowwise_simhash_arrow(d)) == sigmap(
+        dedup.with_rowwise_simhash(d)
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t  "),
+            (3, "a"),
+            (4, "Hello WORLD hello world HELLO"),
+            (5, "Ünïcode Tökens ünïcode tökens"),
+            (6, "x " * 600),  # many repeated tokens: majority well-defined
+        ],
+        "doc_id long, text string",
+    )
+    assert sigmap(dedup.with_rowwise_simhash_arrow(edge)) == sigmap(
+        dedup.with_rowwise_simhash(edge)
+    )
