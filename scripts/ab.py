@@ -52,9 +52,17 @@ def parse_arm(text: str) -> dict:
 
 
 def run_cell_isolated(arm: dict, sf_dir: str) -> float:
-    soak = os.path.join(os.path.dirname(os.path.abspath(__file__)), "soak.py")
+    # AB_TREE=<path> is a pseudo-env consumed HERE, not by the child: it
+    # points the cell at another checkout's scripts/soak.py (e.g. a git
+    # worktree of a prior round's commit), so two arms can be r4-code vs
+    # r5-code paired deltas under the same interleaved drift sampling.
+    env = dict(arm["env"])
+    tree = env.pop("AB_TREE", None) or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    soak = os.path.join(tree, "scripts", "soak.py")
     cmd = [sys.executable, soak, "--run-one", arm["query"], "--tier-dir", sf_dir]
-    child_env = {**os.environ, **arm["env"]}
+    child_env = {**os.environ, **env}
     res = subprocess.run(cmd, capture_output=True, text=True, env=child_env)
     marker = [ln for ln in res.stdout.splitlines() if ln.startswith('{"query"')]
     if res.returncode != 0 or not marker:

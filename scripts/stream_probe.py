@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Throughput probe for streaming_simhash_near_dup (SCALING.md's streaming
-section). Round 4 measured the probe ad-hoc; this checks it in so before/
-after comparisons rerun the same shape.
+"""Throughput probe for the streaming dedup operators (SCALING.md's
+streaming section). Round 4 measured the simhash probe ad-hoc; this checks
+it in so before/after comparisons rerun the same shape.
 
-Shape: take the documents table, assign synthetic 1 s-spaced event times,
-split into ``--batches`` parquet files, stream them back with
-``maxFilesPerTrigger=1`` and a 1 h watermark, and report wall time and
-docs/s over the whole availableNow run. ``--dup-factor N`` appends N-1
-extra near-duplicate copies of every doc (a " copy<k>" suffix), packing
-buckets so the per-doc bucket scan — the vectorization target — dominates
-over per-micro-batch fixed cost.
+Shape (``--operator simhash``, default): take the documents table, assign
+synthetic 1 s-spaced event times, split into ``--batches`` parquet files,
+stream them back with ``maxFilesPerTrigger=1`` and a 1 h watermark, and
+report wall time and docs/s over the whole availableNow run.
+``--dup-factor N`` appends N-1 extra near-duplicate copies of every doc
+(a " copy<k>" suffix), packing buckets so the per-doc bucket scan — the
+vectorization target — dominates over per-micro-batch fixed cost.
+
+``--operator semantic`` probes ``streaming_semantic_dedup`` instead: the
+embeddings table, a frozen K=8 centroid model trained offline by the batch
+``kmeans_exact``, same synthetic event times; ``--dup-factor`` appends
+exact vector copies (distinct ids), packing cells the way the suffix
+copies pack simhash buckets.
 
 Usage:
-  python scripts/stream_probe.py [--sf-dir /root/testdata/sf0.1]
+  python scripts/stream_probe.py [--operator simhash|semantic]
+      [--sf-dir /root/testdata/sf0.1]
       [--batches 4] [--dup-factor 1] [--watermark "1 hour"]
       [--conf spark.key=value ...] [--progress]
 
@@ -44,6 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--operator", choices=("simhash", "semantic"), default="simhash")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--dup-factor", type=int, default=1)
@@ -73,30 +81,60 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_probe_")
     src = os.path.join(work, "stream_src")
     try:
-        docs = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
-        if args.dup_factor > 1:
-            copies = F.array(
-                *[
-                    F.struct(
-                        (F.col("doc_id") * args.dup_factor + k).alias("doc_id"),
-                        (
-                            F.col("text")
-                            if k == 0
-                            else F.concat(F.col("text"), F.lit(f" copy{k}"))
-                        ).alias("text"),
-                    )
-                    for k in range(args.dup_factor)
-                ]
-            )
-            docs = docs.select(F.explode(copies).alias("c")).select("c.*")
-        # Deterministic 1 s-spaced event times in doc_id order; batch id by
-        # row order so event time is (mostly) aligned with batch order.
         base = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
-        staged = docs.select(
-            "doc_id",
-            (base + F.make_dt_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
-            "text",
-            (F.col("doc_id") % args.batches).alias("b"),
+        if args.operator == "simhash":
+            id_col, payload_col, payload_type = "doc_id", "text", "string"
+            rows = load_table(spark, args.sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            if args.dup_factor > 1:
+                copies = F.array(
+                    *[
+                        F.struct(
+                            (F.col("doc_id") * args.dup_factor + k).alias("doc_id"),
+                            (
+                                F.col("text")
+                                if k == 0
+                                else F.concat(F.col("text"), F.lit(f" copy{k}"))
+                            ).alias("text"),
+                        )
+                        for k in range(args.dup_factor)
+                    ]
+                )
+                rows = rows.select(F.explode(copies).alias("c")).select("c.*")
+        else:
+            from stock_etl_pipeline_spark.operators import similarity
+
+            id_col, payload_col, payload_type = (
+                "vec_id", "embedding", "array<float>",
+            )
+            emb = load_table(spark, args.sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            # Frozen model: trained offline on the BASE corpus (dup copies
+            # are exact clones and would not move the centroids anyway).
+            cents = similarity.kmeans_exact(
+                similarity.with_micro_vectors(emb), k_clusters=8, iters=2
+            )
+            rows = emb
+            if args.dup_factor > 1:
+                copies = F.array(
+                    *[
+                        F.struct(
+                            (F.col("vec_id") * args.dup_factor + k).alias("vec_id"),
+                            F.col("embedding").alias("embedding"),
+                        )
+                        for k in range(args.dup_factor)
+                    ]
+                )
+                rows = rows.select(F.explode(copies).alias("c")).select("c.*")
+        # Deterministic 1 s-spaced event times in id order; batch id by
+        # row order so event time is (mostly) aligned with batch order.
+        staged = rows.select(
+            id_col,
+            (base + F.make_dt_interval(secs=F.col(id_col).cast("double"))).alias("ts"),
+            payload_col,
+            (F.col(id_col) % args.batches).alias("b"),
         )
         n_docs = staged.count()
         for b in range(args.batches):
@@ -105,13 +143,20 @@ def main() -> None:
             ).parquet(src)
 
         stream = (
-            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            spark.readStream.schema(
+                f"{id_col} long, ts timestamp, {payload_col} {payload_type}"
+            )
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        flagged = streaming.streaming_simhash_near_dup(
-            stream, watermark=args.watermark
-        )
+        if args.operator == "simhash":
+            flagged = streaming.streaming_simhash_near_dup(
+                stream, watermark=args.watermark
+            )
+        else:
+            flagged = streaming.streaming_semantic_dedup(
+                stream, cents, threshold=0.4, watermark=args.watermark
+            )
         ckpt = os.path.join(work, "ckpt")
         t0 = time.perf_counter()
         q = streaming.run_to_memory(flagged, "t_probe", ckpt, timeout_s=1800)
@@ -149,12 +194,16 @@ def main() -> None:
         out = spark.table("t_probe")
         n_out = out.count()
         n_flagged = out.filter(F.col("matched_id").isNotNull()).select(
-            "doc_id"
+            id_col
         ).distinct().count()
         print(
             json.dumps(
                 {
-                    "metric": "stream_neardup_probe",
+                    "metric": (
+                        "stream_neardup_probe"  # historical name, kept stable
+                        if args.operator == "simhash"
+                        else "stream_semdedup_probe"
+                    ),
                     "unit": "sec",
                     "value": round(wall, 3),
                     "docs": n_docs,
