@@ -535,3 +535,37 @@ def test_streaming_semantic_dedup_zero_norm_and_null_cosine(spark, tmp_path):
         c = out[vid]["cosine"]
         assert c is None, f"vec {vid}: expected NULL cosine, got {c}"
     assert out[3]["cosine"] is not None and not math.isnan(out[3]["cosine"])
+
+
+def test_tuned_stream_confs_sets_and_restores_scope(spark):
+    """tuned_stream_confs sets exactly the two documented confs on the
+    session: state partitions (frozen into a checkpoint at first start)
+    and the no-data micro-batch toggle (must stay ON for emit-on-timeout
+    operators — callers opt in per run)."""
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    try:
+        streaming.tuned_stream_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+        assert (
+            spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+            == "false"
+        )
+        streaming.tuned_stream_confs(
+            spark, state_partitions=8, skip_no_data_batches=False
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        # skip_no_data_batches=False must NOT flip the toggle back on a
+        # session where a previous caller disabled it explicitly — it just
+        # declines to touch it.
+        assert (
+            spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+            == "false"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", before_nodata
+        )
