@@ -27,8 +27,20 @@ engine's training-data-pipeline extension per the build plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _simhash_sig_backend(override: str | None) -> str:
+    """Resolve the batch SimHash signature backend: explicit argument, else
+    ``SPARK_GRAFT_SIMHASH_SIG``, else ``arrow`` (the measured-fastest path;
+    the relational ``jvm`` form is the oracle-anchored A/B control)."""
+    backend = override or os.environ.get("SPARK_GRAFT_SIMHASH_SIG", "arrow")
+    if backend not in ("arrow", "jvm"):
+        raise ValueError(f"unknown simhash signature backend {backend!r}")
+    return backend
 
 # --- shingling --------------------------------------------------------------
 
@@ -849,6 +861,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_signatures: bool = True,
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming.
 
@@ -882,7 +895,10 @@ def simhash_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    sig = simhash_signatures(df, id_col, text_col)
+    if _simhash_sig_backend(signature_backend) == "arrow":
+        sig = simhash_signatures_arrow(df, id_col, text_col)
+    else:
+        sig = simhash_signatures(df, id_col, text_col)
     if persist_signatures:
         # Persist AND eagerly fill (caching.eager_cache): the three consumers
         # below land in concurrent stages of one job, and concurrent stages
@@ -1131,6 +1147,7 @@ def simhash128_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """128-bit SimHash near-dup pairs with hamming ≤ max_hamming — the
     wide-band scale sibling of simhash_near_dup_pairs (same four-step
@@ -1145,7 +1162,10 @@ def simhash128_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    sig = eager_cache(simhash128_signatures(df, id_col, text_col))
+    if _simhash_sig_backend(signature_backend) == "arrow":
+        sig = eager_cache(simhash128_signatures_arrow(df, id_col, text_col))
+    else:
+        sig = eager_cache(simhash128_signatures(df, id_col, text_col))
     sbs = [f"sb{k}" for k in range(4)]
 
     # identical signatures (hamming 0) straight from the doc level
@@ -1466,3 +1486,139 @@ def with_rowwise_simhash_arrow(df: DataFrame, text_col: str = "text") -> DataFra
             yield out
 
     return with_toks.mapInPandas(kernel, out_schema)
+
+
+# --- Arrow batch signature backend -------------------------------------------
+# The relational signature forms above (explode → vocab join → 64/128 packed
+# sums) pay three shuffles per corpus: (doc, tok) groupBy, vocab distinct, and
+# the per-doc aggregate. That construction is what the DuckDB oracle replays,
+# so it stays as the correctness anchor — but signatures are a pure per-row
+# function of the text, and the streaming probe measured the same md5+majority
+# math at ~40 µs/doc in a numpy kernel vs ~1.4 ms/doc interpreted. The batch
+# backend below computes the IDENTICAL signature relation in ONE shuffle-free
+# mapInPandas pass (equivalence test-pinned bit-for-bit), with a per-batch
+# unique-token digest cache standing in for the vocab relation's md5 dedup.
+# Select per call (``signature_backend=``) or per session
+# (``SPARK_GRAFT_SIMHASH_SIG`` ∈ {arrow, jvm}; default arrow).
+
+
+def _simhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int
+) -> DataFrame:
+    """Shared Arrow kernel behind :func:`simhash_signatures_arrow` (64-bit)
+    and :func:`simhash128_signatures_arrow`.
+
+    Bit contracts (identical to the relational forms):
+    - 64:  bit i<32 = high bit of md5 hex nibble i; bit i≥32 = parity of
+      nibble i−32 (``_bit_nibbles``).
+    - 128: bit i = bit (i mod 4) of nibble (i div 4)
+      (``_hex_chars_with_bit``).
+
+    Tokenization stays JVM-side (``filter(split(lower(text), '\\s+'), ...)``
+    — Java regex + Java lowercasing, the exact explode+filter semantics of
+    the relational path); docs with zero tokens are dropped BEFORE the
+    kernel because the relational form's explode emits no row for them.
+    Majority is 2·count > token-mass with the same t < 2³¹ overflow guard
+    (ValueError here, raise_error there). Per-doc bit counts run over
+    bounded sub-chunks via ``np.add.reduceat`` (legal: empty docs are
+    pre-filtered, so every reduceat segment is non-empty).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert n_bits in (64, 128)
+    toks_expr = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    with_toks = (
+        df.select(id_col, F.expr(toks_expr).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    id_type = dict(df.dtypes)[id_col]
+    sig_name = "simhash" if n_bits == 64 else "simhash128"
+    band_names = (
+        ["simhash_hi", "simhash_lo"] if n_bits == 64 else [f"sb{k}" for k in range(4)]
+    )
+    out_schema = f"{id_col} {id_type}, {sig_name} string, " + ", ".join(
+        f"{b} bigint" for b in band_names
+    )
+    w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.int64)
+    shifts128 = np.tile(np.arange(4, dtype=np.uint8), 32)
+    SUB = 4096  # docs per reduceat sub-chunk — bounds the (flat × n_bits) bits array
+
+    def kernel(it):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in it:
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            toks_col = pdf["_toks"]
+            lens = np.fromiter((len(t) for t in toks_col), dtype=np.int64, count=n_rows)
+            if (lens >= (1 << 31)).any():
+                raise ValueError(
+                    "simhash: doc token mass >= 2^31 overflows packed lanes"
+                )
+            # unique-token digest cache: md5 runs once per distinct token in
+            # the batch (the vocab relation's dedup, without the join)
+            idx_of: dict = {}
+            uniq: list = []
+            tok_idx = np.empty(int(lens.sum()), dtype=np.int64)
+            pos = 0
+            for toks in toks_col:
+                for t in toks:
+                    i = idx_of.get(t)
+                    if i is None:
+                        i = len(uniq)
+                        idx_of[t] = i
+                        uniq.append(md5(t.encode("utf-8")).digest())
+                    tok_idx[pos] = i
+                    pos += 1
+            dig = np.frombuffer(b"".join(uniq), dtype=np.uint8).reshape(-1, 16)
+            nib = np.empty((len(uniq), 32), dtype=np.uint8)
+            nib[:, 0::2] = dig >> 4
+            nib[:, 1::2] = dig & 0xF
+            if n_bits == 64:
+                bits_u = np.concatenate([(nib >> 3) & 1, nib & 1], axis=1)
+            else:
+                bits_u = (np.repeat(nib, 4, axis=1) >> shifts128) & 1
+            bits_u = bits_u.astype(np.int32)
+
+            starts = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            b_all = np.empty((n_rows, n_bits), dtype=bool)
+            for c0 in range(0, n_rows, SUB):
+                c1 = min(c0 + SUB, n_rows)
+                flat = bits_u[tok_idx[starts[c0] : starts[c1]]]
+                seg = (starts[c0:c1] - starts[c0]).astype(np.int64)
+                cnt = np.add.reduceat(flat, seg, axis=0)
+                b_all[c0:c1] = cnt * 2 > lens[c0:c1, None]
+
+            chars = (b_all.astype(np.uint8) + 48).tobytes()
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+            out[sig_name] = [
+                chars[i * n_bits : (i + 1) * n_bits].decode("ascii")
+                for i in range(n_rows)
+            ]
+            bi = b_all.astype(np.int64)
+            for k, b in enumerate(band_names):
+                out[b] = bi[:, 32 * k : 32 * (k + 1)] @ w32
+            yield out
+
+    return with_toks.mapInPandas(kernel, out_schema)
+
+
+def simhash_signatures_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow twin of :func:`simhash_signatures` — identical output relation
+    (id, 64-char ``simhash``, ``simhash_hi``/``simhash_lo``), one
+    shuffle-free mapInPandas pass instead of three shuffles."""
+    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH_BITS)
+
+
+def simhash128_signatures_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow twin of :func:`simhash128_signatures` — identical output relation
+    (id, 128-char ``simhash128``, ``sb0..sb3``)."""
+    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH128_BITS)

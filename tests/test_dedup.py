@@ -703,3 +703,88 @@ def test_rowwise_simhash_arrow_bit_identical(spark):
     assert sigmap(dedup.with_rowwise_simhash_arrow(edge)) == sigmap(
         dedup.with_rowwise_simhash(edge)
     )
+
+
+# --- Arrow batch signature backend equivalence -------------------------------
+
+
+_EDGE_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta iota"),
+    (3, "alpha alpha alpha beta"),  # repeated tokens exercise freq weighting
+    (4, ""),  # zero tokens: relational explode drops the doc entirely
+    (5, "   \t  \n "),  # whitespace-only: also zero tokens
+    (6, "Ünïcode tökens mit ÜMLAUTEN und 中文 字符 here"),
+    (7, "single"),
+    (8, "MiXeD CaSe TOKENS mixed case tokens"),
+    (9, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+]
+
+
+def _sorted_rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_simhash_signatures_arrow_matches_relational(spark):
+    """The Arrow kernel's 64-bit signature relation is bit-identical to the
+    relational (explode → vocab → packed-sum) form on edge-case docs,
+    including dropping zero-token docs."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    rel = _sorted_rows(dedup.simhash_signatures(d))
+    arr = _sorted_rows(dedup.simhash_signatures_arrow(d))
+    assert arr == rel and len(arr) == len(_EDGE_DOCS) - 2
+
+
+def test_simhash128_signatures_arrow_matches_relational(spark):
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    rel = _sorted_rows(dedup.simhash128_signatures(d))
+    arr = _sorted_rows(dedup.simhash128_signatures_arrow(d))
+    assert arr == rel and len(arr) == len(_EDGE_DOCS) - 2
+
+
+def test_signatures_arrow_matches_relational_on_corpus(spark, sf_small):
+    """Same equivalence over the real sf0.001 documents table (both widths):
+    the backends must agree on every doc, not just crafted edges."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    assert _sorted_rows(dedup.simhash_signatures_arrow(d)) == _sorted_rows(
+        dedup.simhash_signatures(d)
+    )
+    assert _sorted_rows(dedup.simhash128_signatures_arrow(d)) == _sorted_rows(
+        dedup.simhash128_signatures(d)
+    )
+
+
+def test_simhash_pairs_backend_param_and_env(spark, monkeypatch):
+    """signature_backend='jvm' reproduces the arrow default's pair set, and
+    the env knob selects the backend when the param is absent."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    arrow = _sorted_rows(dedup.simhash_near_dup_pairs(d, signature_backend="arrow"))
+    jvm = _sorted_rows(dedup.simhash_near_dup_pairs(d, signature_backend="jvm"))
+    assert arrow == jvm and len(arrow) > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_SIG", "jvm")
+    env_jvm = _sorted_rows(dedup.simhash_near_dup_pairs(d))
+    assert env_jvm == jvm
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_SIG", "nope")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature backend"):
+        dedup.simhash_near_dup_pairs(d)
+
+
+def test_simhash128_pairs_backend_equivalence(spark):
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    arrow = _sorted_rows(dedup.simhash128_near_dup_pairs(d, signature_backend="arrow"))
+    jvm = _sorted_rows(dedup.simhash128_near_dup_pairs(d, signature_backend="jvm"))
+    assert arrow == jvm and len(arrow) > 0
