@@ -624,6 +624,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     est_min_matches: int | None = None,
     shingle_df_cap: int | None = None,
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -653,6 +654,24 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if est_min_matches is None:
         est_min_matches = num_hashes // 2
+    if shingle_df_cap is None and _minhash_sig_backend(signature_backend) == "arrow":
+        # Uncapped path: the whole shingle→signature chain collapses to one
+        # shuffle-free Arrow pass (minhash_signature_arrow). The capped path
+        # below cannot — the df cap needs the global shingle-frequency
+        # relation, which is exactly the shuffle the kernel removes.
+        sig = eager_cache(
+            minhash_signature_arrow(
+                df, num_hashes, id_col, text_col, shingle_n,
+                with_count=True, with_hash_set=True,
+            )
+        )
+        cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)
+        if est_min_matches:
+            cand = signature_estimate_filter(
+                cand, sig, num_hashes=num_hashes, min_matches=est_min_matches,
+                id_col=id_col,
+            )
+        return verified_jaccard_pairs_from_sets(cand, sig, threshold, id_col)
     sh = word_shingles(df, id_col, text_col, shingle_n)
     if shingle_df_cap is not None:
         # NOT a count().over(partitionBy(shingle)) window: that sends a hot
@@ -1622,3 +1641,117 @@ def simhash128_signatures_arrow(
     """Arrow twin of :func:`simhash128_signatures` — identical output relation
     (id, 128-char ``simhash128``, ``sb0..sb3``)."""
     return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH128_BITS)
+
+
+def _minhash_sig_backend(override: str | None) -> str:
+    """Resolve the batch MinHash signature backend (uncapped path only):
+    explicit argument, else ``SPARK_GRAFT_MINHASH_SIG``, else ``arrow``."""
+    backend = override or os.environ.get("SPARK_GRAFT_MINHASH_SIG", "arrow")
+    if backend not in ("arrow", "jvm"):
+        raise ValueError(f"unknown minhash signature backend {backend!r}")
+    return backend
+
+
+def minhash_signature_arrow(
+    df: DataFrame,
+    num_hashes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    with_count: bool = False,
+    with_hash_set: bool = False,
+) -> DataFrame:
+    """Arrow twin of ``word_shingles → minhash_signature``: the identical
+    signature relation (minh_0..k, optional ``n_sh``/``hs``) in ONE
+    shuffle-free mapInPandas pass over the docs — no shingle explode, no
+    (id, shingle) distinct shuffle, no per-doc aggregate shuffle.
+
+    Bit contract matches the relational chain exactly:
+    - words = JVM ``split(lower(text), '\\s+')`` (Java regex + lowercase,
+      empty leading/middle tokens preserved — the split array crosses to
+      the kernel, so tokenization never re-implements Java semantics);
+    - shingles = distinct space-joined word n-grams; docs with < n words
+      emit nothing (the relational explode's empty-array case);
+    - b60 = first 15 md5 hex digits as int (md5 cached per distinct
+      shingle per batch); minh_j = min over shingles of
+      (a_j·(b60 mod M) + c_j) mod M with ``_mix_constants``;
+    - ``n_sh`` = distinct-shingle count; ``hs`` = the doc's b60 set,
+      SORTED (collect_set order is undefined; downstream array_intersect
+      is order-insensitive, sorting just makes the relation deterministic).
+
+    APPLIES ONLY to the uncapped path: a shingle_df_cap needs the global
+    shingle document-frequency relation, which is precisely the shuffle
+    this kernel removes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    words_expr = f"split(lower({text_col}), '\\\\s+')"
+    with_toks = (
+        df.select(id_col, F.expr(words_expr).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_n)
+    )
+    id_type = dict(df.dtypes)[id_col]
+    fields = [f"{id_col} {id_type}"] + [f"minh_{j} bigint" for j in range(num_hashes)]
+    if with_count:
+        fields.append("n_sh bigint")
+    if with_hash_set:
+        fields.append("hs array<bigint>")
+    out_schema = ", ".join(fields)
+    ac = _mix_constants(num_hashes)
+    a_vec = np.array([a for a, _ in ac], dtype=np.int64)
+    c_vec = np.array([c for _, c in ac], dtype=np.int64)
+    SUB = 2048  # docs per reduceat sub-chunk bounds the (flat × k) h array
+
+    def kernel(it):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in it:
+            n_rows = len(pdf)
+            if not n_rows:
+                continue
+            b60_of: dict = {}
+            doc_b60: list = []
+            # n_sh counts distinct shingle STRINGS (the relational count(*)
+            # over the distinct (id, shingle) relation); hs is the b60 SET —
+            # they differ only on a 60-bit collision, but the contract is
+            # bit-exactness, so track both.
+            n_sh_list: list = []
+            for toks in pdf["_toks"]:
+                sset = set()
+                seen = set()
+                for i in range(len(toks) - shingle_n + 1):
+                    s = " ".join(toks[i : i + shingle_n])
+                    if s in sset:
+                        continue
+                    sset.add(s)
+                    b = b60_of.get(s)
+                    if b is None:
+                        b = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        b60_of[s] = b
+                    seen.add(b)
+                doc_b60.append(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+                n_sh_list.append(len(sset))
+            lens = np.fromiter((len(s) for s in doc_b60), dtype=np.int64, count=n_rows)
+            starts = np.zeros(n_rows + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            minh = np.empty((n_rows, num_hashes), dtype=np.int64)
+            flat_all = np.concatenate(doc_b60) if n_rows else np.empty(0, np.int64)
+            for c0 in range(0, n_rows, SUB):
+                c1 = min(c0 + SUB, n_rows)
+                flat = flat_all[starts[c0] : starts[c1]]
+                h = (flat[:, None] % MINHASH_M) * a_vec[None, :] + c_vec[None, :]
+                h %= MINHASH_M
+                seg = (starts[c0:c1] - starts[c0]).astype(np.int64)
+                minh[c0:c1] = np.minimum.reduceat(h, seg, axis=0)
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+            for j in range(num_hashes):
+                out[f"minh_{j}"] = minh[:, j]
+            if with_count:
+                out["n_sh"] = np.asarray(n_sh_list, dtype=np.int64)
+            if with_hash_set:
+                out["hs"] = [np.sort(s) for s in doc_b60]
+            yield out
+
+    return with_toks.mapInPandas(kernel, out_schema)

@@ -788,3 +788,59 @@ def test_simhash128_pairs_backend_equivalence(spark):
     arrow = _sorted_rows(dedup.simhash128_near_dup_pairs(d, signature_backend="arrow"))
     jvm = _sorted_rows(dedup.simhash128_near_dup_pairs(d, signature_backend="jvm"))
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_minhash_signature_arrow_matches_relational(spark, sf_small):
+    """Arrow minhash signatures are bit-identical to the relational
+    word_shingles → minhash_signature chain (hs compared as sorted sets —
+    collect_set order is undefined) on edge docs and the sf0.001 corpus."""
+    from pyspark.sql import functions as F
+    from stock_etl_pipeline_spark.operators import dedup
+
+    edge = spark.createDataFrame(
+        _EDGE_DOCS + [(11, "one two")],  # < shingle_n words: dropped
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    for d in (edge, corpus):
+        rel = (
+            dedup.minhash_signature(
+                dedup.word_shingles(d), 20, with_count=True, with_hash_set=True
+            )
+            .withColumn("hs", F.array_sort("hs"))
+        )
+        arr = dedup.minhash_signature_arrow(
+            d, 20, with_count=True, with_hash_set=True
+        )
+        assert _sorted_rows(arr) == _sorted_rows(rel)
+        assert arr.count() > 0
+
+
+def test_minhash_lsh_pairs_backend_equivalence(spark, monkeypatch):
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    arrow = _sorted_rows(dedup.minhash_lsh_pairs(d, signature_backend="arrow"))
+    jvm = _sorted_rows(dedup.minhash_lsh_pairs(d, signature_backend="jvm"))
+    assert arrow == jvm and len(arrow) > 0
+
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_SIG", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="minhash signature backend"):
+        dedup.minhash_lsh_pairs(d)
+
+
+def test_minhash_capped_path_ignores_arrow_backend(spark):
+    """shingle_df_cap forces the relational chain regardless of backend (the
+    cap needs the global shingle-frequency relation)."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    a = _sorted_rows(
+        dedup.minhash_lsh_pairs(d, shingle_df_cap=64, signature_backend="arrow")
+    )
+    j = _sorted_rows(
+        dedup.minhash_lsh_pairs(d, shingle_df_cap=64, signature_backend="jvm")
+    )
+    assert a == j and len(a) > 0
