@@ -33,14 +33,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _simhash_sig_backend(override: str | None) -> str:
-    """Resolve the batch SimHash signature backend: explicit argument, else
-    ``SPARK_GRAFT_SIMHASH_SIG``, else ``arrow`` (the measured-fastest path;
-    the relational ``jvm`` form is the oracle-anchored A/B control)."""
-    backend = override or os.environ.get("SPARK_GRAFT_SIMHASH_SIG", "arrow")
-    if backend not in ("arrow", "jvm"):
-        raise ValueError(f"unknown simhash signature backend {backend!r}")
+# Measured crossover for the Arrow signature kernels (SCALING.md round 6):
+# below it, the shuffle-free Arrow pass wins on fixed cost (1.6x at sf0.1's
+# 5k docs); above it, the relational chain's CORPUS-WIDE vocab dedup and
+# JVM-side token mass win (128-bit at the 100x tier: relational 38 s vs
+# arrow 77 s — the Arrow path pays per-occurrence string serialization that
+# scales with token mass, the relational path per-DISTINCT-token work).
+SIG_ARROW_MAX_DOCS = 50_000
+
+
+def _sig_backend(env_var: str, override: str | None, kind: str) -> str:
+    """Resolve a signature backend: explicit argument, else the env knob,
+    else ``auto`` (tier by corpus size at the call site)."""
+    backend = override or os.environ.get(env_var, "auto")
+    if backend not in ("arrow", "jvm", "auto"):
+        raise ValueError(f"unknown {kind} signature backend {backend!r}")
     return backend
+
+
+def _resolve_auto_backend(backend: str, df: DataFrame) -> str:
+    """``auto`` → arrow below SIG_ARROW_MAX_DOCS docs, relational above.
+
+    The count is the same metadata-count pattern the LSH tier geometry uses
+    (parquet-backed inputs resolve from footers); callers with expensive
+    derived inputs should pass the backend explicitly instead.
+    """
+    if backend != "auto":
+        return backend
+    return "arrow" if df.count() <= SIG_ARROW_MAX_DOCS else "jvm"
+
+
+def _simhash_sig_backend(override: str | None) -> str:
+    return _sig_backend("SPARK_GRAFT_SIMHASH_SIG", override, "simhash")
 
 # --- shingling --------------------------------------------------------------
 
@@ -654,7 +678,15 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if est_min_matches is None:
         est_min_matches = num_hashes // 2
-    if shingle_df_cap is None and _minhash_sig_backend(signature_backend) == "arrow":
+    # auto → arrow at EVERY scale for minhash (unlike simhash): the
+    # relational chain shuffles the distinct (doc, shingle) STRING relation
+    # and collect_set-aggregates the hash sets — costs that grow with gram
+    # mass — while simhash's relational cost is a small per-token vocab.
+    # Interleaved A/B: wash at sf0.1, arrow 1.39x faster at the 100x tier.
+    mh_backend = _minhash_sig_backend(signature_backend)
+    if mh_backend == "auto":
+        mh_backend = "arrow"
+    if shingle_df_cap is None and mh_backend == "arrow":
         # Uncapped path: the whole shingle→signature chain collapses to one
         # shuffle-free Arrow pass (minhash_signature_arrow). The capped path
         # below cannot — the df cap needs the global shingle-frequency
@@ -914,7 +946,8 @@ def simhash_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    if _simhash_sig_backend(signature_backend) == "arrow":
+    backend = _resolve_auto_backend(_simhash_sig_backend(signature_backend), df)
+    if backend == "arrow":
         sig = simhash_signatures_arrow(df, id_col, text_col)
     else:
         sig = simhash_signatures(df, id_col, text_col)
@@ -1181,7 +1214,8 @@ def simhash128_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    if _simhash_sig_backend(signature_backend) == "arrow":
+    backend = _resolve_auto_backend(_simhash_sig_backend(signature_backend), df)
+    if backend == "arrow":
         sig = eager_cache(simhash128_signatures_arrow(df, id_col, text_col))
     else:
         sig = eager_cache(simhash128_signatures(df, id_col, text_col))
@@ -1644,12 +1678,8 @@ def simhash128_signatures_arrow(
 
 
 def _minhash_sig_backend(override: str | None) -> str:
-    """Resolve the batch MinHash signature backend (uncapped path only):
-    explicit argument, else ``SPARK_GRAFT_MINHASH_SIG``, else ``arrow``."""
-    backend = override or os.environ.get("SPARK_GRAFT_MINHASH_SIG", "arrow")
-    if backend not in ("arrow", "jvm"):
-        raise ValueError(f"unknown minhash signature backend {backend!r}")
-    return backend
+    """Resolve the batch MinHash signature backend (uncapped path only)."""
+    return _sig_backend("SPARK_GRAFT_MINHASH_SIG", override, "minhash")
 
 
 def minhash_signature_arrow(

@@ -844,3 +844,17 @@ def test_minhash_capped_path_ignores_arrow_backend(spark):
         dedup.minhash_lsh_pairs(d, shingle_df_cap=64, signature_backend="jvm")
     )
     assert a == j and len(a) > 0
+
+
+def test_auto_backend_tier(spark, monkeypatch):
+    """auto (the default) picks arrow below SIG_ARROW_MAX_DOCS and the
+    relational chain above — and both produce the same pairs anyway."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    assert dedup._resolve_auto_backend("auto", d) == "arrow"
+    monkeypatch.setattr(dedup, "SIG_ARROW_MAX_DOCS", 3)
+    assert dedup._resolve_auto_backend("auto", d) == "jvm"
+    assert dedup._resolve_auto_backend("arrow", d) == "arrow"  # explicit wins
+    default = _sorted_rows(dedup.simhash_near_dup_pairs(d))  # auto → jvm here
+    assert default == _sorted_rows(dedup.simhash_near_dup_pairs(d, signature_backend="arrow"))
