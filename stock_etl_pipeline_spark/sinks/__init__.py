@@ -96,6 +96,12 @@ def write_parquet(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
     return _report(df, path, mode)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = WRITE_TRUNCATE) -> dict:
+    """K3b: ORC staging write (same report contract as the parquet sink)."""
+    df.write.mode(mode).orc(path)
+    return _report(df, path, mode)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -196,6 +196,64 @@ def scan_json_permissive(
     )
 
 
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S4b: ORC scan — the other self-describing columnar core format
+    (schema from the file footer, predicate pushdown and column pruning via
+    Spark's native ORC reader, same as parquet)."""
+    return spark.read.orc(path)
+
+
+def scan_text(
+    spark: SparkSession, path: str, *, wholetext: bool = False
+) -> DataFrame:
+    """S7: line-oriented text scan → one ``value`` string column per line
+    (``wholetext=True``: one row per FILE — the shape raw-document corpus
+    ingestion wants before the documents table exists). Lines never split
+    across partitions; files split on line boundaries, so the scan
+    parallelizes like any other splittable source."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def scan_binary_files(
+    spark: SparkSession, path: str, *, path_glob: str | None = None
+) -> DataFrame:
+    """S8: opaque-file scan via Spark's ``binaryFile`` source — one row per
+    file: (path, modificationTime, length, content binary). The multimodal
+    ingestion entry point: media bytes enter the engine as a binary column
+    with metadata and (by design) never shuffle — see multimodal/.
+
+    ``path_glob`` filters files at LISTING time (pathGlobFilter), so
+    non-matching files are never opened. Note binaryFile is non-splittable
+    (one file = one task input); parallelism comes from the file COUNT,
+    which is the natural unit for media corpora."""
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
+
+
+def media_from_binary_files(
+    spark: SparkSession,
+    path: str,
+    media_type: str = "image",
+    *,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Bridge a ``binaryFile`` scan into the multimodal MEDIA_SCHEMA shape:
+    doc_id = xxhash64(path) (stable, content-independent — re-ingesting a
+    changed file keeps its id), media_type as given, content = file bytes,
+    source = the file path. Feed the result straight to
+    ``multimodal.extract_media_features`` / ``decode_media``."""
+    from pyspark.sql import functions as F
+
+    return scan_binary_files(spark, path, path_glob=path_glob).select(
+        F.xxhash64("path").alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content"),
+        F.col("path").alias("source"),
+    )
+
+
 # Format dispatch mirroring the quality operator's reader
 # (reference plugins/custom_operators/data_quality.py:63-72).
 def scan(spark: SparkSession, path: str, file_format: str, schema: T.StructType | None = None) -> DataFrame:
@@ -210,4 +268,10 @@ def scan(spark: SparkSession, path: str, file_format: str, schema: T.StructType 
         if schema is None:
             raise ValueError("JSON scan requires an explicit schema")
         return scan_json(spark, path, schema)
+    if fmt == "orc":
+        return scan_orc(spark, path)
+    if fmt == "text":
+        return scan_text(spark, path)
+    if fmt in ("binary", "binaryfile"):
+        return scan_binary_files(spark, path)
     raise ValueError(f"unsupported format: {file_format}")

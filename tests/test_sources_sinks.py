@@ -377,3 +377,78 @@ def test_delta_merge_falls_through_when_forpath_raises(spark, tmp_path, monkeypa
     report = sinks.merge_write(spark, target, source, ["symbol", "date"])
     assert report["mode"] == "create"
     assert spark.read.parquet(target).count() == 1
+
+
+# --- ORC / text / binaryFile sources ----------------------------------------
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    report = sinks.write_orc(df, str(tmp_path / "out_orc"))
+    assert report["rows_loaded"] == 5
+    back = sources.scan_orc(spark, str(tmp_path / "out_orc"))
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (i, 2 * i) for i in range(5)
+    ]
+    # dispatch path + footer-derived schema
+    assert sources.scan(spark, str(tmp_path / "out_orc"), "orc").schema == back.schema
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from stock_etl_pipeline_spark.plans import explain_formatted
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    sinks.write_orc(df, str(tmp_path / "orc_pf"))
+    scanned = sources.scan_orc(spark, str(tmp_path / "orc_pf")).filter(F.col("id") > 90)
+    p = explain_formatted(scanned.select("id"))
+    assert "PushedFilters" in p and "GreaterThan(id,90)" in p
+
+
+def test_text_scan_lines_and_wholetext(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    lines = sources.scan_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = sources.scan_text(spark, str(d), wholetext=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_binary_files_scan_and_glob(spark, tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"\x00\x01\x02")
+    (d / "y.bin").write_bytes(b"\xff" * 10)
+    (d / "skip.dat").write_bytes(b"nope")
+    df = sources.scan_binary_files(spark, str(d), path_glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}
+    assert rows["x.bin"]["length"] == 3 and bytes(rows["x.bin"]["content"]) == b"\x00\x01\x02"
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_media_from_binary_files_decodes_real_png(spark, tmp_path):
+    """End-to-end multimodal ingestion: real PNG bytes on disk → binaryFile
+    scan → MEDIA_SCHEMA bridge → the stdlib PNG decode branch."""
+    from tests.test_multimodal import _png_bytes
+    from stock_etl_pipeline_spark import multimodal
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    px = bytes(range(2 * 2 * 3))
+    (d / "a.png").write_bytes(_png_bytes(px, 2, 2, 3))
+    (d / "b.png").write_bytes(_png_bytes(bytes(9), 3, 1, 3))
+    (d / "notes.txt").write_text("not an image")
+
+    media = sources.media_from_binary_files(
+        spark, str(d), "image", path_glob="*.png"
+    )
+    rows = media.collect()
+    assert len(rows) == 2
+    assert {r["media_type"] for r in rows} == {"image"}
+    assert len({r["doc_id"] for r in rows}) == 2  # xxhash64(path) distinct
+
+    feats = multimodal.extract_media_features(media).collect()
+    dims = sorted((r["width"], r["height"]) for r in feats)
+    assert dims == [(2, 2), (3, 1)]
