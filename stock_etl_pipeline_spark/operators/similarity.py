@@ -349,13 +349,17 @@ def kmeans_exact(
         )
     for _ in range(iters):
         assigned = assign_to_centroids(vecs, centroids, id_col=id_col)
+        # ONE consumer of the assignment join: the member count rides the
+        # per-dim aggregate (count(*) per (cid, pos) equals the cell count
+        # for every pos) — the separate counts aggregate used to recompute
+        # the whole n×K assignment a second time per iteration (broadcast
+        # joins leave no exchange for reuse to fire on).
         per_dim = (
             assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"))
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
         )
-        counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
-        dims = per_dim.join(counts, "cid").select(
+        dims = per_dim.select(
             "cid", "pos",
             (F.col("s").cast("double") / (F.lit(MICRO) * F.col("n"))).alias("dv"),
         )
@@ -1542,9 +1546,16 @@ def semantic_dedup(
         raise ValueError(f"unknown assign backend {assign_backend!r}")
     import pandas as pd
 
+    from ..caching import begin_pipeline, eager_cache
     from .dedup import connected_components, near_dup_keepers
 
-    v = with_micro_vectors(df.select(id_col, vec_col), vec_col)
+    begin_pipeline()
+    # The micro-quantized vector relation feeds every kmeans iteration, the
+    # final assignment, and (via cells) both pair-join sides — uncached,
+    # each consumer re-runs the scan + quantize chain. Same diamond-DAG
+    # rule as the text-dedup signature relations; MEMORY_AND_DISK spills at
+    # scale, and the pipeline pool releases it on the next entry.
+    v = eager_cache(with_micro_vectors(df.select(id_col, vec_col), vec_col))
     centroids = kmeans_exact(
         v, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
@@ -1564,9 +1575,11 @@ def semantic_dedup(
         cells = assigned.join(F.broadcast(centroids), "cid").withColumn(
             "cdist", dist
         )
-    cells = cells.withColumn(
-        "unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))")
-    ).select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
+    cells = eager_cache(
+        cells.withColumn(
+            "unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))")
+        ).select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
+    )
 
     if pair_backend == "jvm":
         a = cells.select(
