@@ -1327,14 +1327,21 @@ def duplicate_span_stats(
     Output: (id, n_grams, n_dup_grams, dup_frac, max_dup_run) for every
     document with at least ``n`` words. Linear in the corpus.
 
-    Scale shape: narrow posexplode (grams are md5 digests, 32 chars, not
-    the span text) → hash-aggregate occurrence counts (map-side combine
+    Scale shape: narrow posexplode (grams are the first 60 bits of the md5
+    digest folded to BIGINT — 8-byte join/aggregate keys instead of
+    32-char strings; a 60-bit collision is deterministic and identical in
+    every engine, so results stay bit-equal to the oracle twin by
+    construction) → hash-aggregate occurrence counts (map-side combine
     collapses hot grams before the shuffle) → join back on the uniform
     digest key (a boilerplate gram IS a hot join key — its posting list
     lands in one task; AQE skew-split applies, and the per-row work is a
     hash probe) → one per-document window + aggregate sharing the doc
-    partitioning.
+    partitioning. The position-indexed gram relation feeds both the count
+    aggregate and the join side, so it is pipeline-cached.
     """
+    from ..caching import begin_pipeline, eager_cache
+
+    begin_pipeline()
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     parts = " , ' ', ".join(f"element_at(w, i+{j})" for j in range(n))
     occ = (
@@ -1345,12 +1352,14 @@ def duplicate_span_stats(
                 F.expr(
                     f"IF(size(w) >= {n}, "
                     f"transform(sequence(1, size(w) - {n - 1}), "
-                    f"i -> md5(concat({parts}))), array())"
+                    f"i -> CAST(conv(substring(md5(concat({parts})), 1, 15), 16, 10)"
+                    f" AS BIGINT)), array())"
                 )
             ).alias("pos0", "gram"),
         )
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "gram")
     )
+    occ = eager_cache(occ)
     cnt = occ.groupBy("gram").agg(F.count("*").alias("c"))
     flagged = occ.join(cnt, "gram").select(
         id_col, "pos", (F.col("c") >= 2).alias("dup")

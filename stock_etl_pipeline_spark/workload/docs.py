@@ -253,7 +253,9 @@ pos AS (
   FROM words
 ),
 occ AS (
-  SELECT doc_id, i AS p, md5(concat({_span_parts_sql})) AS gram FROM pos
+  SELECT doc_id, i AS p,
+    (('0x' || substring(md5(concat({_span_parts_sql})), 1, 15))::BIGINT) AS gram
+  FROM pos
 ),
 cnt AS (SELECT gram, count(*) AS c FROM occ GROUP BY gram),
 flagged AS (
