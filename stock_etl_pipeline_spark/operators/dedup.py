@@ -119,6 +119,58 @@ def sql_word_shingles(
 """.strip()
 
 
+def word_shingles_b60(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as 60-bit base hashes:
+    (id, b60) — the narrow-key variant of :func:`word_shingles` for
+    pipelines that never need the shingle STRING again (the df-capped
+    MinHash chain): md5 folds to BIGINT BEFORE the distinct, so the one
+    shuffle carries 16 bytes per row instead of the shingle text, and every
+    downstream group/join key is an 8-byte int. A 60-bit collision merges
+    two shingles deterministically — identically in the DuckDB twin, which
+    derives b60 with the same fold — so cross-engine results stay bit-equal
+    by construction (~1e-15 odds per pair regardless)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    parts = " , ' ', ".join(f"element_at(w, i+{j})" for j in range(n))
+    b60 = (
+        f"CAST(conv(substring(md5(concat({parts})), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"IF(size(w) >= {n}, "
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> {b60}), array())"
+                )
+            ).alias("b60"),
+        )
+        .distinct()
+    )
+
+
+def sql_word_shingles_b60(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "sh",
+) -> str:
+    """DuckDB twin of word_shingles_b60 as a CTE chain ending in ``out``
+    with columns (id, shingle BIGINT) — column named ``shingle`` so the
+    shared minhash oracle template consumes it unchanged."""
+    parts = ", ' ', ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  words AS (SELECT {id_col}, string_split_regex(lower({text_col}), '\\s+') AS w FROM {table}),
+  pos AS (SELECT {id_col}, w, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS i FROM words),
+  {out} AS (SELECT DISTINCT {id_col},
+    (('0x' || substring(md5(concat({parts})), 1, 15))::BIGINT) AS shingle FROM pos)
+""".strip()
+
+
 # --- cluster-representative dedup output ------------------------------------
 
 
@@ -419,6 +471,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     with_count: bool = False,
     with_hash_set: bool = False,
+    base_col: str | None = None,
 ) -> DataFrame:
     """One row per document with BIGINT columns minh_0..minh_{k-1}.
 
@@ -438,12 +491,18 @@ def minhash_signature(
     per candidate pair instead of re-expanding candidate × shingle rows
     through a join + aggregation (measured at the 100x tier: the expansion
     verify was +115 s over 3.3M candidates).
+
+    ``base_col`` names a column that already holds the 60-bit base hash
+    (``word_shingles_b60``) — the md5 step is skipped and n_sh/hs are
+    defined over the b60 relation (the capped pipeline's contract).
     """
     base60 = "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
-    hashed = sh.select(
-        id_col,
-        F.expr(base60).alias("b60"),
-    ).select(
+    based = (
+        sh.select(id_col, F.col(base_col).alias("b60"))
+        if base_col is not None
+        else sh.select(id_col, F.expr(base60).alias("b60"))
+    )
+    hashed = based.select(
         id_col,
         F.col("b60"),
         (F.col("b60") % MINHASH_M).alias("b"),
@@ -704,21 +763,29 @@ def minhash_lsh_pairs(
                 id_col=id_col,
             )
         return verified_jaccard_pairs_from_sets(cand, sig, threshold, id_col)
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    base_col = None
     if shingle_df_cap is not None:
+        # Narrow-key capped chain: shingles fold to 60-bit BIGINTs BEFORE
+        # the distinct (word_shingles_b60), so the distinct, the df
+        # aggregate, the anti-join, and the signature chain all move 8-byte
+        # int keys — the shingle STRING never leaves the explode stage.
         # NOT a count().over(partitionBy(shingle)) window: that sends a hot
         # shingle's entire posting list to one task — the exact skew the cap
         # exists to kill. Instead: hash-aggregate the df (map-side partial
         # combine collapses the hot key before the shuffle) and anti-join
-        # the ≤ |sh|/cap hot shingles back out (AQE broadcasts the hot
-        # relation when small, skew-splits the join when not).
+        # the ≤ |sh|/cap hot keys back out (AQE broadcasts the hot relation
+        # when small, skew-splits the join when not).
+        sh = word_shingles_b60(df, id_col, text_col, shingle_n)
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("b60")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > shingle_df_cap)
-            .select("shingle")
+            .select("b60")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(hot, "b60", "left_anti")
+        base_col = "b60"
+    else:
+        sh = word_shingles(df, id_col, text_col, shingle_n)
     # The shingle relation has exactly ONE consumer (the signature
     # aggregate, which also carries the per-doc size and 60-bit hash set)
     # — no cache barrier needed; it streams straight into the aggregate.
@@ -726,7 +793,8 @@ def minhash_lsh_pairs(
     # set-resident verify — the one cached relation in the pipeline.
     sig = eager_cache(
         minhash_signature(
-            sh, num_hashes, id_col, with_count=True, with_hash_set=True
+            sh, num_hashes, id_col, with_count=True, with_hash_set=True,
+            base_col=base_col,
         )
     )
     cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)

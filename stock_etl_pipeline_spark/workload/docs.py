@@ -497,15 +497,22 @@ _mh_est_matches = " + ".join(
 _MH_JAC = "inter * 1.0 / (ca.n + cb.n - inter)"
 
 
-def _minhash_oracle(shingle_ctes: str) -> str:
+def _minhash_oracle(shingle_ctes: str, base_expr: str | None = None) -> str:
     """MinHash-LSH oracle over any CTE chain ending in ``sh(doc_id, shingle)``
     — shared by the exact and the df-capped variants (identical signature /
     banding / prefilter / verify arithmetic; only the shingle relation
-    differs)."""
+    differs). ``base_expr`` overrides the md5→b60 fold when ``shingle``
+    already IS the 60-bit base hash (the capped b60 chain): the affine
+    families then read ``shingle % M`` directly."""
+    base = (
+        f"({base_expr}) % {dedup.MINHASH_M}"
+        if base_expr is not None
+        else dedup.sql_minhash_base("shingle")
+    )
     return rf"""
 WITH
   {shingle_ctes},
-  based AS (SELECT doc_id, {dedup.sql_minhash_base("shingle")} AS b FROM sh),
+  based AS (SELECT doc_id, {base} AS b FROM sh),
   hashed AS (SELECT doc_id,
     {_mh_hash_cols}
     FROM based),
@@ -558,10 +565,16 @@ def _mh_geometry(d) -> tuple[int, int, int]:
 # operate on the capped sets — one consistent similarity definition in both
 # engines. Uses the aggregate-then-anti-join formulation (hot set is tiny).
 _MH_DF_CAP = 64
-_capped_shingle_ctes = f"""{dedup.sql_word_shingles("documents", out="sh0")},
+# Capped chain is b60-keyed end-to-end (operators/dedup.word_shingles_b60):
+# the DISTINCT, the df cap, the per-doc counts, and the exact-set intersect
+# all operate on the 60-bit fold — identically in both engines, so a 60-bit
+# collision merges the same shingles on both sides and results stay
+# bit-equal by construction. The shared template's ``based`` step consumes
+# ``shingle`` (here already the BIGINT b60) via base_expr.
+_capped_shingle_ctes = f"""{dedup.sql_word_shingles_b60("documents", out="sh0")},
   hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_MH_DF_CAP}),
   sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))"""
-_MINHASH_CAPPED_ORACLE = _minhash_oracle(_capped_shingle_ctes)
+_MINHASH_CAPPED_ORACLE = _minhash_oracle(_capped_shingle_ctes, base_expr="shingle")
 
 
 # --- cluster-representative dedup over the minhash pair graph ---------------
