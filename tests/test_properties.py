@@ -358,3 +358,87 @@ def test_connected_components_matches_union_find(spark, pairs):
         if a == b:
             want.setdefault(a, a)
     assert got == want
+
+
+_unicode_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(texts=_unicode_texts)
+def test_arrow_simhash_signatures_match_relational(spark, texts):
+    """For ANY unicode corpus (including empty/whitespace-only docs), the
+    Arrow batch kernels produce the bit-identical signature relation to the
+    relational explode→vocab→packed-sum chain — both widths."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for rel_fn, arr_fn in (
+        (dedup.simhash_signatures, dedup.simhash_signatures_arrow),
+        (dedup.simhash128_signatures, dedup.simhash128_signatures_arrow),
+    ):
+        rel = sorted(map(repr, rel_fn(d).collect()))
+        arr = sorted(map(repr, arr_fn(d).collect()))
+        assert arr == rel
+
+
+@SETTINGS
+@given(texts=_unicode_texts)
+def test_arrow_minhash_signatures_match_relational(spark, texts):
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rel = sorted(
+        map(
+            repr,
+            dedup.minhash_signature(
+                dedup.word_shingles(d), 12, with_count=True, with_hash_set=True
+            )
+            .withColumn("hs", F.array_sort("hs"))
+            .collect(),
+        )
+    )
+    arr = sorted(
+        map(
+            repr,
+            dedup.minhash_signature_arrow(
+                d, 12, with_count=True, with_hash_set=True
+            ).collect(),
+        )
+    )
+    assert arr == rel
+
+
+@SETTINGS
+@given(texts=_doc_texts)
+def test_b60_shingles_match_string_shingles(spark, texts):
+    """word_shingles_b60 equals the 60-bit fold of word_shingles' distinct
+    string relation (same per-doc sets, narrow keys)."""
+    from pyspark.sql import functions as SF
+    from stock_etl_pipeline_spark.operators import dedup
+
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    via_strings = sorted(
+        map(
+            repr,
+            dedup.word_shingles(d)
+            .select(
+                "doc_id",
+                SF.expr(
+                    "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+                ).alias("b60"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    direct = sorted(map(repr, dedup.word_shingles_b60(d).collect()))
+    assert direct == via_strings
