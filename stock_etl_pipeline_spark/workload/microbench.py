@@ -54,7 +54,10 @@ def _mh_shingles(spark, sf_dir):
 
 
 def _mh_signatures(spark, sf_dir):
-    return dedup.minhash_signature(_mh_shingles(spark, sf_dir), docs._MH_K)
+    # the SHIPPED uncapped backend (auto → the Arrow kernel at every scale);
+    # the relational word_shingles → minhash_signature chain stays visible
+    # through the separate "shingles" stage above it
+    return dedup.minhash_signature_arrow(_docs(spark, sf_dir), docs._MH_K)
 
 
 def _mh_candidates(spark, sf_dir):
@@ -87,7 +90,8 @@ def _sh_tokfreq(spark, sf_dir):
 
 
 def _sh_signatures(spark, sf_dir):
-    return dedup.simhash_signatures(_docs(spark, sf_dir))
+    # tier-0 shipped backend at bench SFs (auto → arrow ≤ SIG_ARROW_MAX_DOCS)
+    return dedup.simhash_signatures_arrow(_docs(spark, sf_dir))
 
 
 def _sh_pairs(spark, sf_dir):
