@@ -1554,6 +1554,16 @@ def semantic_dedup(
       micro-quantized dot product, cosine floor-rounded to 1e-6 BEFORE the
       threshold — bit-identical in any engine, the oracle-checkable path
       (same machinery as the IVF family).
+    - ``int``: per-cell EXACT fixed-point GEMM — int64 matmul over the
+      micro-quantized vectors, so the dot is an exact integer in ANY
+      summation order; norms/division are elementwise IEEE ops on exact
+      inputs, making the quantized cosine bit-deterministic across
+      engines, partitionings, and BLAS builds. The GEMM speed of ``gemm``
+      with the portability of ``jvm`` — candidate to unify the pair tier
+      in a future round (needs the oracle's cosine moved to the same
+      integer contract, since it differs from the double-fold at the last
+      ulp). Exact while Σaᵢbᵢ ≤ 2^53 (dim × max|v_int|² bounded — guarded);
+      deterministic regardless.
 
     Component grouping: ``dedup.connected_components`` by default (exact
     for any diameter); ``propagation_rounds=N`` switches to N-round
@@ -1567,7 +1577,7 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keeper policy {keep!r}")
-    if pair_backend not in ("gemm", "jvm"):
+    if pair_backend not in ("gemm", "jvm", "int"):
         raise ValueError(f"unknown pair backend {pair_backend!r}")
     if assign_backend not in ("jvm", "arrow"):
         raise ValueError(f"unknown assign backend {assign_backend!r}")
@@ -1629,6 +1639,41 @@ def semantic_dedup(
             .withColumn("cosine", qcos)
             .filter(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b", "cosine")
+        )
+    elif pair_backend == "int":
+        id_type = dict(df.dtypes)[id_col]
+        out_schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
+
+        def cell_cosines_int(key, pdf):
+            import numpy as np
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            vd = np.stack(pdf["v_dbl"].to_numpy())
+            # v_dbl = v_int / 1e6 exactly, so rint recovers the int64 micro
+            # vector exactly (ulp(v_dbl*1e6) << 0.5 at any realistic scale)
+            Vi = np.rint(vd * 1e6).astype(np.int64)
+            dim = Vi.shape[1]
+            mx = int(np.abs(Vi).max()) or 1
+            if dim * mx * mx >= (1 << 63):
+                raise ValueError(
+                    "int pair backend: dim * max|v_int|^2 overflows int64"
+                )
+            ids = pdf["_id"].to_numpy()
+            S = Vi @ Vi.T  # exact int64 in any order
+            n = np.sqrt(np.diag(S).astype(np.float64))
+            cos = S.astype(np.float64) / np.outer(n, n)
+            q = np.floor(cos * 1e6 + 0.5) / 1e6
+            ia, ib = np.nonzero(q >= threshold)
+            kp = ids[ia] < ids[ib]
+            return pd.DataFrame(
+                {"vec_a": ids[ia][kp], "vec_b": ids[ib][kp], "cosine": q[ia, ib][kp]}
+            )
+
+        pairs = (
+            cells.select(F.col(id_col).alias("_id"), "cid", "v_dbl")
+            .groupBy("cid")
+            .applyInPandas(cell_cosines_int, out_schema)
         )
     else:
         # id type follows the input (string ids work on this path too — the

@@ -858,3 +858,82 @@ def test_auto_backend_tier(spark, monkeypatch):
     assert dedup._resolve_auto_backend("arrow", d) == "arrow"  # explicit wins
     default = _sorted_rows(dedup.simhash_near_dup_pairs(d))  # auto → jvm here
     assert default == _sorted_rows(dedup.simhash_near_dup_pairs(d, signature_backend="arrow"))
+
+
+def test_semantic_dedup_int_backend_matches_python_reference(spark):
+    """The exact fixed-point pair backend reproduces a pure-python integer
+    reference bit-for-bit (pairs AND quantized cosines), and its grouping
+    matches the jvm oracle backend on the same corpus."""
+    from stock_etl_pipeline_spark.operators import similarity
+
+    corpus = _sem_corpus(spark)
+    thr = 0.4
+
+    got = similarity.semantic_dedup(
+        corpus, thr, k_clusters=4, iters=2, pair_backend="int",
+        propagation_rounds=3,
+    )
+    jvm = similarity.semantic_dedup(
+        corpus, thr, k_clusters=4, iters=2, pair_backend="jvm",
+        propagation_rounds=3,
+    )
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, jvm.collect()))
+
+
+def test_semantic_dedup_int_backend_partitioning_invariant(spark):
+    from stock_etl_pipeline_spark.operators import similarity
+
+    corpus = _sem_corpus(spark)
+    a = similarity.semantic_dedup(
+        corpus, 0.4, k_clusters=4, iters=2, pair_backend="int",
+        propagation_rounds=3,
+    )
+    b = similarity.semantic_dedup(
+        corpus.repartition(13), 0.4, k_clusters=4, iters=2,
+        pair_backend="int", propagation_rounds=3,
+    )
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+
+
+def test_int_cosine_kernel_exactness_reference(spark):
+    """Direct pin of the int backend's cosine contract: int64 dot, IEEE
+    sqrt/divide on exact inputs, floor-quantize — vs pure-python ints."""
+    import math
+
+    from pyspark.sql import functions as SF
+    from stock_etl_pipeline_spark.operators import similarity
+
+    rows = [
+        (0, [0.25, -0.5, 0.125, 1.0]),
+        (1, [0.25, -0.5, 0.125, 1.0]),
+        (2, [0.3333333, 0.1, -0.7, 0.2]),
+        (3, [-1.5, 2.25, 0.0, 0.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, 0.0, k_clusters=1, iters=1, pair_backend="int",
+        propagation_rounds=3,
+    )
+    # pure-python reference over ALL pairs (one cell, threshold 0 → every
+    # pair with q >= 0 links; expected grouping = components of that graph)
+    ints = {i: [round(x * 1e6) for x in v] for i, v in rows}
+    def q(a, b):
+        s = sum(x * y for x, y in zip(ints[a], ints[b]))
+        na = math.sqrt(float(sum(x * x for x in ints[a])))
+        nb = math.sqrt(float(sum(x * x for x in ints[b])))
+        return math.floor(float(s) / (na * nb) * 1e6 + 0.5) / 1e6
+    import itertools
+    linked = [(a, b) for a, b in itertools.combinations(sorted(ints), 2) if q(a, b) >= 0.0]
+    parent = {i: i for i in ints}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in linked:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_groups = {i: find(i) for i in ints}
+    got_groups = {r["vec_id"]: r["group_id"] for r in out.collect()}
+    assert got_groups == want_groups
