@@ -51,16 +51,22 @@ def _sig_backend(env_var: str, override: str | None, kind: str) -> str:
     return backend
 
 
-def _resolve_auto_backend(backend: str, df: DataFrame) -> str:
+def _resolve_auto_backend(
+    backend: str, df: DataFrame, n_docs: int | None = None
+) -> str:
     """``auto`` → arrow below SIG_ARROW_MAX_DOCS docs, relational above.
 
-    The count is the same metadata-count pattern the LSH tier geometry uses
-    (parquet-backed inputs resolve from footers); callers with expensive
-    derived inputs should pass the backend explicitly instead.
+    ``n_docs`` (threaded from call sites that already know the corpus size)
+    decides without touching the DataFrame. Only when it's absent does the
+    resolver fall back to ``df.count()`` — the metadata-count pattern the
+    LSH tier geometry uses (parquet-backed inputs resolve from footers);
+    a caller holding an expensive DERIVED frame should pass ``n_docs`` or
+    an explicit backend so resolution never executes the upstream plan.
     """
     if backend != "auto":
         return backend
-    return "arrow" if df.count() <= SIG_ARROW_MAX_DOCS else "jvm"
+    n = n_docs if n_docs is not None else df.count()
+    return "arrow" if n <= SIG_ARROW_MAX_DOCS else "jvm"
 
 
 def _simhash_sig_backend(override: str | None) -> str:
@@ -197,11 +203,16 @@ def near_dup_keepers(
     (symmetrized edges; each round every node takes the min of its own and
     its neighbors' labels). After ``rounds`` iterations labels are exact for
     components of diameter ≤ rounds — LSH dup clusters are near-cliques
-    (diameter ~1-2), so the default 3 is conservative. Each round is one
-    co-partitioned join + aggregate; ``localCheckpoint`` truncates the
-    iterative lineage so the plan stays one-round deep (the k-means model
-    lesson — but labels are data-sized, so they checkpoint to executor
-    storage instead of collecting to the driver).
+    (diameter ~1-2), so the default 3 is conservative. Each round is FUSED
+    to one join + one min-aggregate: min(own, min-over-neighbors) ≡ the min
+    over {(id, label)} ∪ {(src, label(dst))}, so the label union feeds a
+    single groupBy instead of the aggregate-then-left-join shape (round 7 —
+    one fewer shuffle and join per round; at small SF the propagation cost
+    is pure orchestration, so fewer stages is the whole lever).
+    ``localCheckpoint`` truncates the iterative lineage so the plan stays
+    one-round deep (the k-means model lesson — but labels are data-sized,
+    so they checkpoint to executor storage instead of collecting to the
+    driver).
 
     Returns (doc_id, keeper_id) for every doc that appears in ``pairs``;
     docs with no near-dup pair are their own keeper and are simply absent.
@@ -221,6 +232,10 @@ def near_dup_keepers(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        # partitioned by the per-round join key so every round's
+        # edges⋈labels reads the checkpointed partitioning instead of
+        # re-exchanging the edge relation three times
+        .repartition("dst")
         # CHECKPOINTED: ``pairs`` is usually the tail of an expensive
         # pipeline (LSH banding + verification), and edges feed EVERY
         # propagation round — without the checkpoint each round re-executes
@@ -235,19 +250,16 @@ def near_dup_keepers(
         .localCheckpoint()
     )
     for _ in range(rounds):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        # fused round: neighbors' labels (src takes dst's label) unioned
+        # with every node's own label, one min-aggregate — no left join,
+        # and absent-neighbor nodes keep their label via the union arm
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "label"
         )
         labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
     if verify_converged:
@@ -981,6 +993,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     persist_signatures: bool = True,
     signature_backend: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ max_hamming.
 
@@ -1014,7 +1027,9 @@ def simhash_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    backend = _resolve_auto_backend(_simhash_sig_backend(signature_backend), df)
+    backend = _resolve_auto_backend(
+        _simhash_sig_backend(signature_backend), df, n_docs
+    )
     if backend == "arrow":
         sig = simhash_signatures_arrow(df, id_col, text_col)
     else:
@@ -1268,6 +1283,7 @@ def simhash128_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     signature_backend: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """128-bit SimHash near-dup pairs with hamming ≤ max_hamming — the
     wide-band scale sibling of simhash_near_dup_pairs (same four-step
@@ -1282,7 +1298,9 @@ def simhash128_near_dup_pairs(
     from ..caching import begin_pipeline, eager_cache
 
     begin_pipeline()
-    backend = _resolve_auto_backend(_simhash_sig_backend(signature_backend), df)
+    backend = _resolve_auto_backend(
+        _simhash_sig_backend(signature_backend), df, n_docs
+    )
     if backend == "arrow":
         sig = eager_cache(simhash128_signatures_arrow(df, id_col, text_col))
     else:

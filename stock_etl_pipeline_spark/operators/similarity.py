@@ -25,6 +25,7 @@ over ``array<double>``) — no Python in the hot path.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import DataFrame
@@ -208,6 +209,7 @@ def bucketed_matmul_near_dup_pairs(
     bits_per_table: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: hyperplane-LSH buckets FIRST, exact GEMM
     within each bucket — the 100 TB composition `matmul_near_dup_pairs`'s
@@ -239,9 +241,14 @@ def bucketed_matmul_near_dup_pairs(
         make_planes(dim, bits_per_table, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    u = with_unit_vector(df, vec_col)
-    for t, planes in enumerate(tables):
-        u = hyperplane_signature(u, planes, vec_col=vec_col, bucket_col=f"_b{t}")
+    base = df.select(id_col, vec_col)
+    if _ann_sig_backend(signature_backend) == "arrow":
+        sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
+    else:
+        sig = base.withColumn("_vint", F.expr(_as_micro_int(vec_col))).select(
+            id_col, vec_col, *hyperplane_signature_cols(tables)
+        )
+    u = with_unit_vector(sig, vec_col)
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("table_id"), F.col(f"_b{t}").alias("bucket"))
@@ -1278,20 +1285,37 @@ def _pq_adc_tail(
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-gaussian hyperplane coefficients (plain literals —
-    reproducible everywhere, embeddable in SQL twins)."""
+    reproducible everywhere, embeddable in SQL twins). Rounded to 6 decimals
+    so :func:`planes_to_int` recovers exact integer coefficients."""
     rng = random.Random(seed)
     return [
         [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
     ]
 
 
-def _plane_dot(vec_col: str, plane: list[float]) -> str:
-    # NOT a flat `t1 + t2 + …` chain: measured (round 6), the 2560-node
-    # flat projection is 4-5x SLOWER than the HOF fold at sf0.1 (codegen
-    # blow-up), and warm signature cost is ~0.5 s either way.
-    arr = ", ".join(f"{c}D" for c in plane)
-    as_double = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    return _DOT_D.format(a=as_double, b=f"array({arr})")
+def planes_to_int(planes: list[list[float]]) -> list[list[int]]:
+    """Exact 1e6-scaled integer coefficients of :func:`make_planes` output.
+
+    make_planes rounds every coefficient to 6 decimals, so round(c·1e6)
+    recovers the intended integer exactly — the basis of the integer sign
+    contract: bit j = [Σᵢ v_intᵢ · p_intᵢⱼ ≥ 0] where v_int is the standard
+    micro quantization (floor(x·1e6 + 0.5)). The dot is an exact integer
+    (every product and partial sum < 2^53 — guarded where computed), so the
+    sign is bit-identical in ANY engine, fold order, or BLAS build."""
+    return [[int(round(c * 1e6)) for c in p] for p in planes]
+
+
+def _plane_dot_int(vint_col: str, plane_int: list[int]) -> str:
+    # Exact int64 fold of the micro vector against integer plane
+    # coefficients — order-independent by exactness, so the interpreted HOF
+    # shape is pure cost, not a determinism requirement (the Arrow kernel
+    # below is the fast twin). NOT a flat `t1 + t2 + …` chain: measured
+    # (round 6), the flat projection is 4-5x slower (codegen blow-up).
+    arr = ", ".join(f"{c}L" for c in plane_int)
+    return (
+        f"aggregate(zip_with({vint_col}, array({arr}), (x, y) -> x * y), "
+        f"0L, (acc, v) -> acc + v)"
+    )
 
 
 def hyperplane_signature(
@@ -1301,52 +1325,139 @@ def hyperplane_signature(
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Append an n-bit sign bucket: bit j = [dot(vec, plane_j) ≥ 0].
-
-    The dot is quantized (floor at 1e-6) before the sign so engines that
-    accumulate in different orders cannot flip a boundary bit.
-    """
+    """Append an n-bit sign bucket: bit j = [idot(v_int, p_int_j) ≥ 0] —
+    the integer sign contract (see :func:`planes_to_int`): micro-quantize
+    the vector once, exact int64 dot per plane, no floating accumulation
+    anywhere, so a boundary bit cannot flip between engines."""
     bits = [
-        F.when(
-            F.floor(F.expr(_plane_dot(vec_col, p)) * 1e6 + F.lit(0.5)) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for p in planes
+        F.when(F.expr(_plane_dot_int("_vint", p)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes_to_int(planes)
     ]
-    return df.withColumn(bucket_col, F.concat(*bits))
+    return (
+        df.withColumn("_vint", F.expr(_as_micro_int(vec_col)))
+        .withColumn(bucket_col, F.concat(*bits))
+        .drop("_vint")
+    )
 
 
 def hyperplane_signature_cols(
-    planes_by_table: list[list[list[float]]], vec_col: str = "embedding"
+    planes_by_table: list[list[list[float]]], vint_col: str = "_vint"
 ) -> list[F.Column]:
     """All tables' sign buckets as a list of Columns for ONE select — the
     multi-table indexer used to chain 8 ``withColumn`` calls, each paying
     analysis + optimization over the accumulated ~2.5k-node expression
     trees; a single projection analyzes once. Bit semantics identical to
-    :func:`hyperplane_signature`."""
+    :func:`hyperplane_signature` (integer sign contract); the caller
+    provides the micro-quantized ``vint_col`` so the quantization runs once
+    for all tables."""
     cols = []
     for t, planes in enumerate(planes_by_table):
         bits = [
-            F.when(
-                F.floor(F.expr(_plane_dot(vec_col, p)) * 1e6 + F.lit(0.5)) >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in planes
+            F.when(F.expr(_plane_dot_int(vint_col, p)) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in planes_to_int(planes)
         ]
         cols.append(F.concat(*bits).alias(f"_b{t}"))
     return cols
 
 
+def hyperplane_signatures_arrow(
+    df: DataFrame,
+    planes_by_table: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    prefix: str = "_b",
+) -> DataFrame:
+    """Arrow int-GEMM twin of the JVM sign-bucket expressions: ONE stacked
+    numpy GEMM computes every table's every bit for a whole record batch —
+    shuffle-free mapInPandas, bit-identical to :func:`hyperplane_signature`
+    by the integer contract (the float64 GEMM is EXACT: every product and
+    partial sum is an exactly-representable integer < 2^53, guarded, so no
+    accumulation order can round). Appends ``{prefix}{t}`` string buckets
+    to the input columns.
+
+    This replaces the interpreted per-element HOF fold (~0.5 s warm /
+    dominant cold across the three ANN queries at sf0.1) with a vectorized
+    kernel whose per-row cost is a fused multiply-add row — the same escape
+    the IVF-PQ train chain and the dedup signature kernels use."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    planes_int = [planes_to_int(p) for p in planes_by_table]
+    bits_per = [len(p) for p in planes_int]
+    flat = [row for table in planes_int for row in table]
+    pmax = max(max(abs(c) for c in row) for row in flat) or 1
+    dim = len(flat[0])
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(f"{prefix}{t}", StringType(), False)
+            for t in range(len(planes_int))
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        P = np.array(flat, dtype=np.float64)  # (total_bits, dim)
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.copy()
+                for t in range(len(bits_per)):
+                    out[f"{prefix}{t}"] = pd.Series([], dtype=str)
+                yield out
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xi = np.floor(X * 1e6 + 0.5)  # the standard micro quantization
+            mx = int(np.abs(Xi).max()) or 1
+            if dim * mx * pmax >= (1 << 53):
+                raise ValueError(
+                    "hyperplane signature: dim * max|v_int| * max|p_int| "
+                    "exceeds 2^53 — the exact-GEMM contract breaks"
+                )
+            S = Xi @ P.T  # exact integers, any order
+            B = np.where(S >= 0, b"1", b"0").astype("S1")
+            out = pdf.copy()
+            ofs = 0
+            for t, nb in enumerate(bits_per):
+                sub = np.ascontiguousarray(B[:, ofs : ofs + nb])
+                ofs += nb
+                out[f"{prefix}{t}"] = sub.view(f"S{nb}").ravel().astype(str)
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def _ann_sig_backend(override: str | None = None) -> str:
+    """Signature backend for the hyperplane-LSH family: explicit argument,
+    else the ``SPARK_GRAFT_ANN_SIG`` env knob, else ``arrow`` — the
+    measured default (the stacked GEMM's per-row cost is flat in plane
+    count while the interpreted fold pays per element per plane; see
+    SCALING.md round 7). Both backends are bit-identical by the integer
+    sign contract, so this knob never changes results."""
+    backend = override or os.environ.get("SPARK_GRAFT_ANN_SIG", "arrow")
+    if backend not in ("arrow", "jvm"):
+        raise ValueError(f"unknown ANN signature backend {backend!r}")
+    return backend
+
+
 def sql_hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> str:
-    """DuckDB twin of hyperplane_signature's bucket expression."""
+    """DuckDB twin of hyperplane_signature's bucket expression — the same
+    integer sign contract: DuckDB's list_dot_product accumulates the BIGINT
+    products in float64, but every intermediate is an exact integer < 2^53,
+    so the result is the exact integer dot regardless of order."""
+    micro = (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
     bits = []
-    for p in planes:
+    for p in planes_to_int(planes):
         arr = ", ".join(str(c) for c in p)
-        dot = (
-            f"list_dot_product(list_transform({vec_col}, x -> CAST(x AS DOUBLE)),"
-            f" [{arr}])"
-        )
-        bits.append(f"CASE WHEN floor(({dot}) * 1000000 + 0.5) >= 0 THEN '1' ELSE '0' END")
+        dot = f"list_dot_product({micro}, [{arr}])"
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
     return "concat(" + ", ".join(bits) + ")"
 
 
@@ -1381,6 +1492,7 @@ def ann_multitable_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     rank_digits: int = 4,
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """Multi-table LSH ANN (the OR-construction): L independent hash tables
     of b sign bits each; a vector lands in one bucket PER TABLE and a
@@ -1393,6 +1505,10 @@ def ann_multitable_topk(
     similarity (p ≈ 0.97) recall is ≈ 1 − 1e-6. The price is indexing the
     corpus L times (explode ×L) — the classic LSH memory/recall trade,
     linear and shuffle-friendly, never quadratic.
+
+    All 40 sign bits come from ONE pass over the data (stacked Arrow
+    int-GEMM by default; a single-projection exact-int JVM fold under
+    ``signature_backend="jvm"`` — bit-identical by the integer contract).
     """
     from pyspark.sql import Window
 
@@ -1400,9 +1516,19 @@ def ann_multitable_topk(
         make_planes(dim, bits_per_table, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
+    backend = _ann_sig_backend(signature_backend)
 
-    def with_table_buckets(df: DataFrame, keep: list[str]) -> DataFrame:
-        sig = df.select("*", *hyperplane_signature_cols(tables, vec_col))
+    def with_table_buckets(df: DataFrame, key: str) -> DataFrame:
+        # minimal kernel payload: (key, vec); unit is derived AFTER the
+        # signature pass so the dim-length double array never crosses Arrow
+        base = df.select(key, vec_col)
+        if backend == "arrow":
+            sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
+        else:
+            sig = base.withColumn(
+                "_vint", F.expr(_as_micro_int(vec_col))
+            ).select(key, vec_col, *hyperplane_signature_cols(tables))
+        sig = with_unit_vector(sig, vec_col)
         entries = F.array(
             *[
                 F.struct(
@@ -1411,17 +1537,16 @@ def ann_multitable_topk(
                 for t in range(n_tables)
             ]
         )
-        return sig.select(*keep, F.explode(entries).alias("e")).select(
-            *keep, F.col("e.table_id").alias("table_id"), F.col("e.bucket").alias("bucket")
+        return sig.select(key, "unit", F.explode(entries).alias("e")).select(
+            key, "unit", F.col("e.table_id").alias("table_id"),
+            F.col("e.bucket").alias("bucket"),
         )
 
-    cu = with_unit_vector(corpus, vec_col)
-    qu = with_unit_vector(queries, vec_col)
-    c_idx = with_table_buckets(cu, [id_col, "unit"]).select(
+    c_idx = with_table_buckets(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"),
         "table_id", "bucket",
     )
-    q_idx = with_table_buckets(qu, [query_id_col, "unit"]).select(
+    q_idx = with_table_buckets(queries, query_id_col).select(
         query_id_col, F.col("unit").alias("unit_q"), "table_id", "bucket"
     )
     # Score BEFORE the OR-across-tables dedup: the quantized cosine is a
@@ -1455,6 +1580,7 @@ def ann_bucketed_topk(
     vec_col: str = "embedding",
     rank_digits: int = 4,
     multiprobe: bool = False,
+    signature_backend: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket. Join is an equi-join on the bucket string — co-partitioned, no
@@ -1470,16 +1596,28 @@ def ann_bucketed_topk(
     neighbor only escapes if ≥ 2 hyperplanes separate it — while the probe
     fan-out stays linear in plane count (each corpus vector still lives in
     exactly ONE bucket, so probes never duplicate a candidate).
+
+    ``signature_backend``: ``arrow`` (default — stacked int-GEMM kernel) or
+    ``jvm`` (interpreted exact-int fold); bit-identical by the integer sign
+    contract (:func:`planes_to_int`).
     """
     from pyspark.sql import Window
 
     n_bits = len(planes)
-    c = hyperplane_signature(corpus, planes, vec_col=vec_col)
-    q = hyperplane_signature(queries, planes, vec_col=vec_col)
-    cu = with_unit_vector(c, vec_col).select(
+    backend = _ann_sig_backend(signature_backend)
+
+    def sign(df: DataFrame, key: str) -> DataFrame:
+        base = df.select(key, vec_col)
+        if backend == "arrow":
+            return hyperplane_signatures_arrow(
+                base, [planes], vec_col=vec_col
+            ).withColumnRenamed("_b0", "bucket")
+        return hyperplane_signature(base, planes, vec_col=vec_col)
+
+    cu = with_unit_vector(sign(corpus, id_col), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"), "bucket"
     )
-    qu = with_unit_vector(q, vec_col).select(
+    qu = with_unit_vector(sign(queries, query_id_col), vec_col).select(
         F.col(query_id_col), F.col("unit").alias("unit_q"), "bucket"
     )
     if multiprobe:
@@ -1515,7 +1653,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "min_id",
-    pair_backend: str = "gemm",
+    pair_backend: str = "int",
     propagation_rounds: int | None = None,
     assign_backend: str = "jvm",
 ) -> DataFrame:
@@ -1547,23 +1685,24 @@ def semantic_dedup(
       is engine-deterministic.
 
     Pair backends (``pair_backend``):
-    - ``gemm`` (default): per-cell Arrow-batched numpy GEMM — the fast
-      path; cosines are float64 with BLAS-order last-ulp variation, so
-      consumers quantize before comparing.
+    - ``gemm``: per-cell Arrow-batched numpy GEMM on unit vectors;
+      cosines are float64 with BLAS-order last-ulp variation, so
+      consumers quantize before comparing. Kept for A/B — ``int`` is as
+      fast and exact.
     - ``jvm``: co-partitioned self-join per cell with the engine's
       micro-quantized dot product, cosine floor-rounded to 1e-6 BEFORE the
       threshold — bit-identical in any engine, the oracle-checkable path
       (same machinery as the IVF family).
-    - ``int``: per-cell EXACT fixed-point GEMM — int64 matmul over the
-      micro-quantized vectors, so the dot is an exact integer in ANY
-      summation order; norms/division are elementwise IEEE ops on exact
-      inputs, making the quantized cosine bit-deterministic across
-      engines, partitionings, and BLAS builds. The GEMM speed of ``gemm``
-      with the portability of ``jvm`` — candidate to unify the pair tier
-      in a future round (needs the oracle's cosine moved to the same
-      integer contract, since it differs from the double-fold at the last
-      ulp). Exact while Σaᵢbᵢ ≤ 2^53 (dim × max|v_int|² bounded — guarded);
-      deterministic regardless.
+    - ``int`` (default): per-cell EXACT fixed-point GEMM over the
+      micro-quantized vectors. Every product and partial sum is an exact
+      integer < 2^53 (guarded), so the float64 GEMM performs NO rounding
+      in any accumulation order — the dot is the exact integer dot,
+      bit-deterministic across engines, partitionings, and BLAS builds
+      (measured 8× faster than an int64 matmul, which numpy cannot BLAS).
+      Norms/division are elementwise IEEE ops on exact inputs, making the
+      quantized cosine fully portable: this is BOTH the fast path and the
+      oracle-checked path (the driver's DuckDB oracle computes the same
+      integer dot — the round-7 tier unification).
 
     Component grouping: ``dedup.connected_components`` by default (exact
     for any diameter); ``propagation_rounds=N`` switches to N-round
@@ -1612,11 +1751,17 @@ def semantic_dedup(
         cells = assigned.join(F.broadcast(centroids), "cid").withColumn(
             "cdist", dist
         )
-    cells = eager_cache(
-        cells.withColumn(
+    # the unit-vector column only feeds the gemm pair backend — the int
+    # backend recovers exact micro ints from v_dbl and the jvm backend folds
+    # v_dbl directly, so don't pay the per-row HOF transform (or cache the
+    # extra dim-length array) on those paths
+    if pair_backend == "gemm":
+        cells = cells.withColumn(
             "unit", F.expr("transform(v_dbl, x -> x / sqrt(vv))")
         ).select(id_col, "cid", "cdist", "unit", "v_dbl", "vv")
-    )
+    else:
+        cells = cells.select(id_col, "cid", "cdist", "v_dbl", "vv")
+    cells = eager_cache(cells)
 
     if pair_backend == "jvm":
         a = cells.select(
@@ -1652,17 +1797,23 @@ def semantic_dedup(
             vd = np.stack(pdf["v_dbl"].to_numpy())
             # v_dbl = v_int / 1e6 exactly, so rint recovers the int64 micro
             # vector exactly (ulp(v_dbl*1e6) << 0.5 at any realistic scale)
-            Vi = np.rint(vd * 1e6).astype(np.int64)
-            dim = Vi.shape[1]
-            mx = int(np.abs(Vi).max()) or 1
-            if dim * mx * mx >= (1 << 63):
+            Vf = np.rint(vd * 1e6)
+            dim = Vf.shape[1]
+            mx = int(np.abs(Vf).max()) or 1
+            if dim * mx * mx >= (1 << 53):
+                # above this, float64 partial sums round and the dot stops
+                # being the exact integer the oracle contract requires
                 raise ValueError(
-                    "int pair backend: dim * max|v_int|^2 overflows int64"
+                    "int pair backend: dim * max|v_int|^2 exceeds 2^53"
                 )
             ids = pdf["_id"].to_numpy()
-            S = Vi @ Vi.T  # exact int64 in any order
-            n = np.sqrt(np.diag(S).astype(np.float64))
-            cos = S.astype(np.float64) / np.outer(n, n)
+            # float64 GEMM, yet EXACT: every product (≤ mx² < 2^53) and
+            # every partial sum (≤ dim·mx² < 2^53, guarded above) is an
+            # exactly-representable integer, so no accumulation order —
+            # FMA, blocking, threading — can introduce rounding.
+            S = Vf @ Vf.T
+            n = np.sqrt(np.diag(S))
+            cos = S / np.outer(n, n)
             q = np.floor(cos * 1e6 + 0.5) / 1e6
             ia, ib = np.nonzero(q >= threshold)
             kp = ids[ia] < ids[ib]

@@ -723,13 +723,24 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines), 3 generated rounds of min-label propagation (the
 # doc_dedup_clusters pattern, factored as dedup.sql_propagation_rounds),
 # and the paper's farthest-from-centroid keeper policy decided on the
-# SAME quantized distances the assignment argmin uses. The operator's fast
-# path (Arrow-GEMM pairs + exact connected components) is pinned to this
-# oracle-checkable composition by tests/test_dedup.py equivalence tests.
+# SAME quantized distances the assignment argmin uses. Since round 7 the
+# pair stage runs the exact fixed-point GEMM (pair_backend="int") at EVERY
+# tier — the oracle below computes the identical integer dot, so the fast
+# path and the driver-checked path are the same code; tests/test_dedup.py
+# pins the jvm/gemm equivalences beside it.
 _SEM_THRESHOLD = 0.4
 _SEM_ROUNDS = 3
+# The integer-cosine contract (round 7, unifying the pair tier): the dot is
+# the EXACT integer dot of the micro-quantized vectors. DuckDB's
+# list_dot_product accumulates in float64, but every product (≤ max|v_int|²)
+# and every partial sum (≤ dim·max|v_int|², ~2^44 on this data) is an
+# exactly-representable integer < 2^53, so no accumulation order can round —
+# the same argument that makes the Spark int backend's float64 GEMM exact
+# (operators/similarity.py, pair_backend="int", guarded at 2^53). sqrt /
+# multiply / divide / floor-quantize are then single IEEE ops on exact
+# inputs: bit-identical in any engine.
 _SEM_QCOS = (
-    "floor(list_dot_product(a.v_dbl, b.v_dbl) / (sqrt(a.vv) * sqrt(b.vv))"
+    "floor(list_dot_product(a.v_int, b.v_int) / (sqrt(a.vvi) * sqrt(b.vvi))"
     " * 1000000.0 + 0.5) / 1000000.0"
 )
 
@@ -740,13 +751,15 @@ WITH vx AS (
     list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
   FROM embeddings
 ),
-vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv,
+               list_dot_product(v_int, v_int) AS vvi
+        FROM vx),
 c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
        FROM vv0 WHERE vec_id < {_IVF_K}),
 {_ivf_iters_sql},
 caq AS (
-  SELECT vec_id, cid, v_dbl, vv, cdist FROM (
-    SELECT t.vec_id, t.v_dbl, t.vv, c.cid, {_IVF_DIST} AS cdist,
+  SELECT vec_id, cid, v_int, vvi, cdist FROM (
+    SELECT t.vec_id, t.v_int, t.vvi, c.cid, {_IVF_DIST} AS cdist,
       row_number() OVER (PARTITION BY t.vec_id
         ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
     FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
@@ -795,12 +808,17 @@ _SEM_TIER0_MAX = 40_000
 
 
 def _sem_tier(n_vecs: int) -> dict:
-    if n_vecs <= _SEM_TIER0_MAX:
-        return dict(
-            k_clusters=_IVF_K, pair_backend="jvm", propagation_rounds=_SEM_ROUNDS
-        )
+    # Both tiers run pair_backend="int" since round 7: the exact fixed-point
+    # GEMM is bit-deterministic across engines/orders/BLAS, so the fast path
+    # IS the oracle-checked path — no more jvm-join tier-0 / gemm tier-1
+    # split, and no last-ulp caveat anywhere in the pair stage.
     import os
 
+    pair = os.environ.get("SPARK_GRAFT_SEM_PAIRS", "int")
+    if n_vecs <= _SEM_TIER0_MAX:
+        return dict(
+            k_clusters=_IVF_K, pair_backend=pair, propagation_rounds=_SEM_ROUNDS
+        )
     # Tier-1 experiment knobs (never tier 0 — the oracle geometry stays
     # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count and
     # SPARK_GRAFT_SEM_ASSIGN pins the assignment backend, so scripts/ab.py
@@ -809,7 +827,7 @@ def _sem_tier(n_vecs: int) -> dict:
     override = os.environ.get("SPARK_GRAFT_SEM_CELLS")
     return dict(
         k_clusters=int(override) if override else max(_IVF_K + 1, round(n_vecs**0.5 / 7)),
-        pair_backend="gemm",
+        pair_backend=pair,
         propagation_rounds=None,
         assign_backend=os.environ.get("SPARK_GRAFT_SEM_ASSIGN", "arrow"),
     )
@@ -825,13 +843,13 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: exact k-means cells (the IVF
     coarse quantizer), within-cell pairs at quantized cosine ≥ 0.4,
     component grouping, farthest-from-centroid keeper per group — one
-    (vec_id, cid, group_id, keeper_id) row per vector, linear output. At
-    driver/bench SFs (tier 0) the jvm pair backend + fixed propagation
-    rounds make the whole iterative composition oracle-replayable; larger
-    corpora switch to proportionally more cells, the Arrow-GEMM pair
-    kernel, and exact connected components (tests/test_dedup.py pins the
-    backend and grouping equivalences). The count() is a metadata-only
-    parquet job, same as _mh_geometry."""
+    (vec_id, cid, group_id, keeper_id) row per vector, linear output. The
+    pair stage is the exact fixed-point GEMM at every tier (bit-identical
+    to the oracle's integer dot); tier 0's fixed propagation rounds make
+    the iterative grouping oracle-replayable, larger corpora switch to
+    proportionally more cells and exact connected components
+    (tests/test_dedup.py pins the grouping equivalences). The count() is a
+    metadata-only parquet job, same as _mh_geometry."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         e,

@@ -160,3 +160,91 @@ def test_ivf_pq_arrow_assignment_matches_jvm(spark):
         for r in similarity.ivf_pq_topk(e, q, assign_backend="arrow", **kw).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_hyperplane_arrow_signatures_match_jvm(spark):
+    """The stacked Arrow int-GEMM bucket kernel must emit bit-identical
+    bucket strings to the JVM exact-int fold on the real corpus — the
+    integer sign contract makes them the same function, not merely close."""
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    tables = [
+        similarity.make_planes(dim=64, n_planes=5, seed=42 + 1000 * t)
+        for t in range(3)
+    ]
+    arrow = {
+        (r["vec_id"], r["_b0"], r["_b1"], r["_b2"])
+        for r in similarity.hyperplane_signatures_arrow(
+            e.select("vec_id", "embedding"), tables
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    jvm_sig = (
+        e.select("vec_id", "embedding")
+        .withColumn("_vint", F.expr(similarity._as_micro_int("embedding")))
+        .select("vec_id", *similarity.hyperplane_signature_cols(tables))
+    )
+    jvm = {
+        (r["vec_id"], r["_b0"], r["_b1"], r["_b2"]) for r in jvm_sig.collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_hyperplane_int_contract_python_reference(spark):
+    """Direct pin of the integer sign contract against pure-python ints:
+    bit j = [Σ floor(x·1e6 + 0.5) · round(p·1e6) >= 0]."""
+    import math
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    vecs = [
+        (0, [0.25, -0.125, 0.0009999, -0.0000004]),
+        (1, [-0.5, 0.5, 0.4583735, -0.5252062]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    planes = similarity.make_planes(dim=4, n_planes=6, seed=7)
+    p_int = similarity.planes_to_int(planes)
+
+    def ref_bucket(v):
+        vi = [math.floor(x * 1e6 + 0.5) for x in v]
+        return "".join(
+            "1" if sum(a * b for a, b in zip(vi, p)) >= 0 else "0"
+            for p in p_int
+        )
+
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # float32 storage: the reference must quantize the FLOAT32-rounded
+    # values, same as the engines see them
+    import numpy as np
+
+    stored = {
+        r["vec_id"]: [float(np.float32(x)) for x in v]
+        for (r, (_, v)) in zip(df.collect(), vecs)
+    }
+    want = {vid: ref_bucket(v) for vid, v in stored.items()}
+    got_arrow = {
+        r["vec_id"]: r["_b0"]
+        for r in similarity.hyperplane_signatures_arrow(df, [planes]).collect()
+    }
+    got_jvm = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_signature(df, planes).collect()
+    }
+    assert got_arrow == want and got_jvm == want
+
+
+def test_ann_queries_backend_invariant(spark, monkeypatch):
+    """The three ANN queries return identical rows under either signature
+    backend (SPARK_GRAFT_ANN_SIG knob) — the contract the default rests on."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    for name in ("embedding_ann_lsh", "embedding_ann_multitable"):
+        monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "arrow")
+        a = sorted(map(repr, reg[name].fn(spark, "/root/testdata/sf0.001").collect()))
+        monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "jvm")
+        j = sorted(map(repr, reg[name].fn(spark, "/root/testdata/sf0.001").collect()))
+        assert a == j and len(a) > 0, name

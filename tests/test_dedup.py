@@ -538,10 +538,10 @@ def test_sem_tier_boundaries():
     from stock_etl_pipeline_spark.workload.vectors import _sem_tier, _IVF_K
 
     t0 = _sem_tier(500)
-    assert t0 == dict(k_clusters=_IVF_K, pair_backend="jvm", propagation_rounds=3)
+    assert t0 == dict(k_clusters=_IVF_K, pair_backend="int", propagation_rounds=3)
     assert _sem_tier(40_000) == t0  # frozen oracle tier boundary inclusive
     t1 = _sem_tier(40_001)
-    assert t1["pair_backend"] == "gemm" and t1["propagation_rounds"] is None
+    assert t1["pair_backend"] == "int" and t1["propagation_rounds"] is None
     assert t1["k_clusters"] == 29  # round(sqrt(40001) / 7)
     assert _sem_tier(500_000)["k_clusters"] == 101  # √n rule: ~100 at 100x
     assert _sem_tier(50_000_000)["k_clusters"] == 1010  # O(n^1.5) total work
@@ -858,6 +858,33 @@ def test_auto_backend_tier(spark, monkeypatch):
     assert dedup._resolve_auto_backend("arrow", d) == "arrow"  # explicit wins
     default = _sorted_rows(dedup.simhash_near_dup_pairs(d))  # auto → jvm here
     assert default == _sorted_rows(dedup.simhash_near_dup_pairs(d, signature_backend="arrow"))
+
+
+def test_auto_backend_n_docs_skips_count(spark, monkeypatch):
+    """A caller-threaded n_docs resolves `auto` WITHOUT executing the
+    frame's plan — the round-7 fix for the derived-input count trap. A
+    frame whose count() would raise proves no job runs."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    class _Poisoned:
+        def count(self):
+            raise AssertionError("auto resolution executed the plan")
+
+    d = _Poisoned()
+    assert dedup._resolve_auto_backend("auto", d, n_docs=10) == "arrow"
+    assert (
+        dedup._resolve_auto_backend("auto", d, n_docs=dedup.SIG_ARROW_MAX_DOCS + 1)
+        == "jvm"
+    )
+    # and the public entry points thread it through
+    docs = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+    big = dedup.SIG_ARROW_MAX_DOCS + 1
+    arrow = _sorted_rows(dedup.simhash_near_dup_pairs(docs, n_docs=1))
+    jvm = _sorted_rows(dedup.simhash_near_dup_pairs(docs, n_docs=big))
+    assert arrow == jvm
+    a128 = _sorted_rows(dedup.simhash128_near_dup_pairs(docs, n_docs=1))
+    j128 = _sorted_rows(dedup.simhash128_near_dup_pairs(docs, n_docs=big))
+    assert a128 == j128
 
 
 def test_semantic_dedup_int_backend_matches_python_reference(spark):
