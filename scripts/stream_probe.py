@@ -64,6 +64,15 @@ def main() -> None:
         help="apply streaming.tuned_stream_confs (16 state partitions, "
         "no-data batches off) before any --conf overrides",
     )
+    ap.add_argument(
+        "--warm-start",
+        action="store_true",
+        help="run a tiny (2-doc) UNTIMED stream of the same operator to "
+        "completion first — triggers the one-off codegen + Python worker "
+        "spin-up the round-6 decomposition measured at ~47%% of sf0.1 "
+        "probe wall, so the timed run approximates a long-lived stream's "
+        "steady state",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -157,6 +166,29 @@ def main() -> None:
             flagged = streaming.streaming_semantic_dedup(
                 stream, cents, threshold=0.4, watermark=args.watermark
             )
+        if args.warm_start:
+            # same operator, same plan shape, 2 docs — everything one-off
+            # (codegen, Python worker pool, state-store init) pays here
+            wsrc = os.path.join(work, "warm_src")
+            staged.drop("b").limit(2).coalesce(1).write.parquet(wsrc)
+            wstream = (
+                spark.readStream.schema(
+                    f"{id_col} long, ts timestamp, {payload_col} {payload_type}"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(wsrc)
+            )
+            if args.operator == "simhash":
+                wflag = streaming.streaming_simhash_near_dup(
+                    wstream, watermark=args.watermark
+                )
+            else:
+                wflag = streaming.streaming_semantic_dedup(
+                    wstream, cents, threshold=0.4, watermark=args.watermark
+                )
+            streaming.run_to_memory(
+                wflag, "t_warm", os.path.join(work, "ckpt_warm"), timeout_s=600
+            )
         ckpt = os.path.join(work, "ckpt")
         t0 = time.perf_counter()
         q = streaming.run_to_memory(flagged, "t_probe", ckpt, timeout_s=1800)
@@ -212,6 +244,7 @@ def main() -> None:
                     "flagged_docs": n_flagged,
                     "batches": args.batches,
                     "dup_factor": args.dup_factor,
+                    "warm_start": args.warm_start,
                     "sf_dir": args.sf_dir,
                 }
             )
