@@ -60,6 +60,64 @@ def unit_dot(a: str, b: str) -> F.Column:
     return F.expr(_DOT_D.format(a=a, b=b))
 
 
+# exact int64 fold — order-independent by exactness (see planes_to_int)
+_IDOT_L = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+)
+
+
+def with_int_vector(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``v_int`` (micro-unit int64 array) and ``vvi`` (its EXACT
+    integer squared norm) — the integer-cosine scoring representation:
+
+        cosine(a, b) = double(idot(aᵢ, bᵢ)) / (sqrt(double(vviₐ)) · sqrt(double(vvi_b)))
+
+    Every term is an exact integer < 2^53 on this data (dim · max|v_int|²
+    ≈ 2^44), so the dot is exact in ANY engine or fold order, and the
+    ratio is a fixed sequence of IEEE ops on exact inputs — bit-identical
+    everywhere. Same byte footprint as the unit-vector representation
+    (one dim-length array + one scalar per row)."""
+    out = df.withColumn("v_int", F.expr(_as_micro_int(vec_col)))
+    return out.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
+
+
+def int_cosine(a_int: str, a_vvi: str, b_int: str, b_vvi: str) -> F.Column:
+    """The exact integer-ratio cosine of two :func:`with_int_vector` rows.
+
+    Zero vectors (vvi = 0) yield SQL NULL in BOTH engines — guarded
+    explicitly because the engines' native 0/0 disagree (Spark doubles
+    give NaN, DuckDB gives NULL)."""
+    return F.expr(
+        f"CASE WHEN {a_vvi} = 0 OR {b_vvi} = 0 THEN NULL ELSE "
+        f"CAST({_IDOT_L.format(a=a_int, b=b_int)} AS DOUBLE)"
+        f" / (sqrt(CAST({a_vvi} AS DOUBLE)) * sqrt(CAST({b_vvi} AS DOUBLE)))"
+        f" END"
+    )
+
+
+def sql_int_cosine(a_int: str, a_vvi: str, b_int: str, b_vvi: str) -> str:
+    """DuckDB twin of :func:`int_cosine` (list_dot_product over BIGINT
+    lists accumulates in float64 but every intermediate is an exact
+    integer < 2^53 — the exact dot in any order). Same explicit
+    zero-vector NULL guard as the Spark twin."""
+    return (
+        f"CASE WHEN {a_vvi} = 0 OR {b_vvi} = 0 THEN NULL ELSE "
+        f"list_dot_product({a_int}, {b_int})"
+        f" / (sqrt({a_vvi}) * sqrt({b_vvi})) END"
+    )
+
+
+def sql_with_int_vector(vec_col: str) -> tuple[str, str]:
+    """(v_int_expr, vvi_expr) — the DuckDB twins of with_int_vector."""
+    v_int = (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    return v_int, f"list_dot_product({v_int}, {v_int})"
+
+
 # --- exact blocked near-dup -------------------------------------------------
 
 
@@ -142,13 +200,20 @@ def matmul_near_dup_pairs(
     exact-kNN/GEMM sharding; at 100 TB it composes with the hyperplane-bucket
     prefilter below (bucket first, matmul within buckets).
 
+    Cosines are the exact integer-ratio form (``with_int_vector``'s
+    contract): the kernel micro-quantizes each block and computes the dot
+    as a float64 GEMM whose every intermediate is an exact integer < 2^53
+    (guarded) — bit-identical across engines, partitionings, and BLAS
+    builds, and the shuffled payload is the raw float32 array (half the
+    bytes of the unit-vector double array it replaced).
+
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine float64.
     """
     import pandas as pd
 
-    u = with_unit_vector(df, vec_col).select(
+    u = df.select(
         F.col(id_col).alias("_id"),
-        F.col("unit"),
+        F.col(vec_col).alias("_vec"),
         (F.col(id_col) % n_blocks).cast("int").alias("_bid"),
     )
     # Each row joins every unordered block pair containing its block.
@@ -162,8 +227,8 @@ def matmul_near_dup_pairs(
         ]
     )
     replicated = u.select(
-        "_id", "unit", "_bid", F.explode(groups).alias("g")
-    ).select("_id", "unit", "_bid", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
+        "_id", "_vec", "_bid", F.explode(groups).alias("g")
+    ).select("_id", "_vec", "_bid", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
 
     out_schema = "vec_a long, vec_b long, cosine double"
 
@@ -179,11 +244,24 @@ def matmul_near_dup_pairs(
         b = pdf[pdf["_bid"] == gj] if gi != gj else a
         if a.empty or b.empty:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        ma = np.stack(a["unit"].to_numpy())
-        mb = np.stack(b["unit"].to_numpy())
+        def micro(m):
+            # exact micro quantization; every GEMM intermediate below is
+            # then an exactly-representable integer — see with_int_vector
+            mi = np.floor(m.astype(np.float64) * 1e6 + 0.5)
+            mx = int(np.abs(mi).max()) or 1
+            if mi.shape[1] * mx * mx >= (1 << 53):
+                raise ValueError(
+                    "matmul near-dup: dim * max|v_int|^2 exceeds 2^53"
+                )
+            return mi
+
+        ma = micro(np.stack(a["_vec"].to_numpy()))
+        mb = micro(np.stack(b["_vec"].to_numpy())) if gi != gj else ma
         ids_a = a["_id"].to_numpy()
         ids_b = b["_id"].to_numpy()
-        cos = ma @ mb.T
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = np.sqrt((mb * mb).sum(axis=1)) if gi != gj else na
+        cos = (ma @ mb.T) / np.outer(na, nb)
         ia, ib = np.nonzero(cos >= threshold)
         va, vb = ids_a[ia], ids_b[ib]
         keep = va != vb
@@ -248,16 +326,16 @@ def bucketed_matmul_near_dup_pairs(
         sig = base.withColumn("_vint", F.expr(_as_micro_int(vec_col))).select(
             id_col, vec_col, *hyperplane_signature_cols(tables)
         )
-    u = with_unit_vector(sig, vec_col)
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("table_id"), F.col(f"_b{t}").alias("bucket"))
             for t in range(n_tables)
         ]
     )
-    indexed = u.select(
-        F.col(id_col).alias("_id"), F.col("unit"), F.explode(entries).alias("e")
-    ).select("_id", "unit", F.col("e.table_id").alias("table_id"), F.col("e.bucket").alias("bucket"))
+    indexed = sig.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.explode(entries).alias("e"),
+    ).select("_id", "_vec", F.col("e.table_id").alias("table_id"), F.col("e.bucket").alias("bucket"))
 
     out_schema = "vec_a long, vec_b long, cosine double"
 
@@ -267,9 +345,15 @@ def bucketed_matmul_near_dup_pairs(
 
         if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        m = np.stack(pdf["unit"].to_numpy())
+        mi = np.floor(np.stack(pdf["_vec"].to_numpy()).astype(np.float64) * 1e6 + 0.5)
+        mx = int(np.abs(mi).max()) or 1
+        if mi.shape[1] * mx * mx >= (1 << 53):
+            raise ValueError(
+                "bucketed near-dup: dim * max|v_int|^2 exceeds 2^53"
+            )
         ids = pdf["_id"].to_numpy()
-        cos = m @ m.T
+        n = np.sqrt((mi * mi).sum(axis=1))
+        cos = (mi @ mi.T) / np.outer(n, n)  # exact integer-ratio cosine
         ia, ib = np.nonzero(cos >= threshold)
         keep = ids[ia] < ids[ib]  # upper triangle once per unordered pair
         return pd.DataFrame(
@@ -279,10 +363,10 @@ def bucketed_matmul_near_dup_pairs(
     return (
         indexed.groupBy("table_id", "bucket")
         .applyInPandas(bucket_cosines, out_schema)
-        # OR across tables: dedupe on the id pair only. The same pair's dot
-        # product is computed inside different-shaped bucket matrices, and
-        # BLAS blocking may change accumulation order, so the surviving
-        # cosine is only last-ulp-stable; consumers quantize before compare.
+        # OR across tables: dedupe on the id pair only. The cosine is the
+        # exact integer-ratio form — bit-identical no matter which table's
+        # bucket matrix computed it — so the surviving copy is well-defined,
+        # not merely last-ulp-stable.
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
@@ -1519,8 +1603,9 @@ def ann_multitable_topk(
     backend = _ann_sig_backend(signature_backend)
 
     def with_table_buckets(df: DataFrame, key: str) -> DataFrame:
-        # minimal kernel payload: (key, vec); unit is derived AFTER the
-        # signature pass so the dim-length double array never crosses Arrow
+        # minimal kernel payload: (key, vec); the scoring representation is
+        # derived AFTER the signature pass so only the raw float32 array
+        # crosses Arrow
         base = df.select(key, vec_col)
         if backend == "arrow":
             sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
@@ -1528,7 +1613,7 @@ def ann_multitable_topk(
             sig = base.withColumn(
                 "_vint", F.expr(_as_micro_int(vec_col))
             ).select(key, vec_col, *hyperplane_signature_cols(tables))
-        sig = with_unit_vector(sig, vec_col)
+        sig = with_int_vector(sig, vec_col)
         entries = F.array(
             *[
                 F.struct(
@@ -1537,25 +1622,31 @@ def ann_multitable_topk(
                 for t in range(n_tables)
             ]
         )
-        return sig.select(key, "unit", F.explode(entries).alias("e")).select(
-            key, "unit", F.col("e.table_id").alias("table_id"),
+        return sig.select(
+            key, "v_int", "vvi", F.explode(entries).alias("e")
+        ).select(
+            key, "v_int", "vvi", F.col("e.table_id").alias("table_id"),
             F.col("e.bucket").alias("bucket"),
         )
 
     c_idx = with_table_buckets(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"),
-        "table_id", "bucket",
+        F.col(id_col).alias("neighbor_id"), F.col("v_int").alias("vi_n"),
+        F.col("vvi").alias("vvi_n"), "table_id", "bucket",
     )
     q_idx = with_table_buckets(queries, query_id_col).select(
-        query_id_col, F.col("unit").alias("unit_q"), "table_id", "bucket"
+        query_id_col, F.col("v_int").alias("vi_q"), F.col("vvi").alias("vvi_q"),
+        "table_id", "bucket",
     )
     # Score BEFORE the OR-across-tables dedup: the quantized cosine is a
-    # pure function of the pair, so max-aggregating it over table copies is
-    # exactly DISTINCT-then-score — but the dedup shuffle then carries
-    # (ids, one double) instead of two dim-length unit arrays per row
-    # (at a 100x corpus: ~2.4M candidate rows × 1 KB of arrays vs 24 B).
+    # pure function of the pair (exact integer-ratio form — bit-stable, so
+    # max-aggregating over table copies is exactly DISTINCT-then-score),
+    # and the dedup shuffle carries (ids, one double) instead of two
+    # dim-length arrays per row (at a 100x corpus: ~2.4M candidate rows ×
+    # 1 KB of arrays vs 24 B).
     scale = float(10**rank_digits)
-    qcos = F.floor(unit_dot("unit_q", "unit_n") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    qcos = F.floor(
+        int_cosine("vi_q", "vvi_q", "vi_n", "vvi_n") * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
     scored = (
         q_idx.join(c_idx, ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -1588,8 +1679,11 @@ def ann_bucketed_topk(
     expected bucket).
 
     Ranks by the cosine QUANTIZED to ``rank_digits`` (floor-based) with
-    neighbor-id tiebreak, so accumulation-order float noise cannot flip
-    ranks between runs or engines.
+    neighbor-id tiebreak. The cosine is the exact integer-ratio form
+    (:func:`with_int_vector`) — bit-identical in every engine and fold
+    order, so the quantized rank keys need no cross-engine fold-order
+    assumption at all (round 7; the unit-vector form relied on Spark's
+    ``aggregate`` fold and the oracle's ``list_dot_product`` agreeing).
 
     ``multiprobe=True`` probes the query's home bucket plus every 1-bit-flip
     neighbor bucket (n_planes + 1 probes): recall rises sharply — a near
@@ -1614,11 +1708,13 @@ def ann_bucketed_topk(
             ).withColumnRenamed("_b0", "bucket")
         return hyperplane_signature(base, planes, vec_col=vec_col)
 
-    cu = with_unit_vector(sign(corpus, id_col), vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"), "bucket"
+    cu = with_int_vector(sign(corpus, id_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v_int").alias("vi_n"),
+        F.col("vvi").alias("vvi_n"), "bucket",
     )
-    qu = with_unit_vector(sign(queries, query_id_col), vec_col).select(
-        F.col(query_id_col), F.col("unit").alias("unit_q"), "bucket"
+    qu = with_int_vector(sign(queries, query_id_col), vec_col).select(
+        F.col(query_id_col), F.col("v_int").alias("vi_q"),
+        F.col("vvi").alias("vvi_q"), "bucket",
     )
     if multiprobe:
         probes = F.array(
@@ -1626,10 +1722,12 @@ def ann_bucketed_topk(
             *[flip_bit_expr(F.col("bucket"), i, n_bits) for i in range(n_bits)],
         )
         qu = qu.select(
-            query_id_col, "unit_q", F.explode(probes).alias("bucket")
+            query_id_col, "vi_q", "vvi_q", F.explode(probes).alias("bucket")
         )
     scale = float(10**rank_digits)
-    qcos = F.floor(unit_dot("unit_q", "unit_n") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    qcos = F.floor(
+        int_cosine("vi_q", "vvi_q", "vi_n", "vvi_n") * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
     scored = (
         qu.join(cu, "bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))

@@ -2,14 +2,14 @@
 (``array<float>`` column, 64-dim).
 
 Brute-force cosine top-k is the correctness baseline; the scale path
-(LSH-bucketed ANN) lives in operators/similarity.py. The dot product stays
-JVM-side via ``zip_with``/``aggregate`` higher-order functions — no Python in
-the hot loop; elements are cast to double before multiply so Spark's fold and
-DuckDB's list functions accumulate identically.
+(LSH-bucketed ANN) lives in operators/similarity.py. Scoring uses the exact
+integer-ratio cosine (similarity.with_int_vector — the dot of micro-quantized
+int64 vectors is an exact integer < 2^53 in any engine or fold order), so
+engine parity needs no matching accumulation order anywhere in this module.
 
-Determinism: ranking orders by the ROUNDED cosine (4 digits) with neighbor-id
-tiebreak, so tiny float-accumulation differences between engines cannot flip
-ranks.
+Determinism: ranking orders by the ROUNDED cosine (4 digits, floor-based)
+with neighbor-id tiebreak; the pre-rounding value is already bit-identical
+across engines by the integer contract.
 """
 
 from __future__ import annotations
@@ -25,27 +25,22 @@ from . import spec
 _N_QUERIES = 5
 _TOP_K = 10
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "0D, (acc, v) -> acc + v)"
-)
-
-
-def _cosine_expr(a: str, b: str):
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
-    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
-
+# v_int/vvi: the exact integer-cosine scoring representation — the dot is
+# an exact integer < 2^53 in any engine/fold order, so parity needs no
+# matching accumulation order (round 7; see similarity.with_int_vector).
+_VI_SQL, _VVI_SQL = similarity.sql_with_int_vector("embedding")
 
 _TOPK_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}
+WITH m AS (
+  SELECT vec_id, {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v_int AS vi_q, vvi AS vvi_q FROM m WHERE vec_id < {_N_QUERIES}
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-    {sql_pround("list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE)))", 4)} AS cosine
-  FROM q CROSS JOIN embeddings e
+    {sql_pround(similarity.sql_int_cosine("q.vi_q", "q.vvi_q", "e.v_int", "e.vvi"), 4)} AS cosine
+  FROM q CROSS JOIN m e
   WHERE e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -61,10 +56,16 @@ FROM ranked WHERE rnk <= {_TOP_K}
 @spec("embedding_topk", oracle=_TOPK_ORACLE, tags=("similarity", "ann"), bench=True)
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against the
-    corpus — embarrassingly parallel, no shuffle until the tiny top-k agg."""
-    e = load_table(spark, sf_dir, "embeddings")
+    corpus — embarrassingly parallel, no shuffle until the tiny top-k agg.
+    Scores on the exact integer-ratio cosine (bit-identical in every
+    engine), quantized to 4 digits with neighbor-id tiebreak."""
+    e = similarity.with_int_vector(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "v_int", "vvi")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v_int").alias("vi_q"),
+        F.col("vvi").alias("vvi_q"),
     )
     scored = (
         F.broadcast(q)
@@ -73,7 +74,9 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            pround(_cosine_expr("q_emb", "embedding"), 4).alias("cosine"),
+            pround(
+                similarity.int_cosine("vi_q", "vvi_q", "v_int", "vvi"), 4
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -85,11 +88,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEAR_DUP_THRESHOLD = 0.99
 
+_ND_COS = sql_pround(
+    similarity.sql_int_cosine("a.v_int", "a.vvi", "b.v_int", "b.vvi"), 4
+)
 _NEAR_DUP_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  {sql_pround("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))", 4)} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {sql_pround("list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))", 4)} >= {_NEAR_DUP_THRESHOLD}
+WITH m AS (
+  SELECT vec_id, {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_ND_COS} AS cosine
+FROM m a JOIN m b ON a.vec_id < b.vec_id
+WHERE {_ND_COS} >= {_NEAR_DUP_THRESHOLD}
 """.strip()
 
 
@@ -126,7 +134,9 @@ _BNE_PLANES = [
 _BNE_BUCKETS = [
     similarity.sql_hyperplane_bucket("embedding", p) for p in _BNE_PLANES
 ]
-_BNE_COS = sql_pround("list_cosine_similarity(a.emb_d, b.emb_d)", 4)
+_BNE_COS = sql_pround(
+    similarity.sql_int_cosine("a.v_int", "a.vvi", "b.v_int", "b.vvi"), 4
+)
 # Threshold tuned to the synthetic corpus's cosine range (max pairwise
 # cosine ~0.51 at sf0.01, ~0.6 at sf0.1): the exact sibling's 0.99 row is
 # VACUOUS at driver scale (0 pairs exist). 0.4 keeps the driver row
@@ -137,8 +147,7 @@ _BUCKETED_THRESHOLD = 0.4
 
 _BUCKETED_NEAR_DUP_ORACLE = f"""
 WITH u AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d,
+  SELECT vec_id, {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi,
     {_BNE_BUCKETS[0]} AS b0, {_BNE_BUCKETS[1]} AS b1,
     {_BNE_BUCKETS[2]} AS b2, {_BNE_BUCKETS[3]} AS b3
   FROM embeddings
@@ -189,20 +198,16 @@ _PLANES = similarity.make_planes(dim=64, n_planes=_N_PLANES, seed=42)
 
 _ANN_BUCKET_SQL = similarity.sql_hyperplane_bucket("embedding", _PLANES)
 _ANN_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_ANN_BUCKET_SQL} AS bucket,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+WITH u AS (
+  SELECT vec_id, {_ANN_BUCKET_SQL} AS bucket,
+    {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi
   FROM embeddings
 ),
-u AS (
-  SELECT vec_id, bucket,
-    list_transform(emb_d, x -> x / sqrt(list_dot_product(emb_d, emb_d))) AS unit
-  FROM b
-),
-q AS (SELECT vec_id AS query_id, bucket, unit AS unit_q FROM u WHERE vec_id < {_N_QUERIES}),
+q AS (SELECT vec_id AS query_id, bucket, v_int AS vi_q, vvi AS vvi_q
+      FROM u WHERE vec_id < {_N_QUERIES}),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-    {sql_pround("list_dot_product(q.unit_q, c.unit)", 4)} AS cosine
+    {sql_pround(similarity.sql_int_cosine("q.vi_q", "q.vvi_q", "c.v_int", "c.vvi"), 4)} AS cosine
   FROM q JOIN u c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
 ),
 ranked AS (
@@ -268,24 +273,19 @@ _probe_exprs = ["b.bucket"] + [
 _ANN_MP_ORACLE = f"""
 WITH b AS (
   SELECT vec_id, {_ANN_BUCKET_SQL} AS bucket,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+    {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi
   FROM embeddings
 ),
-u AS (
-  SELECT vec_id, bucket,
-    list_transform(emb_d, x -> x / sqrt(list_dot_product(emb_d, emb_d))) AS unit
-  FROM b
-),
 q AS (
-  SELECT b.vec_id AS query_id, u.unit AS unit_q,
+  SELECT vec_id AS query_id, v_int AS vi_q, vvi AS vvi_q,
     unnest([{", ".join(_probe_exprs)}]) AS bucket
-  FROM b JOIN u ON b.vec_id = u.vec_id
-  WHERE b.vec_id < {_N_QUERIES}
+  FROM b
+  WHERE vec_id < {_N_QUERIES}
 ),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-    {sql_pround("list_dot_product(q.unit_q, c.unit)", 4)} AS cosine
-  FROM q JOIN u c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+    {sql_pround(similarity.sql_int_cosine("q.vi_q", "q.vvi_q", "c.v_int", "c.vvi"), 4)} AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -331,11 +331,7 @@ WITH idx AS (
   {_mt_idx_selects}
 ),
 u AS (
-  SELECT vec_id,
-    list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-      x -> x / sqrt(list_dot_product(list_transform(embedding, y -> CAST(y AS DOUBLE)),
-                                     list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS unit
-  FROM embeddings
+  SELECT vec_id, {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi FROM embeddings
 ),
 cand AS (
   SELECT DISTINCT qi.vec_id AS query_id, ci.vec_id AS neighbor_id
@@ -345,7 +341,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
-    {sql_pround("list_dot_product(uq.unit, un.unit)", 4)} AS cosine
+    {sql_pround(similarity.sql_int_cosine("uq.v_int", "uq.vvi", "un.v_int", "un.vvi"), 4)} AS cosine
   FROM cand c
   JOIN u uq ON uq.vec_id = c.query_id
   JOIN u un ON un.vec_id = c.neighbor_id

@@ -248,3 +248,90 @@ def test_ann_queries_backend_invariant(spark, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "jvm")
         j = sorted(map(repr, reg[name].fn(spark, "/root/testdata/sf0.001").collect()))
         assert a == j and len(a) > 0, name
+
+
+def test_int_cosine_scoring_python_reference(spark):
+    """Pin the integer-ratio scoring cosine (with_int_vector / int_cosine)
+    to pure-python ints: dot = Σ floor(x·1e6+0.5)·floor(y·1e6+0.5) exactly,
+    cosine = double(dot) / (sqrt(double(vvi_a))·sqrt(double(vvi_b)))."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    vecs = [
+        (0, [0.25, -0.125, 0.0009999, -0.0000004]),
+        (1, [-0.5, 0.5, 0.4583735, -0.5252062]),
+        (2, [0.125, 0.25, -0.0625, 0.9999995]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    m = similarity.with_int_vector(df)
+    a = m.select(
+        F.col("vec_id").alias("ia"), F.col("v_int").alias("va"),
+        F.col("vvi").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("ib"), F.col("v_int").alias("vb"),
+        F.col("vvi").alias("nb"),
+    )
+    got = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", similarity.int_cosine("va", "na", "vb", "nb").alias("c"))
+        .collect()
+    }
+
+    stored = {
+        vid: [float(np.float32(x)) for x in v] for vid, v in vecs
+    }
+
+    def vi(v):
+        return [math.floor(x * 1e6 + 0.5) for x in v]
+
+    def ref(va, vb):
+        d = sum(p * q for p, q in zip(vi(va), vi(vb)))
+        na = sum(p * p for p in vi(va))
+        nb = sum(q * q for q in vi(vb))
+        return float(d) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    want = {
+        (i, j): ref(stored[i], stored[j])
+        for i in stored for j in stored if i < j
+    }
+    assert got == want  # bit-for-bit, no tolerance
+
+
+def test_int_cosine_zero_vector_is_null(spark):
+    """Zero vectors yield SQL NULL cosine in both twins (Spark's native
+    double 0/0 is NaN while DuckDB's is NULL — the guard makes the
+    contract explicit and engine-agnostic)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    m = similarity.with_int_vector(df)
+    a = m.select(F.col("vec_id").alias("ia"), F.col("v_int").alias("va"), F.col("vvi").alias("na"))
+    b = m.select(F.col("vec_id").alias("ib"), F.col("v_int").alias("vb"), F.col("vvi").alias("nb"))
+    got = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(similarity.int_cosine("va", "na", "vb", "nb").alias("c"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["c"] is None
+
+    vi, vvi = similarity.sql_with_int_vector("embedding")
+    cos = similarity.sql_int_cosine("a.v_int", "a.vvi", "b.v_int", "b.vvi")
+    r = duckdb.sql(
+        f"""WITH e(vec_id, embedding) AS (VALUES (0, [0.0, 0.0]), (1, [0.5, 0.5])),
+        m AS (SELECT vec_id, {vi} AS v_int, {vvi} AS vvi FROM e)
+        SELECT {cos} AS c FROM m a JOIN m b ON a.vec_id < b.vec_id"""
+    ).fetchall()
+    assert r == [(None,)]
