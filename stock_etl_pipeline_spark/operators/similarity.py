@@ -320,7 +320,7 @@ def bucketed_matmul_near_dup_pairs(
         for t in range(n_tables)
     ]
     base = df.select(id_col, vec_col)
-    if _ann_sig_backend(signature_backend) == "arrow":
+    if _ann_sig_backend(signature_backend, bits_per_table * n_tables) == "arrow":
         sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
     else:
         sig = base.withColumn("_vint", F.expr(_as_micro_int(vec_col))).select(
@@ -1515,16 +1515,27 @@ def hyperplane_signatures_arrow(
     return df.mapInPandas(kernel, out_schema)
 
 
-def _ann_sig_backend(override: str | None = None) -> str:
+# Measured crossover for the hyperplane signature backends (SCALING.md
+# round 7, interleaved A/Bs at sf0.1 AND the 100x tier): the stacked Arrow
+# GEMM's per-row cost is ~flat in plane count while the interpreted JVM
+# fold pays per element per plane — so arrow wins where the total sign-bit
+# count is large (multitable 40 bits: 1.43x/1.10x; bucketed near-dup 24
+# bits: 1.22x/1.30x) and loses to the fold's zero fixed cost at 6 bits
+# (multiprobe 0.81x/0.80x; single-table a wash). Both backends are
+# bit-identical by the integer sign contract, so the tier never changes
+# results.
+ARROW_MIN_SIGN_BITS = 12
+
+
+def _ann_sig_backend(override: str | None, total_bits: int) -> str:
     """Signature backend for the hyperplane-LSH family: explicit argument,
-    else the ``SPARK_GRAFT_ANN_SIG`` env knob, else ``arrow`` — the
-    measured default (the stacked GEMM's per-row cost is flat in plane
-    count while the interpreted fold pays per element per plane; see
-    SCALING.md round 7). Both backends are bit-identical by the integer
-    sign contract, so this knob never changes results."""
-    backend = override or os.environ.get("SPARK_GRAFT_ANN_SIG", "arrow")
-    if backend not in ("arrow", "jvm"):
+    else the ``SPARK_GRAFT_ANN_SIG`` env knob, else ``auto`` — arrow at or
+    above ARROW_MIN_SIGN_BITS total sign bits, the JVM fold below."""
+    backend = override or os.environ.get("SPARK_GRAFT_ANN_SIG", "auto")
+    if backend not in ("arrow", "jvm", "auto"):
         raise ValueError(f"unknown ANN signature backend {backend!r}")
+    if backend == "auto":
+        return "arrow" if total_bits >= ARROW_MIN_SIGN_BITS else "jvm"
     return backend
 
 
@@ -1600,7 +1611,7 @@ def ann_multitable_topk(
         make_planes(dim, bits_per_table, seed=seed + 1000 * t)
         for t in range(n_tables)
     ]
-    backend = _ann_sig_backend(signature_backend)
+    backend = _ann_sig_backend(signature_backend, bits_per_table * n_tables)
 
     def with_table_buckets(df: DataFrame, key: str) -> DataFrame:
         # minimal kernel payload: (key, vec); the scoring representation is
@@ -1691,14 +1702,15 @@ def ann_bucketed_topk(
     fan-out stays linear in plane count (each corpus vector still lives in
     exactly ONE bucket, so probes never duplicate a candidate).
 
-    ``signature_backend``: ``arrow`` (default — stacked int-GEMM kernel) or
-    ``jvm`` (interpreted exact-int fold); bit-identical by the integer sign
+    ``signature_backend``: ``arrow`` (stacked int-GEMM kernel), ``jvm``
+    (interpreted exact-int fold), or the default ``auto`` (tier by total
+    sign bits — ARROW_MIN_SIGN_BITS); bit-identical by the integer sign
     contract (:func:`planes_to_int`).
     """
     from pyspark.sql import Window
 
     n_bits = len(planes)
-    backend = _ann_sig_backend(signature_backend)
+    backend = _ann_sig_backend(signature_backend, n_bits)
 
     def sign(df: DataFrame, key: str) -> DataFrame:
         base = df.select(key, vec_col)
@@ -1912,11 +1924,17 @@ def semantic_dedup(
             S = Vf @ Vf.T
             n = np.sqrt(np.diag(S))
             cos = S / np.outer(n, n)
-            q = np.floor(cos * 1e6 + 0.5) / 1e6
-            ia, ib = np.nonzero(q >= threshold)
+            # slack prefilter on the raw exact cosine, quantize SURVIVORS
+            # only: |q − cos| ≤ 5e-7, so q ≥ t ⇒ cos ≥ t − 1e-6 — the two
+            # full-matrix quantize passes this replaces measured 1.5x of
+            # the whole query at the 100x tier (SCALING.md round 7)
+            ia, ib = np.nonzero(cos >= threshold - 1e-6)
             kp = ids[ia] < ids[ib]
+            ia, ib = ia[kp], ib[kp]
+            q = np.floor(cos[ia, ib] * 1e6 + 0.5) / 1e6
+            keep = q >= threshold
             return pd.DataFrame(
-                {"vec_a": ids[ia][kp], "vec_b": ids[ib][kp], "cosine": q[ia, ib][kp]}
+                {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep], "cosine": q[keep]}
             )
 
         pairs = (

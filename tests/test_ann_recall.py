@@ -335,3 +335,16 @@ def test_int_cosine_zero_vector_is_null(spark):
         SELECT {cos} AS c FROM m a JOIN m b ON a.vec_id < b.vec_id"""
     ).fetchall()
     assert r == [(None,)]
+
+
+def test_ann_sig_backend_tiers_by_total_bits(monkeypatch):
+    """auto = arrow at/above ARROW_MIN_SIGN_BITS total sign bits, jvm below
+    (the measured crossover); env and explicit override still win."""
+    from stock_etl_pipeline_spark.operators import similarity as sim
+
+    monkeypatch.delenv("SPARK_GRAFT_ANN_SIG", raising=False)
+    assert sim._ann_sig_backend(None, sim.ARROW_MIN_SIGN_BITS) == "arrow"
+    assert sim._ann_sig_backend(None, sim.ARROW_MIN_SIGN_BITS - 1) == "jvm"
+    assert sim._ann_sig_backend("arrow", 1) == "arrow"
+    monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "jvm")
+    assert sim._ann_sig_backend(None, 40) == "jvm"

@@ -442,3 +442,103 @@ def test_b60_shingles_match_string_shingles(spark, texts):
     )
     direct = sorted(map(repr, dedup.word_shingles_b60(d).collect()))
     assert direct == via_strings
+
+
+# --- integer-cosine / integer-sign contracts (round 7) ----------------------
+# The contracts claim bit-identity across engines for ANY vectors within the
+# 2^53 guard — hypothesis gets to pick the vectors, including exact-boundary
+# and degenerate shapes the concrete pins can't enumerate.
+
+# plain float64 strategy; the array<float> schema + np.float32 in the
+# reference apply the same storage rounding on both sides
+_vec_f = st.lists(
+    st.floats(
+        min_value=-0.999, max_value=0.999, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@SETTINGS
+@given(vecs=st.lists(_vec_f, min_size=2, max_size=6))
+def test_int_cosine_matches_python_ints(spark, vecs):
+    """int_cosine ≡ pure-python integer dot ratio, bit-for-bit, for any
+    float32 vectors (zero vectors → SQL NULL on both sides)."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = similarity.with_int_vector(df)
+    a = m.select(
+        F.col("vec_id").alias("ia"), F.col("v_int").alias("va"),
+        F.col("vvi").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("ib"), F.col("v_int").alias("vb"),
+        F.col("vvi").alias("nb"),
+    )
+    got = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", similarity.int_cosine("va", "na", "vb", "nb").alias("c"))
+        .collect()
+    }
+
+    stored = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+
+    def vi(v):
+        return [math.floor(x * 1e6 + 0.5) for x in v]
+
+    def ref(va, vb):
+        ia, ib = vi(va), vi(vb)
+        na = sum(p * p for p in ia)
+        nb = sum(q * q for q in ib)
+        if na == 0 or nb == 0:
+            return None
+        return float(sum(p * q for p, q in zip(ia, ib))) / (
+            math.sqrt(float(na)) * math.sqrt(float(nb))
+        )
+
+    want = {
+        (i, j): ref(stored[i], stored[j])
+        for i in stored
+        for j in stored
+        if i < j
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(vecs=st.lists(_vec_f, min_size=1, max_size=6), seed=st.integers(0, 50))
+def test_hyperplane_sign_contract_all_backends(spark, vecs, seed):
+    """The integer sign contract holds bit-for-bit on every backend (Arrow
+    stacked GEMM, JVM fold, pure-python ints) for any float32 vectors."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    planes = similarity.make_planes(dim=4, n_planes=3, seed=seed)
+    p_int = similarity.planes_to_int(planes)
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def ref_bucket(v):
+        vi = [math.floor(float(np.float32(x)) * 1e6 + 0.5) for x in v]
+        return "".join(
+            "1" if sum(a * b for a, b in zip(vi, p)) >= 0 else "0"
+            for p in p_int
+        )
+
+    want = {i: ref_bucket(v) for i, v in rows}
+    arrow = {
+        r["vec_id"]: r["_b0"]
+        for r in similarity.hyperplane_signatures_arrow(df, [planes]).collect()
+    }
+    jvm = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_signature(df, planes).collect()
+    }
+    assert arrow == want and jvm == want
