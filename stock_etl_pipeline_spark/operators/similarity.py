@@ -1971,6 +1971,11 @@ def semantic_dedup(
     if propagation_rounds is None:
         comp = connected_components(pairs, id_a="vec_a", id_b="vec_b")
     else:
+        # checkpoint_labels stays True: the unrolled (checkpoint-free)
+        # variant won 1.51 → 1.25 s on a synthetic pair graph but showed
+        # NO win on the real query (3.9-4.1 vs 3.4-3.5 s same-day) while
+        # inflating the static plan budget 8 → 20 counted shuffles —
+        # measured and not adopted (SCALING.md round 7).
         comp = near_dup_keepers(
             pairs, id_a="vec_a", id_b="vec_b", rounds=propagation_rounds
         )

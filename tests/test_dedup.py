@@ -964,3 +964,24 @@ def test_int_cosine_kernel_exactness_reference(spark):
     want_groups = {i: find(i) for i in ints}
     got_groups = {r["vec_id"]: r["group_id"] for r in out.collect()}
     assert got_groups == want_groups
+
+
+def test_near_dup_keepers_checkpoint_free_equivalent(spark):
+    """checkpoint_labels=False (lazily-unrolled rounds) must produce the
+    identical keeper labeling — it changes plan shape only."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    a = sorted(map(repr, dedup.near_dup_keepers(pairs, rounds=4).collect()))
+    b = sorted(
+        map(
+            repr,
+            dedup.near_dup_keepers(
+                pairs, rounds=4, checkpoint_labels=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
