@@ -711,30 +711,40 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cu = with_micro_vectors(corpus, vec_col)
-    qu = with_micro_vectors(queries, vec_col)
+    # vvi rides beside the assignment columns: cell/probe distances stay on
+    # the quantized-double contract (centroid rationals have per-cell
+    # denominators — no common integer scale), but the neighbor SCORING
+    # cosine is vector-vector and runs the exact integer-ratio contract
+    # like every other pairwise cosine (round 7).
+    cu = with_micro_vectors(corpus, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
+    qu = with_micro_vectors(queries, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
     centroids = kmeans_exact(
         cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
     )
     c_assign = (
         assign_to_centroids_arrow(
-            cu.select(id_col, "v_dbl", "vv"), centroids, id_col=id_col
+            cu.select(id_col, "v_dbl", "vv", "v_int", "vvi"),
+            centroids, id_col=id_col,
         )
         if assign_backend == "arrow"
         else assign_to_centroids(cu, centroids, id_col=id_col)
     )
     c_cells = c_assign.select(
         F.col(id_col).alias("neighbor_id"), "cid",
-        F.col("v_dbl").alias("n_dbl"), F.col("vv").alias("n_vv"),
+        F.col("v_int").alias("n_int"), F.col("vvi").alias("n_vvi"),
     )
     q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
-        query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
+        query_id_col, "cid", F.col("v_int").alias("q_int"), F.col("vvi").alias("q_vvi")
     )
-    dot = F.expr(_DOT_D.format(a="q_dbl", b="n_dbl"))
-    cos = dot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("n_vv")))
     scale = float(10**rank_digits)
-    qcos = F.floor(cos * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    qcos = F.floor(
+        int_cosine("q_int", "q_vvi", "n_int", "n_vvi") * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
     scored = (
         q_cells.join(c_cells, "cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -1062,8 +1072,15 @@ def ivf_pq_topk(
     assert dim % n_subspaces == 0, "dim must split evenly into subspaces"
     dsub = dim // n_subspaces
 
-    cu = with_micro_vectors(corpus, vec_col)
-    qu = with_micro_vectors(queries, vec_col)
+    # vvi: exact integer squared norm for the shortlist re-rank's
+    # integer-ratio cosine (see ivf_topk; ADC approx scoring stays on the
+    # fixed-order double expressions — it is centroid/codebook math).
+    cu = with_micro_vectors(corpus, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
+    qu = with_micro_vectors(queries, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
     centroids = kmeans_exact(
         cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
@@ -1309,8 +1326,11 @@ def _pq_adc_tail(
     from pyspark.sql import Window
 
     # Queries probe nprobe cells; qcd = ⟨q, cq⟩ completes the decomposition.
+    # q_dbl/q_vv feed the ADC approximation; q_int/q_vvi feed the exact
+    # integer-ratio re-rank (the query relation is small by contract).
     q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
-        query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv")
+        query_id_col, "cid", F.col("v_dbl").alias("q_dbl"), F.col("vv").alias("q_vv"),
+        F.col("v_int").alias("q_int"), F.col("vvi").alias("q_vvi"),
     )
     q_score = (
         q_cells.join(F.broadcast(cq_sel), "cid")
@@ -1331,7 +1351,10 @@ def _pq_adc_tail(
     shortlisted = (
         q_score.join(enc, "cid")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "q_dbl", "q_vv", acos.alias("approx_cosine"))
+        .select(
+            query_id_col, "neighbor_id", "q_int", "q_vvi",
+            acos.alias("approx_cosine"),
+        )
     )
     ws = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_cosine").desc(), F.col("neighbor_id")
@@ -1342,15 +1365,16 @@ def _pq_adc_tail(
         .drop("__s")
     )
 
-    # Exact re-rank of the shortlist against raw vectors.
+    # Exact re-rank of the shortlist against raw vectors — the integer-ratio
+    # cosine (vector-vector, so the round-7 contract applies; the ADC score
+    # above stays double by construction).
     raw = cu.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("v_dbl").alias("n_dbl"),
-        F.col("vv").alias("n_vv"),
+        F.col("v_int").alias("n_int"),
+        F.col("vvi").alias("n_vvi"),
     )
-    edot = F.expr(_DOT_D.format(a="q_dbl", b="n_dbl"))
     ecos = F.floor(
-        edot / (F.sqrt(F.col("q_vv")) * F.sqrt(F.col("n_vv"))) * F.lit(scale) + F.lit(0.5)
+        int_cosine("q_int", "q_vvi", "n_int", "n_vvi") * F.lit(scale) + F.lit(0.5)
     ) / F.lit(scale)
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

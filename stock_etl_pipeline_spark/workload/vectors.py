@@ -420,21 +420,23 @@ WITH vx AS (
     list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
   FROM embeddings
 ),
-vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv,
+               list_dot_product(v_int, v_int) AS vvi
+        FROM vx),
 c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
        FROM vv0 WHERE vec_id < {_IVF_K}),
 {_ivf_iters_sql},
 ca AS (
-  SELECT vec_id AS neighbor_id, cid, v_dbl AS n_dbl, vv AS n_vv FROM (
-    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+  SELECT vec_id AS neighbor_id, cid, v_int AS n_int, vvi AS n_vvi FROM (
+    SELECT t.vec_id, t.v_int, t.vvi, c.cid,
       row_number() OVER (PARTITION BY t.vec_id
         ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
     FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
   ) WHERE r = 1
 ),
 qa AS (
-  SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv FROM (
-    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+  SELECT vec_id AS query_id, cid, v_int AS q_int, vvi AS q_vvi FROM (
+    SELECT t.vec_id, t.v_int, t.vvi, c.cid,
       row_number() OVER (PARTITION BY t.vec_id
         ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
     FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
@@ -443,7 +445,7 @@ qa AS (
 ),
 scored AS (
   SELECT q.query_id, c.neighbor_id,
-    floor(list_dot_product(q.q_dbl, c.n_dbl) / (sqrt(q.q_vv) * sqrt(c.n_vv)) * 10000.0 + 0.5) / 10000.0 AS cosine
+    {sql_pround(similarity.sql_int_cosine("q.q_int", "q.q_vvi", "c.n_int", "c.n_vvi"), 4)} AS cosine
   FROM qa q JOIN ca c ON q.cid = c.cid AND c.neighbor_id <> q.query_id
 ),
 ranked AS (
@@ -568,7 +570,9 @@ WITH vx AS (
     list_transform(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), x -> x / 1000000.0) AS v_dbl
   FROM embeddings
 ),
-vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv FROM vx),
+vv0 AS (SELECT vec_id, v_int, v_dbl, list_dot_product(v_dbl, v_dbl) AS vv,
+               list_dot_product(v_int, v_int) AS vvi
+        FROM vx),
 c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v_dbl AS c_dbl, vv AS cc
        FROM vv0 WHERE vec_id < {_IVF_K}),
 {_ivf_iters_sql},
@@ -645,8 +649,9 @@ qw0 AS (
 qw1 AS (SELECT query_id, sub_id, list(qv ORDER BY code_id) AS ql FROM qw0 GROUP BY query_id, sub_id),
 qwt AS (SELECT query_id, list(ql ORDER BY sub_id) AS q_arr FROM qw1 GROUP BY query_id),
 qa AS (
-  SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv FROM (
-    SELECT t.vec_id, t.v_dbl, t.vv, c.cid,
+  SELECT vec_id AS query_id, cid, v_dbl AS q_dbl, vv AS q_vv,
+         v_int AS q_int, vvi AS q_vvi FROM (
+    SELECT t.vec_id, t.v_dbl, t.vv, t.v_int, t.vvi, c.cid,
       row_number() OVER (PARTITION BY t.vec_id
         ORDER BY {_IVF_DIST} ASC, c.cid ASC) AS r
     FROM vv0 t CROSS JOIN c{_IVF_ITERS}x c
@@ -654,18 +659,18 @@ qa AS (
   ) WHERE r <= {_IVF_NPROBE}
 ),
 qx AS (
-  SELECT qa.query_id, qa.cid, qa.q_dbl, qa.q_vv,
+  SELECT qa.query_id, qa.cid, qa.q_dbl, qa.q_vv, qa.q_int, qa.q_vvi,
     list_dot_product(qa.q_dbl, cq.cq_dbl) AS qcd
   FROM qa JOIN cqd cq ON qa.cid = cq.cid
 ),
 scored AS (
-  SELECT x.query_id, e.neighbor_id, x.q_dbl, x.q_vv,
+  SELECT x.query_id, e.neighbor_id, x.q_int, x.q_vvi,
     floor(({_pq_adot_sum}) / (sqrt(x.q_vv) * sqrt(e.aa)) * 10000.0 + 0.5) / 10000.0 AS approx_cosine
   FROM qx x JOIN enc e ON x.cid = e.cid AND e.neighbor_id <> x.query_id
     JOIN qwt w ON w.query_id = x.query_id
 ),
 short AS (
-  SELECT query_id, neighbor_id, q_dbl, q_vv, approx_cosine FROM (
+  SELECT query_id, neighbor_id, q_int, q_vvi, approx_cosine FROM (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS s
     FROM scored
@@ -673,7 +678,7 @@ short AS (
 ),
 rer AS (
   SELECT sh.query_id, sh.neighbor_id, sh.approx_cosine,
-    floor(list_dot_product(sh.q_dbl, t.v_dbl) / (sqrt(sh.q_vv) * sqrt(t.vv)) * 10000.0 + 0.5) / 10000.0 AS cosine
+    {sql_pround(similarity.sql_int_cosine("sh.q_int", "sh.q_vvi", "t.v_int", "t.vvi"), 4)} AS cosine
   FROM short sh JOIN vv0 t ON t.vec_id = sh.neighbor_id
 ),
 ranked AS (
