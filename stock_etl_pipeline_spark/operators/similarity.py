@@ -715,15 +715,16 @@ def ivf_topk(
     # the quantized-double contract (centroid rationals have per-cell
     # denominators — no common integer scale), but the neighbor SCORING
     # cosine is vector-vector and runs the exact integer-ratio contract
-    # like every other pairwise cosine (round 7).
-    cu = with_micro_vectors(corpus, vec_col).withColumn(
-        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
-    )
+    # like every other pairwise cosine (round 7). k-means trains on the
+    # vvi-FREE relation — cu is lazy, so a vvi column would re-fold on
+    # every Lloyd materialization while only the final scoring reads it.
+    cu0 = with_micro_vectors(corpus, vec_col)
+    cu = cu0.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
     qu = with_micro_vectors(queries, vec_col).withColumn(
         "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
     )
     centroids = kmeans_exact(
-        cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        cu0, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
     )
     c_assign = (
@@ -1075,14 +1076,15 @@ def ivf_pq_topk(
     # vvi: exact integer squared norm for the shortlist re-rank's
     # integer-ratio cosine (see ivf_topk; ADC approx scoring stays on the
     # fixed-order double expressions — it is centroid/codebook math).
-    cu = with_micro_vectors(corpus, vec_col).withColumn(
-        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
-    )
+    # k-means and the residual/codebook chain train on the vvi-FREE
+    # relation; only the re-rank's raw relation and the query side fold it.
+    cu0 = with_micro_vectors(corpus, vec_col)
+    cu = cu0.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
     qu = with_micro_vectors(queries, vec_col).withColumn(
         "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
     )
     centroids = kmeans_exact(
-        cu, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        cu0, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,
     )
     from ..caching import begin_pipeline, lazy_cache
@@ -1095,7 +1097,7 @@ def ivf_pq_topk(
     )
     if assign_backend == "arrow":
         cq_sel, qwt, enc = _pq_train_encode_arrow(
-            corpus.sparkSession, cu, qu, centroids,
+            corpus.sparkSession, cu0, qu, centroids,
             dim=dim, n_subspaces=n_subspaces, dsub=dsub, n_codes=n_codes,
             pq_iters=pq_iters, id_col=id_col, query_id_col=query_id_col,
         )
@@ -1109,7 +1111,7 @@ def ivf_pq_topk(
         .withColumn("cq_dbl", F.expr(f"transform(c_int, x -> x / {MICRO}D)"))
         .select("cid", "c_dbl", "cc", "c_int", "cq_dbl")
     )
-    assigned = assign_to_centroids(cu, centroids, id_col=id_col)
+    assigned = assign_to_centroids(cu0, centroids, id_col=id_col)
     withres = assigned.join(cq.select("cid", "c_int"), "cid").withColumn(
         "r_int", F.zip_with("v_int", "c_int", lambda x, y: x - y)
     )
