@@ -565,6 +565,65 @@ def _materialize_model(spark, df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def assign_to_centroids_local(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    *,
+    emit_dist: bool = False,
+) -> DataFrame:
+    """Row-local nearest-centroid assignment for BOUNDED centroid models
+    (round 7): the materialized centroids collect driver-side (O(K·dim)
+    doubles — the model contract) and become per-row literal expressions,
+    so assignment is a NARROW projection: no broadcast cross join
+    materializing n×K rows, no argmin aggregation shuffle, and n·K fold
+    work runs inside the row's own stage.
+
+    Bit-identical to :func:`assign_to_centroids` (nprobe=1) by
+    construction: the same ``_DOT_D`` fold against the same centroid
+    doubles (``F.lit`` round-trips IEEE-exactly, like _materialize_model),
+    the same 1e-6 floor quantization, and ``array_min``'s struct ordering
+    is the same lexicographic (dist, cid) prefix comparison as the
+    ``min(struct(...))`` argmin — pinned by
+    tests/test_ann_recall.py::test_local_assignment_matches_join.
+
+    Appends ``cid`` (and ``cdist`` when ``emit_dist``) to ``vecs``
+    unchanged. The JVM-exact sibling of assign_to_centroids_arrow.
+
+    Measured and NOT defaulted (round 7): on this host the K×dim literal
+    expression trees cost more in codegen than the argmin shuffle they
+    remove — semantic_dedup 4.2 → 6.1 s min, ivf_topk 1.69 → 1.99 s min
+    at sf0.1 (the same codegen-blowup economics that rejected the flat
+    plane-dot projection in round 6). Kept because the trade reverses
+    where shuffle is expensive relative to codegen (real clusters amortize
+    codegen once per executor, while the argmin shuffle pays per row) —
+    callers there can opt in; the join argmin stays the default.
+    """
+    rows = sorted(
+        (
+            (int(r["cid"]), [float(x) for x in r["c_dbl"]], float(r["cc"]))
+            for r in centroids.select("cid", "c_dbl", "cc").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    entries = []
+    for cid, c_dbl, cc in rows:
+        carr = F.array(*[F.lit(x) for x in c_dbl])
+        dot = F.aggregate(
+            F.zip_with(F.col("v_dbl"), carr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist = F.floor(
+            (F.col("vv") + F.lit(cc) - 2 * dot) * 1e6 + F.lit(0.5)
+        ) / 1e6
+        entries.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cid")))
+    m = F.array_min(F.array(*entries))
+    out = vecs.withColumn("cid", m["cid"])
+    if emit_dist:
+        out = out.withColumn("cdist", m["dist"])
+    return out
+
+
 def assign_to_centroids(
     vecs: DataFrame,
     centroids: DataFrame,

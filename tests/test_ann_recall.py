@@ -348,3 +348,32 @@ def test_ann_sig_backend_tiers_by_total_bits(monkeypatch):
     assert sim._ann_sig_backend("arrow", 1) == "arrow"
     monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "jvm")
     assert sim._ann_sig_backend(None, 40) == "jvm"
+
+
+def test_local_assignment_matches_join(spark):
+    """assign_to_centroids_local must reproduce the broadcast-join argmin
+    BIT-exactly on the real corpus — same fold, same quantize, same
+    (dist, cid) tiebreak — including the emitted distance."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cu = similarity.with_micro_vectors(e.select("vec_id", "embedding"))
+    cents = similarity.kmeans_exact(cu, k_clusters=8, iters=2)
+
+    joined = similarity.assign_to_centroids(cu, cents)
+    vc = F.expr(similarity._DOT_D.format(a="v_dbl", b="c_dbl"))
+    jd = joined.join(F.broadcast(cents), "cid").withColumn(
+        "cdist",
+        F.floor((F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)) / 1e6,
+    )
+    want = {
+        (r["vec_id"], r["cid"], repr(r["cdist"])) for r in jd.collect()
+    }
+    local = similarity.assign_to_centroids_local(cu, cents, emit_dist=True)
+    got = {
+        (r["vec_id"], r["cid"], repr(r["cdist"])) for r in local.collect()
+    }
+    assert got == want and len(got) == 500
