@@ -7,7 +7,8 @@ Runs every bench-flagged query from the workload registry at
 
   {"metric": "workload_total", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <float>,
-   "sentinel_sec": <fixed-probe sec>}
+   "sentinel_sec": <fixed-probe sec>,
+   "sentinel_arrow_sec": <fixed-python-worker-probe sec>}
 
 ``sentinel_sec`` times a FIXED probe plan (hard-coded below, independent
 of the registry so no round's code changes can touch it): a two-key
@@ -19,7 +20,15 @@ query. Round-over-round comparisons must divide out host drift with it:
 
 Round 5 measured 16 untouched queries "regressing" a uniform 1.23x from
 host drift alone; the sentinel makes that correction mechanical instead
-of forensic. The normalization rule is documented in BASELINE.md.
+of forensic.
+
+``sentinel_arrow_sec`` (round 8) is the same contract for the PYTHON
+worker tier: a fixed Arrow ``mapInPandas`` md5-fold over the lineitem
+scan. The JVM sentinel cannot see Python-side drift (daemon fork cost,
+Arrow IPC throughput, numpy state): round 7's JVM-only sentinel left
+four Arrow-heavy doc queries showing 1.24-1.45x phantom "regressions"
+on byte-identical code. Arrow-heavy queries normalize against THIS
+sentinel; the two-band rule and band membership live in BASELINE.md.
 
 Each query is forced end-to-end with the no-op sink (full computation, no
 write cost). One untimed warm-up query absorbs JVM/codegen startup.
@@ -94,7 +103,52 @@ def main() -> int:
             )
         )
 
+    def sentinel_arrow_probe():
+        """Fixed Python-worker probe — NEVER change this plan across rounds.
+
+        Same registry-independence contract as ``sentinel_probe`` but for
+        the tier that probe cannot see: the Arrow/Python-worker path.
+        Lineitem scan -> two int64 columns over Arrow IPC -> numpy combine
+        + md5 fold per record batch -> one-row aggregate. Exercises Python
+        daemon fork/reuse, Arrow (de)serialization throughput, and numpy —
+        the machinery the mapInPandas signature/GEMM kernels run on.
+        """
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            [StructField("n", LongType()), StructField("h", LongType())]
+        )
+
+        def fold(batches):
+            for pdf in batches:
+                keys = (
+                    pdf["l_orderkey"].to_numpy().astype("int64") * 1000003
+                    + pdf["l_partkey"].to_numpy().astype("int64")
+                )
+                digest = hashlib.md5(keys.tobytes()).digest()
+                # 32-bit per-batch hash: the one-row SUM stays far below
+                # int64 under ANSI mode at any batch count.
+                yield pd.DataFrame(
+                    {
+                        "n": [len(pdf)],
+                        "h": [int.from_bytes(digest[:4], "big")],
+                    }
+                )
+
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_partkey")
+            .mapInPandas(fold, out_schema)
+            .groupBy()
+            .agg(F.sum("n").alias("rows"), F.sum("h").alias("hsum"))
+        )
+
     sentinel_sec = None
+    sentinel_arrow_sec = None
     for _ in range(max(1, reps)):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -102,6 +156,12 @@ def main() -> int:
         e = round(time.perf_counter() - t0, 3)
         if sentinel_sec is None or e < sentinel_sec:
             sentinel_sec = e
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run(sentinel_arrow_probe())
+        e = round(time.perf_counter() - t0, 3)
+        if sentinel_arrow_sec is None or e < sentinel_arrow_sec:
+            sentinel_arrow_sec = e
 
     if "--breakdown" in sys.argv:
         from stock_etl_pipeline_spark.workload.microbench import run_breakdown
@@ -115,6 +175,7 @@ def main() -> int:
                     "stages": stages,
                     "sf": sf,
                     "sentinel_sec": sentinel_sec,
+                    "sentinel_arrow_sec": sentinel_arrow_sec,
                 }
             )
         )
@@ -153,6 +214,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "sentinel_sec": sentinel_sec,
+                "sentinel_arrow_sec": sentinel_arrow_sec,
             }
         )
     )
