@@ -65,6 +65,44 @@ _IDOT_L = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 )
 
+# Exact-integer contract ceiling: every product and partial sum in an
+# integer dot must stay below 2^53 to be exactly representable in the
+# float64 accumulations the DuckDB twins and Arrow GEMM kernels use.
+_EXACT_LIMIT = 1 << 53
+
+
+def _vvi_guarded(vint_col: str) -> str:
+    """``vvi`` (exact integer squared norm) with the 2^53 contract guard.
+
+    The Arrow kernels already raise when dim · max|v_int|² ≥ 2^53; without
+    this twin the JVM int64 fold silently stays exact up to 2^63 while the
+    DuckDB float64 oracle silently rounds — an asymmetric break of backend
+    invariance (ADVICE r7). The per-row condition implies the kernels'
+    per-batch one (the batch max IS some row's max), so all backends fail
+    on the same inputs, loudly. Under ANSI mode the guard's own int64
+    products also fail loudly if THEY overflow."""
+    mx = f"array_max(transform({vint_col}, x -> abs(x)))"
+    return (
+        f"CASE WHEN size({vint_col}) * {mx} * {mx} >= {_EXACT_LIMIT}L "
+        f"THEN CAST(raise_error('with_int_vector: dim * max|v_int|^2 "
+        f"exceeds 2^53 - the exact integer-cosine contract breaks') AS BIGINT) "
+        f"ELSE {_IDOT_L.format(a=vint_col, b=vint_col)} END"
+    )
+
+
+def micro_int_guard(vint_col: str, factor: int, ctx: str) -> str:
+    """``vint_col`` guarded by dim · max|v_int| · factor < 2^53 — the JVM
+    twin of the Arrow hyperplane kernel's per-batch guard (``factor`` is
+    the plane set's max |p_int|). Raises USER_RAISED_EXCEPTION out of
+    domain; the column unchanged inside it."""
+    mx = f"array_max(transform({vint_col}, x -> abs(x)))"
+    return (
+        f"CASE WHEN size({vint_col}) * {mx} * {factor}L >= {_EXACT_LIMIT}L "
+        f"THEN CAST(raise_error('{ctx}: dim * max|v_int| * max|p_int| "
+        f"exceeds 2^53 - the exact integer contract breaks') "
+        f"AS ARRAY<BIGINT>) ELSE {vint_col} END"
+    )
+
 
 def with_int_vector(
     df: DataFrame, vec_col: str = "embedding"
@@ -78,9 +116,12 @@ def with_int_vector(
     ≈ 2^44), so the dot is exact in ANY engine or fold order, and the
     ratio is a fixed sequence of IEEE ops on exact inputs — bit-identical
     everywhere. Same byte footprint as the unit-vector representation
-    (one dim-length array + one scalar per row)."""
+    (one dim-length array + one scalar per row). Out-of-domain inputs
+    (dim · max|v_int|² ≥ 2^53) raise via :func:`_vvi_guarded` — partial
+    sums of any pairwise dot are bounded by √(vviₐ·vvi_b) (Cauchy–
+    Schwarz), so in-domain rows keep every accumulation exact."""
     out = df.withColumn("v_int", F.expr(_as_micro_int(vec_col)))
-    return out.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
+    return out.withColumn("vvi", F.expr(_vvi_guarded("v_int")))
 
 
 def int_cosine(a_int: str, a_vvi: str, b_int: str, b_vvi: str) -> F.Column:
@@ -110,12 +151,23 @@ def sql_int_cosine(a_int: str, a_vvi: str, b_int: str, b_vvi: str) -> str:
 
 
 def sql_with_int_vector(vec_col: str) -> tuple[str, str]:
-    """(v_int_expr, vvi_expr) — the DuckDB twins of with_int_vector."""
+    """(v_int_expr, vvi_expr) — the DuckDB twins of with_int_vector.
+
+    Same 2^53 guard as the Spark side (``error()`` instead of
+    ``raise_error()``): out-of-domain rows fail loudly in BOTH engines
+    instead of the float64 accumulation silently rounding here."""
     v_int = (
         f"list_transform({vec_col}, x -> "
         f"CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
-    return v_int, f"list_dot_product({v_int}, {v_int})"
+    mx = f"list_max(list_transform({v_int}, x -> abs(x)))"
+    vvi = (
+        f"CASE WHEN len({v_int}) * {mx} * {mx} >= {_EXACT_LIMIT} "
+        f"THEN CAST(error('with_int_vector: dim * max|v_int|^2 exceeds "
+        f"2^53 - the exact integer-cosine contract breaks') AS DOUBLE) "
+        f"ELSE list_dot_product({v_int}, {v_int}) END"
+    )
+    return v_int, vvi
 
 
 # --- exact blocked near-dup -------------------------------------------------
@@ -323,8 +375,17 @@ def bucketed_matmul_near_dup_pairs(
     if _ann_sig_backend(signature_backend, bits_per_table * n_tables) == "arrow":
         sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
     else:
-        sig = base.withColumn("_vint", F.expr(_as_micro_int(vec_col))).select(
-            id_col, vec_col, *hyperplane_signature_cols(tables)
+        pmax = (
+            max(max(abs(c) for c in p) for t in tables for p in planes_to_int(t))
+            or 1
+        )
+        sig = (
+            base.withColumn("_vint", F.expr(_as_micro_int(vec_col)))
+            .withColumn(
+                "_vint",
+                F.expr(micro_int_guard("_vint", pmax, "bucketed near-dup")),
+            )
+            .select(id_col, vec_col, *hyperplane_signature_cols(tables))
         )
     entries = F.array(
         *[
@@ -1498,14 +1559,20 @@ def hyperplane_signature(
     the integer sign contract (see :func:`planes_to_int`): micro-quantize
     the vector once, exact int64 dot per plane, no floating accumulation
     anywhere, so a boundary bit cannot flip between engines."""
+    planes_int = planes_to_int(planes)
+    pmax = max(max(abs(c) for c in p) for p in planes_int) or 1
     bits = [
         F.when(F.expr(_plane_dot_int("_vint", p)) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
-        for p in planes_to_int(planes)
+        for p in planes_int
     ]
     return (
         df.withColumn("_vint", F.expr(_as_micro_int(vec_col)))
+        .withColumn(
+            "_vint",
+            F.expr(micro_int_guard("_vint", pmax, "hyperplane signature")),
+        )
         .withColumn(bucket_col, F.concat(*bits))
         .drop("_vint")
     )
@@ -1633,8 +1700,19 @@ def sql_hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> str:
         f"list_transform({vec_col}, x -> "
         f"CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
-    bits = []
-    for p in planes_to_int(planes):
+    planes_int = planes_to_int(planes)
+    pmax = max(max(abs(c) for c in p) for p in planes_int) or 1
+    # Empty-string guard bit: same 2^53 domain check as the Spark/Arrow
+    # twins (error() instead of raise_error()) so all three backends fail
+    # on the same inputs instead of float64 silently rounding here.
+    mx = f"list_max(list_transform({micro}, x -> abs(x)))"
+    bits = [
+        f"CASE WHEN len({micro}) * {mx} * {pmax} >= {_EXACT_LIMIT} "
+        f"THEN CAST(error('hyperplane bucket: dim * max|v_int| * "
+        f"max|p_int| exceeds 2^53 - the exact integer contract breaks') "
+        f"AS VARCHAR) ELSE '' END"
+    ]
+    for p in planes_int:
         arr = ", ".join(str(c) for c in p)
         dot = f"list_dot_product({micro}, [{arr}])"
         bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
@@ -1706,9 +1784,24 @@ def ann_multitable_topk(
         if backend == "arrow":
             sig = hyperplane_signatures_arrow(base, tables, vec_col=vec_col)
         else:
-            sig = base.withColumn(
-                "_vint", F.expr(_as_micro_int(vec_col))
-            ).select(key, vec_col, *hyperplane_signature_cols(tables))
+            pmax = (
+                max(
+                    max(abs(c) for c in p)
+                    for t in tables
+                    for p in planes_to_int(t)
+                )
+                or 1
+            )
+            sig = (
+                base.withColumn("_vint", F.expr(_as_micro_int(vec_col)))
+                .withColumn(
+                    "_vint",
+                    F.expr(
+                        micro_int_guard("_vint", pmax, "multitable ANN")
+                    ),
+                )
+                .select(key, vec_col, *hyperplane_signature_cols(tables))
+            )
         sig = with_int_vector(sig, vec_col)
         entries = F.array(
             *[

@@ -817,8 +817,13 @@ def _sem_tier(n_vecs: int) -> dict:
 
     pair = os.environ.get("SPARK_GRAFT_SEM_PAIRS", "int")
     if n_vecs <= _SEM_TIER0_MAX:
+        # Tier 0 is PINNED to "int" (the knob is tier-1-only, like
+        # SEM_CELLS/SEM_ASSIGN): the oracle replays the exact integer dot,
+        # and the gemm arm thresholds the raw unquantized BLAS cosine —
+        # letting the knob through here could drop/keep boundary pairs and
+        # fail driver verification on the frozen tier-0 geometry.
         return dict(
-            k_clusters=_IVF_K, pair_backend=pair, propagation_rounds=_SEM_ROUNDS
+            k_clusters=_IVF_K, pair_backend="int", propagation_rounds=_SEM_ROUNDS
         )
     # Tier-1 experiment knobs (never tier 0 — the oracle geometry stays
     # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count and

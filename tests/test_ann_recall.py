@@ -220,9 +220,12 @@ def test_hyperplane_int_contract_python_reference(spark):
     # values, same as the engines see them
     import numpy as np
 
+    # Index by vec_id, not collect order — collect order matching
+    # createDataFrame input order is not a guaranteed contract.
+    by_id = {vid: v for vid, v in vecs}
     stored = {
-        r["vec_id"]: [float(np.float32(x)) for x in v]
-        for (r, (_, v)) in zip(df.collect(), vecs)
+        r["vec_id"]: [float(np.float32(x)) for x in by_id[r["vec_id"]]]
+        for r in df.collect()
     }
     want = {vid: ref_bucket(v) for vid, v in stored.items()}
     got_arrow = {
@@ -335,6 +338,61 @@ def test_int_cosine_zero_vector_is_null(spark):
         SELECT {cos} AS c FROM m a JOIN m b ON a.vec_id < b.vec_id"""
     ).fetchall()
     assert r == [(None,)]
+
+
+def test_int_contract_guard_raises_in_every_backend(spark):
+    """Out-of-domain inputs (dim · max|v_int|² ≥ 2^53) must fail LOUDLY and
+    symmetrically: the Arrow kernels always raised, but the JVM int64 fold
+    used to silently stay exact and the DuckDB float64 twin used to
+    silently round (ADVICE r7). All four plan-level guards now raise."""
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    # max|v_int| = 2e9 → dim·mx² = 2·4e18·2 ≫ 2^53
+    bad = [(0, [2000.0, -2000.0]), (1, [0.5, 0.5])]
+    df = spark.createDataFrame(bad, "vec_id long, embedding array<float>")
+
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        similarity.with_int_vector(df).select("vvi").collect()
+
+    vi, vvi = similarity.sql_with_int_vector("embedding")
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        duckdb.sql(
+            f"""WITH e(vec_id, embedding) AS (VALUES (0, [2000.0, -2000.0])),
+            m AS (SELECT vec_id, {vi} AS v_int, {vvi} AS vvi FROM e)
+            SELECT vvi FROM m"""
+        ).fetchall()
+
+    # Hyperplane sign path: need dim·max|v_int|·max|p_int| ≥ 2^53; plane
+    # coefficients are ~1e6-scaled, so |v| ~ 2e4 (v_int ~ 2e10) clears the
+    # bound for any gaussian pmax.
+    planes = similarity.make_planes(dim=2, n_planes=4, seed=3)
+    df_h = spark.createDataFrame(
+        [(0, [20000.0, -20000.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        similarity.hyperplane_signature(df_h, planes).select("bucket").collect()
+
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        duckdb.sql(
+            "WITH e(embedding) AS (VALUES ([20000.0, -20000.0])) SELECT "
+            + similarity.sql_hyperplane_bucket("embedding", planes)
+            + " AS b FROM e"
+        ).fetchall()
+
+    # In-domain rows are untouched by the guards.
+    ok = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    assert similarity.with_int_vector(ok).select("vvi").collect()[0][0] == 500000000000
+    assert (
+        len(similarity.hyperplane_signature(ok, planes).select("bucket").collect())
+        == 1
+    )
 
 
 def test_ann_sig_backend_tiers_by_total_bits(monkeypatch):
