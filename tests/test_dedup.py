@@ -887,6 +887,25 @@ def test_auto_backend_n_docs_skips_count(spark, monkeypatch):
     assert a128 == j128
 
 
+def test_minhash_auto_never_counts_input(spark, monkeypatch):
+    """minhash `auto` constant-folds to arrow at every scale (SCALING.md r6
+    A/B) — unlike simhash there is no size tier, so resolution must never
+    run a count job on the input frame (the derived-frame count trap,
+    round-7/8 audit). Both the capped and uncapped chains are pinned."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(_EDGE_DOCS, "doc_id long, text string")
+
+    def boom():
+        raise AssertionError("minhash resolution executed a count job")
+
+    monkeypatch.setattr(docs, "count", boom)
+    dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.5).collect()
+    dedup.minhash_lsh_pairs(
+        docs, num_hashes=12, bands=4, threshold=0.5, shingle_df_cap=64
+    ).collect()
+
+
 def test_semantic_dedup_int_backend_matches_python_reference(spark):
     """The exact fixed-point pair backend reproduces a pure-python integer
     reference bit-for-bit (pairs AND quantized cosines), and its grouping
