@@ -499,6 +499,13 @@ def kmeans_exact(
         return _kmeans_exact_arrow(
             vecs, k_clusters=k_clusters, iters=iters, id_col=id_col
         )
+    # Fused jvm path (round 8): one aggregate job per iteration,
+    # bit-identical to the legacy loop below (equivalence test-pinned).
+    # SPARK_GRAFT_KMEANS_FUSE=0 keeps the legacy loop as an A/B arm.
+    if os.environ.get("SPARK_GRAFT_KMEANS_FUSE", "1") != "0":
+        return _kmeans_exact_fused(
+            vecs, k_clusters=k_clusters, iters=iters, id_col=id_col
+        )
     for _ in range(iters):
         assigned = assign_to_centroids(vecs, centroids, id_col=id_col)
         # ONE consumer of the assignment join: the member count rides the
@@ -529,6 +536,125 @@ def kmeans_exact(
             vecs.sparkSession, centroids, ["cid", "c_dbl", "cc"]
         )
     return centroids
+
+
+def _kmeans_exact_fused(
+    vecs: DataFrame,
+    *,
+    k_clusters: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kmeans_exact's fused jvm path (round 8): ONE aggregate job per Lloyd
+    iteration — assignment and centroid update in the same plan.
+
+    The legacy loop paid, per iteration: a broadcast cross join (n×K rows),
+    a per-vector argmin shuffle, a posexplode per-(cid, pos) aggregate
+    shuffle (n×dim rows), a collect_list re-assembly shuffle, and a
+    materialize collect — at bench scale those fixed job/stage costs WERE
+    the k-means wall (1.4–1.7 s of each of three tier-0 queries at sf0.1,
+    on 2k rows). Here each iteration is:
+
+    - the current model as a broadcast 1-row array of (cid, c_dbl, cc)
+      structs (bounded — O(K·dim) doubles; createDataFrame round-trips
+      IEEE-exactly, the _materialize_model argument). Data, not plan
+      literals, so every iteration reuses the same compiled plan;
+    - per-row argmin as a narrow projection: ``array_min(transform(cents,
+      c -> struct(dist, cid)))`` — the SAME ``_DOT_D`` fold, the same
+      ``(vv + cc − 2·dot)`` operation order, the same 1e-6 floor quantize,
+      and array_min's struct ordering is the same lexicographic (dist, cid)
+      prefix comparison as the broadcast-join ``min(struct(...))`` — so the
+      assignment is bit-identical to :func:`assign_to_centroids`;
+    - ONE posexplode → groupBy(cid, pos) aggregate (map-side partial
+      combine collapses the n×dim explode to ≤ partitions×K×dim rows
+      before the single shuffle), collected at ≤ K×dim rows;
+    - driver-side update with the jvm's own arithmetic: ``s / (1e6·n)`` per
+      dim (same double cast / product / divide sequence) and the
+      ``_py_dot`` norm fold (the ``_DOT_D`` IEEE order) — exactly how
+      ``_kmeans_exact_arrow`` rebuilds, which test-pins to the legacy loop.
+
+    Two measured dead ends (round 8), kept as comments because they look
+    like improvements: (a) passing the model as PLAN LITERALS re-plans and
+    re-codegens every iteration — the planning cost ate the whole shuffle
+    saving; (b) replacing the posexplode with ``dim`` per-column
+    ``sum(element_at(v_int, i))`` aggregates made the shuffle K rows
+    instead of K×dim but cost ~0.85 s/iteration in query PLANNING (the
+    65-aggregate plan) — the tier-0 floor is planner CPU, not rows.
+
+    Empty cells drop (the legacy inner-aggregate behavior). Returns the
+    same materialized literal relation shape as the legacy path.
+    """
+    spark = vecs.sparkSession
+    init = (
+        vecs.filter(F.col(id_col) < k_clusters)
+        .select(F.col(id_col).cast("int").alias("cid"), "v_dbl", "vv")
+        .collect()
+    )
+    cur = sorted(
+        ((int(r["cid"]), list(r["v_dbl"]), float(r["vv"])) for r in init),
+        key=lambda t: t[0],
+    )
+    schema = "cid int, c_dbl array<double>, cc double"
+    if not cur:
+        return spark.createDataFrame([], schema)
+    dim = len(cur[0][1])
+    data = vecs.select("v_int", "v_dbl", "vv")
+    cents_schema = (
+        "cents array<struct<cid:int,c_dbl:array<double>,cc:double>>"
+    )
+    for _ in range(iters):
+        # The model rides as broadcast DATA (a 1-row array relation), NOT
+        # as plan literals: literal centroids change the plan every
+        # iteration, defeating the analysis/codegen caches — measured
+        # (round 8) the literal-tree variant recompiled per iteration and
+        # lost its whole shuffle saving. As data, every iteration reuses
+        # the same compiled plan. Python floats round-trip IEEE-exactly
+        # through createDataFrame (the _materialize_model argument).
+        cents_df = vecs.sparkSession.createDataFrame([(cur,)], cents_schema)
+
+        def _dist(c):
+            dot = F.aggregate(
+                F.zip_with(F.col("v_dbl"), c["c_dbl"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return (
+                F.floor((F.col("vv") + c["cc"] - 2 * dot) * 1e6 + F.lit(0.5))
+                / 1e6
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(_dist(c).alias("dist"), c["cid"].alias("cid")),
+            )
+        )
+        assigned = data.crossJoin(F.broadcast(cents_df)).select(
+            best["cid"].alias("cid"), "v_int"
+        )
+        # The assignment select is a BARRIER between the argmin HOF and the
+        # generator on purpose: with both in one projection, Generate
+        # re-evaluates the argmin once per exploded row — measured 64x the
+        # assignment work (5.7 s/iteration instead of 0.65 at sf0.1).
+        agg = (
+            assigned.select("cid", F.posexplode("v_int").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        cur = []
+        for cid in sorted(by_cid):
+            d = by_cid[cid]
+            n = d[0][1]
+            c_dbl = [float(d[i][0]) / (MICRO * n) for i in range(dim)]
+            cur.append((cid, c_dbl, _py_dot(c_dbl, c_dbl)))
+    return spark.createDataFrame(cur, schema)
 
 
 def _kmeans_exact_arrow(

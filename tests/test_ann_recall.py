@@ -138,6 +138,32 @@ def test_ivf_arrow_assignment_matches_jvm(spark):
     assert a == b and len(a) > 0
 
 
+def test_kmeans_fused_matches_legacy_bit_exact(spark, monkeypatch):
+    """The round-8 fused Lloyd path (one aggregate job per iteration) must
+    reproduce the legacy multi-shuffle jvm loop BIT-exactly on the real
+    corpus — same cids, same centroid doubles to the last ulp, same norms.
+    The oracle replays the legacy arithmetic, so this equivalence is what
+    keeps the three tier-0 kmeans queries driver-green."""
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = similarity.with_micro_vectors(e.select("vec_id", "embedding"))
+
+    def model(df):
+        return sorted(
+            (int(r["cid"]), [float(x) for x in r["c_dbl"]], float(r["cc"]))
+            for r in df.collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_FUSE", "0")
+    legacy = model(similarity.kmeans_exact(v, k_clusters=8, iters=2))
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_FUSE", "1")
+    fused = model(similarity.kmeans_exact(v, k_clusters=8, iters=2))
+    assert len(legacy) > 0
+    assert fused == legacy  # bit-exact: == on floats, no tolerance
+
+
 def test_ivf_pq_arrow_assignment_matches_jvm(spark):
     """ivf_pq_topk(assign_backend='arrow') must reproduce the JVM path's
     ranked output on the test corpus (same rounded scores, same ranks)."""
