@@ -666,13 +666,15 @@ def _kmeans_exact_arrow(
 ) -> DataFrame:
     """kmeans_exact's Arrow backend: each Lloyd iteration is ONE shuffle-free
     ``mapInPandas`` job that fuses quantized-argmin assignment (BLAS, ties to
-    lowest cid — the assign_to_centroids_arrow contract) with per-partition
-    int64 partial sums per cell; the driver combines partials with Python
-    ints (exact, order-independent — the same totals the jvm posexplode
-    aggregate produces) and rebuilds centroids with the jvm's own update
-    arithmetic (s / (1e6·n) per dim, ``_DOT_D``-order norm fold). Replaces
-    the jvm path's per-iteration shuffle + materialize-collect pair: at
-    bench scale those fixed job costs are the whole k-means wall time.
+    lowest cid — the assign_to_centroids_arrow contract; two-level pruned at
+    large K, see ``_assign_block``) with per-partition int64 partial sums per
+    cell (sort + ``add.reduceat`` — exact, order-independent); the driver
+    combines partials with an int64 scatter-add (exact — the same totals the
+    jvm posexplode aggregate produces) and rebuilds centroids with the jvm's
+    own update arithmetic (float(s) / (1e6·n) per dim, ``_DOT_D``-order norm
+    fold). Replaces the jvm path's per-iteration shuffle +
+    materialize-collect pair: at bench scale those fixed job costs are the
+    whole k-means wall time.
 
     Same caveat as every Arrow kernel: BLAS dot accumulation order can
     differ from the jvm fold by one ulp, so assignments within one ulp of a
@@ -698,12 +700,13 @@ def _kmeans_exact_arrow(
         key=lambda t: t[0],
     )
     data = vecs.select("v_int", "v_dbl", "vv")
-    dim = None
     for _ in range(iters):
         C = np.asarray([c for _, c, _ in cur], dtype=np.float64)
         cc = np.asarray([n for _, _, n in cur], dtype=np.float64)
         cids = np.asarray([cid for cid, _, _ in cur], dtype=np.int64)
         dim = C.shape[1]
+        # rebuilt per iteration (centroids move) — O(K·√K·dim) driver flops
+        hier = _hier_index(C) if _hier_backend(len(cids)) else None
 
         def partials(it):
             import pandas as pd
@@ -713,32 +716,176 @@ def _kmeans_exact_arrow(
                     continue
                 V = np.stack(pdf["v_dbl"].to_numpy())
                 vv = pdf["vv"].to_numpy()
-                d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
-                j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+                _, j = _assign_block(V, vv, C, cc, hier)
                 Vi = np.stack(pdf["v_int"].to_numpy()).astype(np.int64)
-                rows = []
-                for ci in np.unique(j):
-                    mask = j == ci
-                    rows.append(
-                        (
-                            int(cids[ci]),
-                            int(mask.sum()),
-                            [int(x) for x in Vi[mask].sum(axis=0)],
-                        )
-                    )
-                yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+                # sort + reduceat: exact int64 per-cell sums, no Python loop
+                # over cells (the old unique()-mask loop was O(cells·rows)
+                # Python work — measured as part of the K4096 train bend)
+                order = np.argsort(j, kind="stable")
+                js = j[order]
+                starts = np.r_[0, np.flatnonzero(np.diff(js)) + 1]
+                sums = np.add.reduceat(Vi[order], starts, axis=0)
+                counts = np.diff(np.r_[starts, len(js)])
+                yield pd.DataFrame(
+                    {
+                        "cid": cids[js[starts]].astype("int32"),
+                        "n": counts.astype("int64"),
+                        "s": list(sums),
+                    }
+                )
 
-        acc: dict[int, tuple[int, list[int]]] = {}
-        for r in data.mapInPandas(
-            partials, "cid int, n long, s array<long>"
-        ).collect():
-            n0, s0 = acc.get(r["cid"], (0, [0] * dim))
-            acc[r["cid"]] = (n0 + r["n"], [a + b for a, b in zip(s0, r["s"])])
+        # Arrow collect + int64 scatter-add: the partial relation is
+        # partitions×K rows of dim-length arrays — the old Python-int zip
+        # combine was O(partitions·K·dim) interpreter work per iteration.
+        # int64 adds are exact (batch partials bound far below 2^63), and
+        # the update arithmetic below is unchanged: float(int64) / (1e6·n)
+        # per dim + the _py_dot norm fold — bit-identical to the jvm path.
+        pdf = data.mapInPandas(partials, "cid int, n long, s array<long>").toPandas()
+        S_mat = np.zeros((len(cids), dim), dtype=np.int64)
+        N_vec = np.zeros(len(cids), dtype=np.int64)
+        if len(pdf):
+            pos = np.searchsorted(cids, pdf["cid"].to_numpy().astype(np.int64))
+            np.add.at(S_mat, pos, np.stack(pdf["s"].to_numpy()).astype(np.int64))
+            np.add.at(N_vec, pos, pdf["n"].to_numpy().astype(np.int64))
         cur = []
-        for cid, (n, s) in sorted(acc.items()):
-            c_dbl = [float(x) / (MICRO * n) for x in s]
-            cur.append((cid, c_dbl, _py_dot(c_dbl, c_dbl)))
+        for p in range(len(cids)):
+            n = int(N_vec[p])
+            if n == 0:
+                continue  # empty cells dropped — the jvm inner-join behavior
+            c_dbl = [float(x) / (MICRO * n) for x in S_mat[p]]
+            cur.append((int(cids[p]), c_dbl, _py_dot(c_dbl, c_dbl)))
     return spark.createDataFrame(cur, "cid int, c_dbl array<double>, cc double")
+
+
+# --- two-level (hierarchical) coarse assignment — the large-K scale path ----
+#
+# The flat Arrow assignment kernel materializes a rows×K float64 distance
+# block per batch; the round-8 K sweep at the 100x tier measured the
+# train+encode assignment passes bending linearly in K with a large constant
+# (K4096 ≈ 3-4x K1024 while pairs/CC stayed flat — SCALING.md round 8). A
+# faiss-style two-level quantizer bounds that term: group the K centroids
+# into ~√K super-cells (driver-side numpy k-means over the MODEL — O(K·√K)
+# flops, rebuilt per Lloyd iteration for pennies), then per vector score the
+# √K super-centroids and only open super-cells that pass a triangle-
+# inequality bound. With per-super-cell radius R_s = max_{c∈s} ‖c − s‖:
+#
+#   d(v, c) ≥ d(v, s) − R_s            for every centroid c in super-cell s,
+#   d_best  ≤ min_s (d(v, s) + R_s)    (some member of that cell is this close)
+#
+# so any super-cell with (max(0, d(v,s) − R_s))² > ub² + slack provably
+# contains no centroid whose QUANTIZED distance can win the argmin — slack
+# covers the 1e-6 floor quantization (a non-candidate would need true d²
+# within 1e-6 of the best to tie after quantization) plus float rounding in
+# the bounds. The candidate set therefore contains every possible winner and
+# the pruned argmin equals the flat kernel's, modulo the same block-vs-full
+# BLAS last-ulp caveat every Arrow kernel already documents vs the JVM fold
+# (boundary coincidences at exact 0.5e-6 quantization edges).
+#
+# Assignment work drops from n×K to n×(√K + c·K/√K) where c is the mean
+# number of opened super-cells (measured 1-3 on the embeddings corpus) — at
+# the 10B-vector K≈14k point that is ~30x fewer distance evaluations, and
+# the per-batch temp shrinks from rows×K to rows×√K + rows×candidate blocks.
+
+_HIER_MIN_K = 512
+_HIER_SLACK = 2e-6  # 1e-6 argmin quantization + conservative float margin
+
+
+def _hier_backend(k_clusters: int) -> bool:
+    """auto: two-level pruned assignment at/above _HIER_MIN_K cells, flat
+    below (the flat kernel wins at small K — one GEMM beats bound math).
+    SPARK_GRAFT_ASSIGN_HIER=1/0 forces either arm for A/B."""
+    knob = os.environ.get("SPARK_GRAFT_ASSIGN_HIER", "")
+    if knob == "1":
+        return True
+    if knob == "0":
+        return False
+    return k_clusters >= _HIER_MIN_K
+
+
+def _hier_index(C, n_super: int | None = None, iters: int = 3):
+    """Build the super-cell index over a cid-sorted centroid matrix: ~√K
+    super-centroids (numpy Lloyd over the K model rows — determinism is NOT
+    required here: any covering yields the identical pruned argmin, the
+    structure only decides what gets pruned), member position lists, and
+    conservatively inflated radii. Returns None when the model is too small
+    to split."""
+    import numpy as np
+
+    K = C.shape[0]
+    S_n = n_super or max(2, int(round(K**0.5)))
+    if S_n >= K:
+        return None
+    cC = (C * C).sum(axis=1)
+    S = C[:S_n].copy()
+    for _ in range(iters):
+        d2 = cC[:, None] + (S * S).sum(axis=1)[None, :] - 2.0 * (C @ S.T)
+        a = d2.argmin(axis=1)
+        for s in range(S_n):
+            m = a == s
+            if m.any():
+                S[s] = C[m].mean(axis=0)
+    d2 = cC[:, None] + (S * S).sum(axis=1)[None, :] - 2.0 * (C @ S.T)
+    a = d2.argmin(axis=1)
+    members = []
+    keep_rows = []
+    for s in range(S_n):
+        m = np.flatnonzero(a == s)
+        if len(m):
+            members.append(m)
+            keep_rows.append(s)
+    S = S[keep_rows]
+    d2 = np.maximum(
+        cC[:, None] + (S * S).sum(axis=1)[None, :] - 2.0 * (C @ S.T), 0.0
+    )
+    radius = np.asarray(
+        [
+            float(np.sqrt(d2[m, i].max())) * (1.0 + 1e-9) + 1e-9
+            for i, m in enumerate(members)
+        ]
+    )
+    return S, (S * S).sum(axis=1), radius, members
+
+
+def _assign_block(V, vv, C, cc, hier):
+    """Quantized-argmin nearest centroid for one Arrow batch. Returns
+    (q, pos): the 1e-6-floor-quantized squared distance and the POSITION
+    into the cid-sorted model, ties to the lowest position (= lowest cid —
+    the JVM struct-min tiebreak). ``hier=None`` is the flat rows×K kernel;
+    otherwise the triangle-inequality-pruned two-level path (see the block
+    comment above) whose candidate set provably contains every quantized-
+    argmin winner."""
+    import numpy as np
+
+    if hier is None:
+        d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
+        dq = np.floor(d * 1e6 + 0.5) / 1e6
+        j = dq.argmin(axis=1)
+        return dq[np.arange(len(j)), j], j
+    S, ss, radius, members = hier
+    d2s = np.maximum(vv[:, None] + ss[None, :] - 2.0 * (V @ S.T), 0.0)
+    ds = np.sqrt(d2s)
+    ub = (ds + radius[None, :]).min(axis=1)
+    lb = np.maximum(ds - radius[None, :], 0.0)
+    cand = (lb * lb) <= (ub * ub + _HIER_SLACK)[:, None]
+    n = len(V)
+    best_q = np.full(n, np.inf)
+    best_pos = np.full(n, C.shape[0], dtype=np.int64)
+    for i, mem in enumerate(members):
+        rows = np.flatnonzero(cand[:, i])
+        if not len(rows):
+            continue
+        d = vv[rows, None] + cc[mem][None, :] - 2.0 * (V[rows] @ C[mem].T)
+        dq = np.floor(d * 1e6 + 0.5) / 1e6
+        j = dq.argmin(axis=1)
+        q = dq[np.arange(len(rows)), j]
+        pos = mem[j]  # members ascend, argmin keeps first → lowest cid in block
+        cq = best_q[rows]
+        cp = best_pos[rows]
+        upd = (q < cq) | ((q == cq) & (pos < cp))
+        r = rows[upd]
+        best_q[r] = q[upd]
+        best_pos[r] = pos[upd]
+    return best_q, best_pos
 
 
 def _materialize_model(spark, df: DataFrame, cols: list[str]) -> DataFrame:
@@ -894,6 +1041,9 @@ def assign_to_centroids_arrow(
     C = np.stack([np.asarray(r["c_dbl"], dtype=np.float64) for r in model])
     cc = np.array([r["cc"] for r in model], dtype=np.float64)
     cids = np.array([r["cid"] for r in model], dtype=np.int64)
+    # large-K: prune with the two-level super-cell index (same argmin, see
+    # _assign_block) instead of materializing the rows×K distance block
+    hier = _hier_index(C) if _hier_backend(len(cids)) else None
 
     dtypes = dict(vecs.dtypes)
     payload = [c for c in vecs.columns if c != id_col]
@@ -906,13 +1056,11 @@ def assign_to_centroids_arrow(
                 continue
             V = np.stack(pdf["v_dbl"].to_numpy())
             vv = pdf["vv"].to_numpy()
-            d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
-            dq = np.floor(d * 1e6 + 0.5) / 1e6
-            j = dq.argmin(axis=1)  # ties -> first occurrence = lowest cid
+            q, j = _assign_block(V, vv, C, cc, hier)
             out = {
                 id_col: pdf[id_col],
                 "cid": cids[j].astype("int32"),
-                "cdist": dq[np.arange(len(j)), j],
+                "cdist": q,
             }
             for c in payload:
                 out[c] = pdf[c]

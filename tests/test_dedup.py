@@ -645,6 +645,102 @@ def test_semantic_dedup_arrow_assignment_matches_jvm(spark):
     assert a == b
 
 
+def test_hier_assign_kernel_matches_flat():
+    """The two-level pruned assignment (round 8 — the large-K scale path)
+    must return the identical (quantized distance, position) pair as the
+    flat rows×K kernel: the triangle-inequality candidate set provably
+    contains every quantized-argmin winner, so pruning never changes the
+    result. Random AND clustered geometries (clustered is where pruning
+    actually fires; random is where bounds are weakest)."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators.similarity import (
+        _assign_block,
+        _hier_index,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in ("random", "clustered"):
+        K, dim, n = 600, 16, 3000
+        if shape == "random":
+            C = rng.normal(size=(K, dim))
+            V = rng.normal(size=(n, dim))
+        else:
+            hubs = rng.normal(size=(40, dim)) * 4
+            C = hubs[rng.integers(0, 40, K)] + rng.normal(size=(K, dim)) * 0.1
+            V = hubs[rng.integers(0, 40, n)] + rng.normal(size=(n, dim)) * 0.1
+        # micro-quantize like with_micro_vectors so distances live on the
+        # same grid the engine uses
+        V = np.floor(V * 1e6 + 0.5) / 1e6
+        cc = (C * C).sum(axis=1)
+        vv = (V * V).sum(axis=1)
+        hier = _hier_index(C)
+        assert hier is not None
+        q_flat, p_flat = _assign_block(V, vv, C, cc, None)
+        q_hier, p_hier = _assign_block(V, vv, C, cc, hier)
+        assert (p_flat == p_hier).all(), shape
+        assert (q_flat == q_hier).all(), shape
+
+
+def test_assign_arrow_hier_env_matches_flat(spark, monkeypatch):
+    """assign_to_centroids_arrow under SPARK_GRAFT_ASSIGN_HIER=1 must emit
+    the same (cid, cdist) relation as =0 on a model small enough that auto
+    would stay flat — the knob is the A/B lever and the pruned path is
+    exact."""
+    import random
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    random.seed(11)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)]) for i in range(160)
+    ]
+    df = similarity.with_micro_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "embedding",
+    )
+    cent = similarity.kmeans_exact(df, k_clusters=24, iters=2, id_col="vec_id")
+    out = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_ASSIGN_HIER", knob)
+        out[knob] = {
+            (r["vec_id"], r["cid"], r["cdist"])
+            for r in similarity.assign_to_centroids_arrow(
+                df.select("vec_id", "v_dbl", "vv"), cent, id_col="vec_id"
+            ).collect()
+        }
+    assert out["0"] == out["1"] and len(out["0"]) == 160
+
+
+def test_kmeans_arrow_hier_matches_flat(spark, monkeypatch):
+    """_kmeans_exact_arrow trained with the pruned assignment must produce
+    bit-identical centroids to the flat kernel — every Lloyd iteration's
+    argmin is unchanged, and the int64 reduceat/scatter partial sums are
+    exact in any grouping."""
+    import random
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    random.seed(13)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(8)]) for i in range(200)
+    ]
+    df = similarity.with_micro_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        "embedding",
+    )
+    got = {}
+    for knob in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_ASSIGN_HIER", knob)
+        got[knob] = {
+            (r["cid"], tuple(r["c_dbl"]), r["cc"])
+            for r in similarity._kmeans_exact_arrow(
+                df, k_clusters=20, iters=2, id_col="vec_id"
+            ).collect()
+        }
+    assert got["0"] == got["1"] and len(got["0"]) == 20
+
+
 def test_rowwise_simhash_matches_batch_signatures(spark):
     """with_rowwise_simhash (per-row fold, streaming-safe) must be
     bit-identical to the batch simhash_signatures on real corpus text,
