@@ -542,3 +542,62 @@ def test_hyperplane_sign_contract_all_backends(spark, vecs, seed):
         for r in similarity.hyperplane_signature(df, planes).collect()
     }
     assert arrow == want and jvm == want
+
+
+# coarse grid (multiples of 0.25) so squared distances collide often — the
+# adversarial surface for the pruned assignment is quantized-distance TIES,
+# where the lowest-cid tiebreak must survive pruning
+_grid = st.integers(min_value=-8, max_value=8).map(lambda i: i * 0.25)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    dim=st.integers(min_value=2, max_value=5),
+    n_cent=st.integers(min_value=5, max_value=40),
+    n_vec=st.integers(min_value=1, max_value=60),
+    n_super=st.integers(min_value=2, max_value=6),
+    data=st.data(),
+)
+def test_hier_assign_property_matches_flat(dim, n_cent, n_vec, n_super, data):
+    """For ANY centroid/vector geometry — duplicate centroids, singleton
+    super-cells, zero radii, heavy quantized-distance ties from the coarse
+    grid — the triangle-inequality-pruned assignment returns the identical
+    (quantized distance, position) as the flat kernel. Pure numpy: no Spark
+    job per example, so examples are cheap."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators.similarity import (
+        _assign_block,
+        _hier_index,
+    )
+
+    C = np.asarray(
+        data.draw(
+            st.lists(
+                st.lists(_grid, min_size=dim, max_size=dim),
+                min_size=n_cent,
+                max_size=n_cent,
+            )
+        ),
+        dtype=np.float64,
+    )
+    V = np.asarray(
+        data.draw(
+            st.lists(
+                st.lists(_grid, min_size=dim, max_size=dim),
+                min_size=n_vec,
+                max_size=n_vec,
+            )
+        ),
+        dtype=np.float64,
+    )
+    if n_super >= n_cent:
+        return  # _hier_index declines to split — nothing to compare
+    cc = (C * C).sum(axis=1)
+    vv = (V * V).sum(axis=1)
+    hier = _hier_index(C, n_super=n_super)
+    assert hier is not None
+    q_flat, p_flat = _assign_block(V, vv, C, cc, None)
+    q_hier, p_hier = _assign_block(V, vv, C, cc, hier)
+    assert (p_flat == p_hier).all()
+    assert (q_flat == q_hier).all()
