@@ -72,6 +72,31 @@ def _resolve_auto_backend(
 def _simhash_sig_backend(override: str | None) -> str:
     return _sig_backend("SPARK_GRAFT_SIMHASH_SIG", override, "simhash")
 
+
+# Single-partition spread floor: below this many docs the kernel finishes in
+# one task anyway and the extra exchange just inflates small plans (the
+# golden sf0.001/sf0.01 corpora stay untouched).
+_SPREAD_MIN_DOCS = 4_000
+
+
+def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
+    """Round-robin a SINGLE-partition relation across the cores before an
+    Arrow signature kernel. A mid-size corpus often arrives as one parquet
+    split (sf0.1: 6k docs, 1 partition), which serializes the whole kernel
+    through ONE Python worker — measured 6.5 s cold / 0.9 s warm vs 1.7 /
+    0.6 spread at sf0.1. Fires ONLY at exactly one partition AND a known
+    corpus of ≥ _SPREAD_MIN_DOCS docs: the same repartition at the 100x
+    tier (30 scan partitions) shuffled the token mass for a 2.4x LOSS
+    (SCALING.md round 8) — text/token bytes must not shuffle when the scan
+    already parallelizes. Per-doc kernels are partitioning-invariant, so
+    results are unchanged (test-pinned)."""
+    if n_docs is None or n_docs < _SPREAD_MIN_DOCS:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if par > 1 and df.rdd.getNumPartitions() == 1:
+        return df.repartition(par)
+    return df
+
 # --- shingling --------------------------------------------------------------
 
 
@@ -731,6 +756,7 @@ def minhash_lsh_pairs(
     est_min_matches: int | None = None,
     shingle_df_cap: int | None = None,
     signature_backend: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -776,7 +802,7 @@ def minhash_lsh_pairs(
         sig = eager_cache(
             minhash_signature_arrow(
                 df, num_hashes, id_col, text_col, shingle_n,
-                with_count=True, with_hash_set=True,
+                with_count=True, with_hash_set=True, n_docs=n_docs,
             )
         )
         cand = lsh_candidate_pairs(lsh_band_keys(sig, bands, rows, id_col), id_col)
@@ -1042,7 +1068,7 @@ def simhash_near_dup_pairs(
         _simhash_sig_backend(signature_backend), df, n_docs
     )
     if backend == "arrow":
-        sig = simhash_signatures_arrow(df, id_col, text_col)
+        sig = simhash_signatures_arrow(df, id_col, text_col, n_docs)
     else:
         sig = simhash_signatures(df, id_col, text_col)
     if persist_signatures:
@@ -1313,7 +1339,7 @@ def simhash128_near_dup_pairs(
         _simhash_sig_backend(signature_backend), df, n_docs
     )
     if backend == "arrow":
-        sig = eager_cache(simhash128_signatures_arrow(df, id_col, text_col))
+        sig = eager_cache(simhash128_signatures_arrow(df, id_col, text_col, n_docs))
     else:
         sig = eager_cache(simhash128_signatures(df, id_col, text_col))
     sbs = [f"sb{k}" for k in range(4)]
@@ -1662,7 +1688,8 @@ def with_rowwise_simhash_arrow(df: DataFrame, text_col: str = "text") -> DataFra
 
 
 def _simhash_signatures_arrow(
-    df: DataFrame, id_col: str, text_col: str, n_bits: int
+    df: DataFrame, id_col: str, text_col: str, n_bits: int,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Shared Arrow kernel behind :func:`simhash_signatures_arrow` (64-bit)
     and :func:`simhash128_signatures_arrow`.
@@ -1687,9 +1714,10 @@ def _simhash_signatures_arrow(
 
     assert n_bits in (64, 128)
     toks_expr = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    with_toks = (
+    with_toks = _spread_single_partition(
         df.select(id_col, F.expr(toks_expr).alias("_toks"))
-        .filter(F.size("_toks") > 0)
+        .filter(F.size("_toks") > 0),
+        n_docs,
     )
     id_type = dict(df.dtypes)[id_col]
     sig_name = "simhash" if n_bits == 64 else "simhash128"
@@ -1767,20 +1795,22 @@ def _simhash_signatures_arrow(
 
 
 def simhash_signatures_arrow(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Arrow twin of :func:`simhash_signatures` — identical output relation
     (id, 64-char ``simhash``, ``simhash_hi``/``simhash_lo``), one
     shuffle-free mapInPandas pass instead of three shuffles."""
-    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH_BITS)
+    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH_BITS, n_docs)
 
 
 def simhash128_signatures_arrow(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Arrow twin of :func:`simhash128_signatures` — identical output relation
     (id, 128-char ``simhash128``, ``sb0..sb3``)."""
-    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH128_BITS)
+    return _simhash_signatures_arrow(df, id_col, text_col, SIMHASH128_BITS, n_docs)
 
 
 def _minhash_sig_backend(override: str | None) -> str:
@@ -1796,6 +1826,7 @@ def minhash_signature_arrow(
     shingle_n: int = 3,
     with_count: bool = False,
     with_hash_set: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Arrow twin of ``word_shingles → minhash_signature``: the identical
     signature relation (minh_0..k, optional ``n_sh``/``hs``) in ONE
@@ -1823,9 +1854,10 @@ def minhash_signature_arrow(
     import pandas as pd
 
     words_expr = f"split(lower({text_col}), '\\\\s+')"
-    with_toks = (
+    with_toks = _spread_single_partition(
         df.select(id_col, F.expr(words_expr).alias("_toks"))
-        .filter(F.size("_toks") >= shingle_n)
+        .filter(F.size("_toks") >= shingle_n),
+        n_docs,
     )
     id_type = dict(df.dtypes)[id_col]
     fields = [f"{id_col} {id_type}"] + [f"minh_{j} bigint" for j in range(num_hashes)]

@@ -550,15 +550,18 @@ WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 _MINHASH_ORACLE = _minhash_oracle(dedup.sql_word_shingles("documents"))
 
 
-def _mh_geometry(d) -> tuple[int, int, int]:
-    """Tiered (num_hashes, bands, est_min_matches) for this corpus
+def _mh_geometry(d) -> tuple[int, int, int, int]:
+    """Tiered (num_hashes, bands, est_min_matches, n_docs) for this corpus
     (operators/dedup.lsh_tier_geometry). The count() is a metadata-only
     parquet job; every driver/bench SF (≤ 5k docs) lands in tier 0 =
     (_MH_K, _MH_BANDS, _MH_EST_MIN) — exactly the geometry the static
     oracle strings above are generated with — so correctness comparisons
     and golden plans are unaffected. Only the soak tiers (500k+ docs)
-    switch to the sharper r=6/r=8 geometries."""
-    return dedup.lsh_tier_geometry(d.count())
+    switch to the sharper r=6/r=8 geometries. n_docs rides along so
+    callers can thread it (backend auto-resolution, single-partition
+    spread) without a second count."""
+    n = d.count()
+    return (*dedup.lsh_tier_geometry(n), n)
 
 # Capped-set variant: shingles with df > cap are removed BEFORE signatures,
 # so signatures, banding, the estimate prefilter AND the exact verify all
@@ -635,7 +638,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
         d,
         num_hashes=k,
@@ -643,6 +646,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_MH_THRESHOLD,
         est_min_matches=est_min,
         shingle_df_cap=_MH_DF_CAP,
+        n_docs=n,
     )
     return dedup.near_dup_keepers(
         pairs,
@@ -667,9 +671,10 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_key) md5 buckets — sub-quadratic, skew-free (vs. the raw shingle
     join in doc_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
-        d, num_hashes=k, bands=b, threshold=_MH_THRESHOLD, est_min_matches=est_min
+        d, num_hashes=k, bands=b, threshold=_MH_THRESHOLD,
+        est_min_matches=est_min, n_docs=n,
     )
     return pairs.select(
         "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")
@@ -693,7 +698,7 @@ def q_doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines. Sits beside doc_minhash_lsh (exact sets) the
     way doc_ngram_jaccard's cap sits beside its uncapped didactic form."""
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d)
     pairs = dedup.minhash_lsh_pairs(
         d,
         num_hashes=k,
@@ -701,6 +706,7 @@ def q_doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_MH_THRESHOLD,
         est_min_matches=est_min,
         shingle_df_cap=_MH_DF_CAP,
+        n_docs=n,
     )
     return pairs.select(
         "doc_a", "doc_b", "n_a", "n_b", "inter", pround(F.col("jaccard"), 6).alias("jaccard")
@@ -742,7 +748,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no cross join. One aggregate pass computes all 64 signature bits."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(
-        d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS
+        d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS, n_docs=d.count()
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
@@ -790,7 +796,9 @@ def q_doc_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concentrating into the hot buckets that dominate the 64-bit
     variant's banding stage at the 100x tier."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash128_near_dup_pairs(d, max_hamming=_SH_MAX_HAMMING)
+    pairs = dedup.simhash128_near_dup_pairs(
+        d, max_hamming=_SH_MAX_HAMMING, n_docs=d.count()
+    )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
