@@ -296,7 +296,7 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a high dup_frac here. Complements doc_minhash_* (whole-doc near-dup)
     and doc_decontaminate (n-gram overlap vs a fixed eval set)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.duplicate_span_stats(d, n=_SPAN_N)
+    return dedup.duplicate_span_stats(d, n=_SPAN_N, n_docs=d.count())
 
 
 # N-gram Jaccard near-dedup: word-3-shingles → df-capped set join → pair
