@@ -2231,11 +2231,14 @@ def semantic_dedup(
     ``dedup.connected_components`` (exact grouping for any component shape).
 
     Like the paper, duplicate search is WITHIN-CELL only: a near-dup pair
-    split across two cells is missed (the paper accepts this; raise
-    ``k_clusters`` slowly, or lower ``iters``, to trade recall for cell
-    size). Cells bound the quadratic term at Σ n_cell² — the 100 TB story
-    is the cell count growing with the corpus so cells stay
-    executor-sized.
+    split across two cells is missed (the paper accepts this). Recall vs
+    ``k_clusters`` is NOT monotone — it is governed by how well the cell
+    count matches the corpus's intrinsic cluster structure (measured on
+    the 100x corpus: recall 0.16 at K=64 RISING to 0.66 at K=1024, then
+    falling to 0.09 at K=14336 — SCALING.md round 8), so measure the
+    recall probe before choosing K on a new corpus. Cells bound the
+    quadratic term at Σ n_cell² — the 100 TB story is the cell count
+    growing with the corpus so cells stay executor-sized.
 
     Keeper policy:
     - ``min_id`` (default): smallest id in the component — cheap,
