@@ -745,6 +745,12 @@ def streaming_semantic_dedup(
     C = np.stack([np.asarray(r["c_dbl"], dtype=np.float64) for r in model])
     cc = np.array([r["cc"] for r in model], dtype=np.float64)
     cids = np.array([r["cid"] for r in model], dtype=np.int64)
+    # large frozen models use the same two-level pruned argmin as the batch
+    # kernels (operators/similarity._assign_block — identical result by the
+    # triangle-inequality bound, so stream/batch parity is unchanged)
+    from ..operators.similarity import _assign_block, _hier_backend, _hier_index
+
+    hier = _hier_index(C) if _hier_backend(len(cids)) else None
 
     def assign(it):
         for pdf in it:
@@ -757,8 +763,7 @@ def streaming_semantic_dedup(
             )
             v_dbl = np.floor(V * 1e6 + 0.5) / 1e6
             vv = (v_dbl * v_dbl).sum(axis=1)
-            d = vv[:, None] + cc[None, :] - 2.0 * (v_dbl @ C.T)
-            j = (np.floor(d * 1e6 + 0.5) / 1e6).argmin(axis=1)
+            _, j = _assign_block(v_dbl, vv, C, cc, hier)
             # zero-norm guard: an all-zero embedding must not become a NaN
             # unit vector silently stored in cell state (NaN >= t is always
             # False, and NaN cosines leak past `cosine IS NULL` filters).
