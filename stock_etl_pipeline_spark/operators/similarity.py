@@ -866,7 +866,11 @@ def _assign_block(V, vv, C, cc, hier):
     ds = np.sqrt(d2s)
     ub = (ds + radius[None, :]).min(axis=1)
     lb = np.maximum(ds - radius[None, :], 0.0)
-    cand = (lb * lb) <= (ub * ub + _HIER_SLACK)[:, None]
+    # slack = argmin-quantization absolute term + a relative term so float
+    # rounding in the bound arithmetic stays covered for large-magnitude
+    # vectors (ulp of ub² scales with ub²; 1e-12 ≫ the ~1e-15 per-op error)
+    ub2 = ub * ub
+    cand = (lb * lb) <= (ub2 + _HIER_SLACK + 1e-12 * ub2)[:, None]
     n = len(V)
     best_q = np.full(n, np.inf)
     best_pos = np.full(n, C.shape[0], dtype=np.int64)

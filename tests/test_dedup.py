@@ -660,11 +660,17 @@ def test_hier_assign_kernel_matches_flat():
     )
 
     rng = np.random.default_rng(7)
-    for shape in ("random", "clustered"):
+    for shape in ("random", "clustered", "huge"):
         K, dim, n = 600, 16, 3000
         if shape == "random":
             C = rng.normal(size=(K, dim))
             V = rng.normal(size=(n, dim))
+        elif shape == "huge":
+            # large-magnitude vectors (d² ~ 1e9): the relative slack term
+            # must keep the bound conservative where float rounding in the
+            # bound arithmetic exceeds the absolute 2e-6 slack
+            C = rng.normal(size=(K, dim)) * 1e4
+            V = rng.normal(size=(n, dim)) * 1e4
         else:
             hubs = rng.normal(size=(40, dim)) * 4
             C = hubs[rng.integers(0, 40, K)] + rng.normal(size=(K, dim)) * 0.1
