@@ -364,9 +364,11 @@ def connected_components(
     Each alternation is two co-partitioned groupBy+join rounds over the
     edge relation (linear, no broadcast); ``localCheckpoint`` truncates
     the iterative lineage exactly as in the propagation path. Convergence
-    is an edge-set fixpoint test (count + exceptAll) — exact, not a
-    fingerprint. ``max_rounds`` is a runaway backstop (log₂ of any real
-    corpus is < 50), raising instead of silently returning partial labels.
+    is the exact star-forest predicate (one aggregate pass; provably
+    equivalent to the joint two-phase fixpoint — see ``_is_star_forest``),
+    not a fingerprint. ``max_rounds`` is a runaway backstop (log₂ of any
+    real corpus is < 50), raising instead of silently returning partial
+    labels.
 
     Returns (doc_id, keeper_id): every node that appears in ``pairs``,
     labeled with its component's minimum id — identical contract and
@@ -390,10 +392,36 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _same(a: DataFrame, b: DataFrame) -> bool:
-        # Exact set equality on distinct checkpointed relations: counts
-        # first (metadata-cheap), exceptAll only when counts agree.
-        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+    def _is_star_forest(e: DataFrame) -> bool:
+        # Exact convergence test (round 8 — replaces the two-phase edge-set
+        # equality, which cost 2 counts + 2 exceptAll anti-joins and could
+        # only detect a fixpoint one full alternation AFTER reaching it).
+        # A canonical (distinct, lo < hi) edge set is a fixpoint of BOTH
+        # phases iff it is a STAR FOREST: no hi repeats and no node is both
+        # a hi and a lo.
+        #   star forest ⇒ fixpoint: for a star (r, v₁..vₖ), large-star at r
+        #   re-emits every (r, vᵢ) and members have no larger neighbors;
+        #   small-star's relink + self-link likewise re-emit exactly the
+        #   star.
+        #   fixpoint ⇒ star forest: if x is hi of (a,x) AND lo of (x,b),
+        #   large-star at x emits (m,b) with m ≤ a < x and does NOT re-emit
+        #   (x,b) (x isn't the min of Γ(x)∪{x}) — the set changed. If x is
+        #   hi of (a,x) and (b,x) with a < b, both may survive large-star,
+        #   but small-star at x relinks b to m = a, emitting (a,b) ∉ S.
+        #   (The chain {(1,2),(1,3),(2,4)} is small-star-stable but fails
+        #   the predicate via 2 ∈ hi ∩ lo — exactly the case the old code's
+        #   "both phases" comparison guarded against.)
+        # ONE pass: per node, count hi-roles and lo-roles; short-circuits
+        # on the first violation.
+        roles = e.select(F.col("hi").alias("n"), F.lit(1).alias("h"), F.lit(0).alias("l")).unionByName(
+            e.select(F.col("lo").alias("n"), F.lit(0).alias("h"), F.lit(1).alias("l"))
+        )
+        return (
+            roles.groupBy("n")
+            .agg(F.sum("h").alias("h"), F.sum("l").alias("l"))
+            .filter((F.col("h") > 1) | ((F.col("h") > 0) & (F.col("l") > 0)))
+            .isEmpty()
+        )
 
     for _ in range(max_rounds):
         # Large-star: for every node u, connect each STRICTLY LARGER
@@ -425,14 +453,11 @@ def connected_components(
         self_link = m_u.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
         small = relink.unionByName(self_link).distinct().localCheckpoint()
 
-        # Fixpoint: BOTH phases leave the edge set unchanged — a star graph
-        # is a fixpoint of each phase individually, and requiring both rules
-        # out a non-star set that one phase maps onto the other's output
-        # (comparing only small-star's output to large-star's converges
-        # early on chains).
-        converged = _same(large, edges) and _same(small, large)
+        # Convergence: the OUTPUT is already a star forest ⇔ it is a joint
+        # fixpoint of both phases (proof at _is_star_forest) — detected the
+        # round it is REACHED, not one alternation later.
         edges = small
-        if converged:
+        if _is_star_forest(small):
             break
     else:
         raise ValueError(

@@ -402,6 +402,16 @@ def test_cc_agrees_with_propagation_when_rounds_suffice(spark):
     assert cc == prop
 
 
+def test_cc_star_forest_predicate_boundary(spark):
+    """The edge set {(1,2),(1,3),(2,4)} is SMALL-star-stable but not a
+    joint fixpoint (node 2 is both a hi and a lo) — the star-forest
+    convergence predicate must not fire early on it, and the final labels
+    must collapse the whole component to 1. Guards the 'both phases'
+    requirement the round-8 predicate replaced the two-way edge-set
+    comparison with."""
+    assert _cc(spark, [(1, 2), (1, 3), (2, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_cc_empty_pairs(spark):
     from stock_etl_pipeline_spark.operators.dedup import connected_components
 
