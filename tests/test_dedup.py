@@ -655,6 +655,35 @@ def test_semantic_dedup_arrow_assignment_matches_jvm(spark):
     assert a == b
 
 
+def test_spread_single_partition_gating(spark):
+    """The spread fires ONLY at exactly one partition AND a known corpus of
+    >= _SPREAD_MIN_DOCS — never on multi-partition scans (text/token mass
+    must not shuffle when the scan parallelizes: an ungated repartition
+    measured a 2.4x loss at the 100x tier) and never on small or
+    unknown-size corpora (keeps sf0.001/sf0.01 golden plans exchange-free)."""
+    from stock_etl_pipeline_spark.operators.dedup import (
+        _SPREAD_MIN_DOCS,
+        _spread_single_partition,
+    )
+
+    one = spark.createDataFrame([(1, "a")], "doc_id long, text string").coalesce(1)
+    par = spark.sparkContext.defaultParallelism
+    assert _spread_single_partition(one, None).rdd.getNumPartitions() == 1
+    assert (
+        _spread_single_partition(one, _SPREAD_MIN_DOCS - 1).rdd.getNumPartitions()
+        == 1
+    )
+    assert (
+        _spread_single_partition(one, _SPREAD_MIN_DOCS).rdd.getNumPartitions() == par
+    )
+    many = spark.createDataFrame(
+        [(i, "a") for i in range(8)], "doc_id long, text string"
+    ).repartition(4)
+    assert (
+        _spread_single_partition(many, _SPREAD_MIN_DOCS).rdd.getNumPartitions() == 4
+    )
+
+
 def test_hier_assign_kernel_matches_flat():
     """The two-level pruned assignment (round 8 — the large-K scale path)
     must return the identical (quantized distance, position) pair as the
