@@ -6,8 +6,12 @@ assign the corpus, and measure what fraction of TRUE cosine >= threshold
 pairs are co-assigned to the same cell — the pairs the within-cell search
 can possibly see. Ground truth is the exact integer-ratio cosine of a
 deterministic sample (first N vec_ids) against the full corpus, computed
-driver-side (sample x corpus GEMM over the collected micro-int matrix —
-bounded: 200k x 64 doubles is ~100 MB; shrink --sample for bigger corpora).
+driver-side in CHUNKS of sample rows: the collected micro-int matrix is
+~100 MB at 200k x 64, and each GEMM chunk is chunk x corpus doubles
+(~100 MB at 64 x 200k) regardless of --sample — so driver memory is
+bounded by the CORPUS size alone (ADVICE r8: the unchunked sample x
+corpus matrix was 1.6 GB at the defaults). Shrink nothing for bigger
+samples; shrink the corpus (or collect less) past ~10M vectors.
 
 Run this BEFORE choosing K on a new corpus: recall is NOT monotone in K
 (SCALING.md round 8 — it peaks where cells align with the corpus's
@@ -68,11 +72,20 @@ def main() -> int:
     norms = np.sqrt((Mi * Mi).sum(axis=1))
     sample = np.arange(min(n_sample, len(ids)))
 
-    G = (Mi[sample] @ Mi.T) / np.outer(norms[sample], norms)
-    qa, qb = np.nonzero(G >= thresh - 1e-6)
-    q = np.floor(G[qa, qb] * 1e6 + 0.5) / 1e6
-    keep = (q >= thresh) & (ids[sample[qa]] != ids[qb])
-    qa, qb = qa[keep], qb[keep]
+    # chunked sample x corpus GEMM: accumulate qualifying pairs per chunk so
+    # the dense cosine block never exceeds chunk x corpus (~100 MB at 200k)
+    chunk = 64
+    qa_parts, qb_parts = [], []
+    for lo in range(0, len(sample), chunk):
+        s = sample[lo : lo + chunk]
+        G = (Mi[s] @ Mi.T) / np.outer(norms[s], norms)
+        ca, cb = np.nonzero(G >= thresh - 1e-6)
+        q = np.floor(G[ca, cb] * 1e6 + 0.5) / 1e6
+        keep = (q >= thresh) & (ids[s[ca]] != ids[cb])
+        qa_parts.append(ca[keep] + lo)
+        qb_parts.append(cb[keep])
+    qa = np.concatenate(qa_parts) if qa_parts else np.empty(0, dtype=np.int64)
+    qb = np.concatenate(qb_parts) if qb_parts else np.empty(0, dtype=np.int64)
     print(json.dumps({"sf_dir": sf_dir, "true_pairs": int(len(qa))}), flush=True)
 
     vc = v.persist()

@@ -78,6 +78,17 @@ def _simhash_sig_backend(override: str | None) -> str:
 # golden sf0.001/sf0.01 corpora stay untouched).
 _SPREAD_MIN_DOCS = 4_000
 
+# Spread-gate decision cache, keyed by the scan's file set. The partition
+# count of a file scan is a function of the files and the split confs, not
+# of the projected columns, so every projection of the same files shares
+# one decision — and the exact probe (`df.rdd.getNumPartitions()`, which
+# forces full physical planning incl. AQE finalization — ADVICE r8) runs
+# at most ONCE per source instead of on every gated signature chain.
+# Bounded: cleared wholesale past _SPREAD_CACHE_MAX (file sets per session
+# are few; the clear only costs one re-probe per live source).
+_SPREAD_CACHE_MAX = 256
+_spread_decisions: dict[tuple[str, ...], bool] = {}
+
 
 def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     """Round-robin a SINGLE-partition relation across the cores before an
@@ -89,13 +100,26 @@ def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     tier (30 scan partitions) shuffled the token mass for a 2.4x LOSS
     (SCALING.md round 8) — text/token bytes must not shuffle when the scan
     already parallelizes. Per-doc kernels are partitioning-invariant, so
-    results are unchanged (test-pinned)."""
+    results are unchanged (test-pinned).
+
+    The single-partition probe forces physical planning, so its verdict is
+    cached per FILE SET (``df.inputFiles()`` — logical-plan walk only);
+    non-file relations (memory test frames, post-shuffle inputs) fall back
+    to the exact uncached probe."""
     if n_docs is None or n_docs < _SPREAD_MIN_DOCS:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    if par > 1 and df.rdd.getNumPartitions() == 1:
-        return df.repartition(par)
-    return df
+    if par <= 1:
+        return df
+    files = tuple(sorted(df.inputFiles()))
+    single = _spread_decisions.get(files) if files else None
+    if single is None:
+        single = df.rdd.getNumPartitions() == 1
+        if files:
+            if len(_spread_decisions) >= _SPREAD_CACHE_MAX:
+                _spread_decisions.clear()
+            _spread_decisions[files] = single
+    return df.repartition(par) if single else df
 
 # --- shingling --------------------------------------------------------------
 

@@ -70,6 +70,20 @@ _IDOT_L = (
 # float64 accumulations the DuckDB twins and Arrow GEMM kernels use.
 _EXACT_LIMIT = 1 << 53
 
+# The guards' own predicate (dim·mx·mx or dim·mx·pmax) is evaluated as the
+# IEEE double product ((dim·mx)·mx) in EVERY backend — an int64 predicate
+# silently wraps under default (non-ANSI) Spark for |v_int| ≳ 3e9, failing
+# OPEN on exactly the inputs it exists to reject (ADVICE r8). Two double
+# multiplications carry ≤ 2 ulp relative error, so the threshold is lowered
+# by 4 = 2 ulp at 2^53: any true product ≥ 2^53 computes to at least
+# 2^53·(1−2^−52) = 2^53−2 > threshold and is rejected; the only cost is
+# conservatively rejecting boundary values in ~[2^53−8, 2^53), which the
+# "< 2^53" contract never admitted as safely exact anyway. The identical
+# op order in Spark SQL, DuckDB, and numpy keeps the reject set
+# bit-identical across backends.
+_GUARD_LIMIT = float(_EXACT_LIMIT - 4)
+_SQL_GUARD_LIMIT = f"CAST({_EXACT_LIMIT - 4} AS DOUBLE)"
+
 
 def _vvi_guarded(vint_col: str) -> str:
     """``vvi`` (exact integer squared norm) with the 2^53 contract guard.
@@ -79,11 +93,13 @@ def _vvi_guarded(vint_col: str) -> str:
     DuckDB float64 oracle silently rounds — an asymmetric break of backend
     invariance (ADVICE r7). The per-row condition implies the kernels'
     per-batch one (the batch max IS some row's max), so all backends fail
-    on the same inputs, loudly. Under ANSI mode the guard's own int64
-    products also fail loudly if THEY overflow."""
+    on the same inputs, loudly. The predicate itself is computed in DOUBLE
+    (see ``_GUARD_LIMIT``) so it cannot wrap under non-ANSI int64
+    arithmetic and fail open."""
     mx = f"array_max(transform({vint_col}, x -> abs(x)))"
     return (
-        f"CASE WHEN size({vint_col}) * {mx} * {mx} >= {_EXACT_LIMIT}L "
+        f"CASE WHEN CAST(size({vint_col}) AS DOUBLE) * {mx} * {mx} "
+        f">= {_SQL_GUARD_LIMIT} "
         f"THEN CAST(raise_error('with_int_vector: dim * max|v_int|^2 "
         f"exceeds 2^53 - the exact integer-cosine contract breaks') AS BIGINT) "
         f"ELSE {_IDOT_L.format(a=vint_col, b=vint_col)} END"
@@ -94,10 +110,12 @@ def micro_int_guard(vint_col: str, factor: int, ctx: str) -> str:
     """``vint_col`` guarded by dim · max|v_int| · factor < 2^53 — the JVM
     twin of the Arrow hyperplane kernel's per-batch guard (``factor`` is
     the plane set's max |p_int|). Raises USER_RAISED_EXCEPTION out of
-    domain; the column unchanged inside it."""
+    domain; the column unchanged inside it. DOUBLE predicate — see
+    ``_GUARD_LIMIT``."""
     mx = f"array_max(transform({vint_col}, x -> abs(x)))"
     return (
-        f"CASE WHEN size({vint_col}) * {mx} * {factor}L >= {_EXACT_LIMIT}L "
+        f"CASE WHEN CAST(size({vint_col}) AS DOUBLE) * {mx} * {factor}L "
+        f">= {_SQL_GUARD_LIMIT} "
         f"THEN CAST(raise_error('{ctx}: dim * max|v_int| * max|p_int| "
         f"exceeds 2^53 - the exact integer contract breaks') "
         f"AS ARRAY<BIGINT>) ELSE {vint_col} END"
@@ -162,7 +180,8 @@ def sql_with_int_vector(vec_col: str) -> tuple[str, str]:
     )
     mx = f"list_max(list_transform({v_int}, x -> abs(x)))"
     vvi = (
-        f"CASE WHEN len({v_int}) * {mx} * {mx} >= {_EXACT_LIMIT} "
+        f"CASE WHEN CAST(len({v_int}) AS DOUBLE) * {mx} * {mx} "
+        f">= {_SQL_GUARD_LIMIT} "
         f"THEN CAST(error('with_int_vector: dim * max|v_int|^2 exceeds "
         f"2^53 - the exact integer-cosine contract breaks') AS DOUBLE) "
         f"ELSE list_dot_product({v_int}, {v_int}) END"
@@ -301,7 +320,7 @@ def matmul_near_dup_pairs(
             # then an exactly-representable integer — see with_int_vector
             mi = np.floor(m.astype(np.float64) * 1e6 + 0.5)
             mx = int(np.abs(mi).max()) or 1
-            if mi.shape[1] * mx * mx >= (1 << 53):
+            if float(mi.shape[1]) * float(mx) * float(mx) >= _GUARD_LIMIT:
                 raise ValueError(
                     "matmul near-dup: dim * max|v_int|^2 exceeds 2^53"
                 )
@@ -408,7 +427,7 @@ def bucketed_matmul_near_dup_pairs(
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         mi = np.floor(np.stack(pdf["_vec"].to_numpy()).astype(np.float64) * 1e6 + 0.5)
         mx = int(np.abs(mi).max()) or 1
-        if mi.shape[1] * mx * mx >= (1 << 53):
+        if float(mi.shape[1]) * float(mx) * float(mx) >= _GUARD_LIMIT:
             raise ValueError(
                 "bucketed near-dup: dim * max|v_int|^2 exceeds 2^53"
             )
@@ -1927,7 +1946,7 @@ def hyperplane_signatures_arrow(
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xi = np.floor(X * 1e6 + 0.5)  # the standard micro quantization
             mx = int(np.abs(Xi).max()) or 1
-            if dim * mx * pmax >= (1 << 53):
+            if float(dim) * float(mx) * float(pmax) >= _GUARD_LIMIT:
                 raise ValueError(
                     "hyperplane signature: dim * max|v_int| * max|p_int| "
                     "exceeds 2^53 — the exact-GEMM contract breaks"
@@ -1985,7 +2004,8 @@ def sql_hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> str:
     # on the same inputs instead of float64 silently rounding here.
     mx = f"list_max(list_transform({micro}, x -> abs(x)))"
     bits = [
-        f"CASE WHEN len({micro}) * {mx} * {pmax} >= {_EXACT_LIMIT} "
+        f"CASE WHEN CAST(len({micro}) AS DOUBLE) * {mx} * {pmax} "
+        f">= {_SQL_GUARD_LIMIT} "
         f"THEN CAST(error('hyperplane bucket: dim * max|v_int| * "
         f"max|p_int| exceeds 2^53 - the exact integer contract breaks') "
         f"AS VARCHAR) ELSE '' END"
@@ -2369,7 +2389,7 @@ def semantic_dedup(
             Vf = np.rint(vd * 1e6)
             dim = Vf.shape[1]
             mx = int(np.abs(Vf).max()) or 1
-            if dim * mx * mx >= (1 << 53):
+            if float(dim) * float(mx) * float(mx) >= _GUARD_LIMIT:
                 # above this, float64 partial sums round and the dot stops
                 # being the exact integer the oracle contract requires
                 raise ValueError(

@@ -684,6 +684,38 @@ def test_spread_single_partition_gating(spark):
     )
 
 
+def test_spread_decision_cached_per_file_set(spark, tmp_path):
+    """The exact single-partition probe forces physical planning, so its
+    verdict is cached per file set (ADVICE r8) — every projection of the
+    same files consults the cache instead of re-planning. Pinned by
+    poisoning the cache: a False entry must suppress the spread on a scan
+    that IS single-partition, proving the probe is short-circuited."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    p = str(tmp_path / "one_split")
+    spark.createDataFrame(
+        [(i, "a") for i in range(16)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    key = tuple(sorted(scan.inputFiles()))
+
+    dedup._spread_decisions.pop(key, None)
+    out = dedup._spread_single_partition(
+        scan.select("text"), dedup._SPREAD_MIN_DOCS
+    )
+    assert out.rdd.getNumPartitions() == par  # spread fired
+    assert dedup._spread_decisions.get(key) is True  # verdict recorded
+
+    # poisoned cache is honored -> the probe did not re-run
+    dedup._spread_decisions[key] = False
+    out2 = dedup._spread_single_partition(
+        scan.select("doc_id"), dedup._SPREAD_MIN_DOCS
+    )
+    assert out2.rdd.getNumPartitions() == 1
+    dedup._spread_decisions.pop(key, None)
+
+
 def test_hier_assign_kernel_matches_flat():
     """The two-level pruned assignment (round 8 — the large-K scale path)
     must return the identical (quantized distance, position) pair as the

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from stock_etl_pipeline_spark import streaming
@@ -138,6 +139,7 @@ def test_lateness_listener_live(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+@pytest.mark.perf_floor
 def test_streaming_neardup_warm_throughput_floor(spark, tmp_path):
     """Warm-started steady-state docs/s floor for the streaming near-dup
     operator — the CI tripwire for throughput regressions (VERDICT r7
@@ -151,17 +153,25 @@ def test_streaming_neardup_warm_throughput_floor(spark, tmp_path):
     scan — the vectorization target — dominates per-batch fixed cost.
 
     Floor calibration (round 8, local[4] tuned confs): measured 562 docs/s
-    on this host. The floor is 220 (~40%) on purpose: host speed drifts up
-    to ~1.5x across rounds (BASELINE.md), so a 60% floor could trip on
-    drift alone, while 40% still catches the regressions that matter (the
-    round-6 fixed-cost work alone was a 1.9x swing; losing the Arrow
-    signature kernel or the salted CSR state is >2.5x).
-    ``SPARK_GRAFT_STREAM_FLOOR`` overrides the floor — set it above the
-    measured rate to demonstrate the assert bites (injected slowdown).
+    on the r8 host. The floor is 220 (~40%) on purpose: 40% still catches
+    the regressions that matter (the round-6 fixed-cost work alone was a
+    1.9x swing; losing the Arrow signature kernel or the salted CSR state
+    is >2.5x) while absorbing round-scale host drift. Host robustness
+    beyond the margin (ADVICE r8): the floor additionally scales by
+    ``perf_floors.arrow_host_scale`` (a fixed Arrow probe measuring THIS
+    run's Python-band speed, never scaling the floor up), and the whole
+    assertion is ``perf_floor``-marked / env-skippable.
+    ``SPARK_GRAFT_STREAM_FLOOR`` overrides the floor verbatim (no host
+    scale) — set it above the measured rate to demonstrate the assert
+    bites (injected slowdown).
     """
     import os
 
     from stock_etl_pipeline_spark.datasets import load_table as _lt
+
+    from .perf_floors import arrow_host_scale, skip_if_perf_floors_disabled
+
+    skip_if_perf_floors_disabled()
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_nodata = spark.conf.get(
@@ -240,10 +250,146 @@ def test_streaming_neardup_warm_throughput_floor(spark, tmp_path):
             .count()
         )
         assert flagged > n_in // 2, f"near-dup flags collapsed: {flagged}/{n_in}"
-        floor = float(os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "220"))
+        env_floor = os.environ.get("SPARK_GRAFT_STREAM_FLOOR")
+        floor = (
+            float(env_floor)
+            if env_floor is not None
+            else 220.0 * arrow_host_scale(spark)
+        )
         assert docs_per_s >= floor, (
             f"streaming near-dup steady state regressed: {docs_per_s:.0f} "
             f"docs/s < floor {floor:.0f} (wall {wall:.2f}s over {n_in} docs)"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
+
+
+@pytest.mark.perf_floor
+def test_streaming_semantic_dedup_warm_throughput_floor(spark, tmp_path):
+    """Sibling of the near-dup floor for ``streaming_semantic_dedup``
+    (VERDICT r8 item 5: the semantic stream measured 482 docs/s warm in
+    round 7 but had no tripwire, so a regression in the pruned-argmin
+    streaming path would only surface manually).
+
+    Shape replicates ``scripts/stream_probe.py --operator semantic
+    --warm-start --dup-factor 8``: a frozen K=8 model trained offline by
+    the batch ``kmeans_exact`` on the base corpus, a 2-vector untimed
+    warm stream, then a timed availableNow run over a dup-packed corpus
+    (4,000 vectors, exact-clone groups of 8) where the per-cell GEMM +
+    state scan dominates per-batch fixed cost. Exact clones score cosine
+    1.0 against their earlier siblings, so the work-integrity guard
+    (flags must not collapse) holds by construction.
+
+    Floor calibration (round 9 host, local[4] tuned confs): measured
+    627 docs/s warm (the same run measured near-dup at 509, so the two
+    siblings are like-for-like); floor 200 (~32%, inside the near-dup
+    margin rationale), host-scaled by the same fixed Arrow probe.
+    ``SPARK_GRAFT_SEM_STREAM_FLOOR`` overrides verbatim — set it above
+    the measured rate to demonstrate the assert bites (injected
+    slowdown)."""
+    import os
+
+    from stock_etl_pipeline_spark.datasets import load_table as _lt
+    from stock_etl_pipeline_spark.operators import similarity
+
+    from .perf_floors import arrow_host_scale, skip_if_perf_floors_disabled
+
+    skip_if_perf_floors_disabled()
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    streaming.tuned_stream_confs(spark)
+    try:
+        emb = _lt(spark, "/root/testdata/sf0.01", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        # frozen model on the BASE corpus (exact clones would not move it)
+        cents = similarity.kmeans_exact(
+            similarity.with_micro_vectors(emb), k_clusters=8, iters=2
+        )
+        base = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        dup = 8
+        copies = F.array(
+            *[
+                F.struct(
+                    (F.col("vec_id") * dup + k).alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                )
+                for k in range(dup)
+            ]
+        )
+        staged = (
+            emb.select(F.explode(copies).alias("c"))
+            .select("c.*")
+            .select(
+                "vec_id",
+                (
+                    base + F.make_dt_interval(secs=F.col("vec_id").cast("double"))
+                ).alias("ts"),
+                "embedding",
+                (F.col("vec_id") % 2).alias("b"),
+            )
+        )
+        n_in = staged.count()
+        src = str(tmp_path / "semfloor_src")
+        for b in range(2):
+            staged.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        wsrc = str(tmp_path / "semfloor_warm")
+        staged.drop("b").limit(2).coalesce(1).write.parquet(wsrc)
+
+        def mkstream(path):
+            return (
+                spark.readStream.schema(
+                    "vec_id long, ts timestamp, embedding array<float>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        streaming.run_to_memory(
+            streaming.streaming_semantic_dedup(
+                mkstream(wsrc), cents, threshold=0.95, watermark="1 hour"
+            ),
+            "t_semfloor_warm",
+            str(tmp_path / "ck_semwarm"),
+            timeout_s=300,
+        )
+        t0 = time.perf_counter()
+        streaming.run_to_memory(
+            streaming.streaming_semantic_dedup(
+                mkstream(src), cents, threshold=0.95, watermark="1 hour"
+            ),
+            "t_semfloor_main",
+            str(tmp_path / "ck_semmain"),
+            timeout_s=300,
+        )
+        wall = time.perf_counter() - t0
+        docs_per_s = n_in / wall
+        flagged = (
+            spark.table("t_semfloor_main")
+            .filter(F.col("matched_id").isNotNull())
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        assert flagged > n_in // 2, f"semantic flags collapsed: {flagged}/{n_in}"
+        env_floor = os.environ.get("SPARK_GRAFT_SEM_STREAM_FLOOR")
+        floor = (
+            float(env_floor)
+            if env_floor is not None
+            else 200.0 * arrow_host_scale(spark)
+        )
+        assert docs_per_s >= floor, (
+            f"streaming semantic dedup steady state regressed: "
+            f"{docs_per_s:.0f} docs/s < floor {floor:.0f} "
+            f"(wall {wall:.2f}s over {n_in} docs)"
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
