@@ -394,6 +394,24 @@ def connected_components(
     real corpus is < 50), raising instead of silently returning partial
     labels.
 
+    Fixed-cost discipline (round 9 — CC was the largest K-flat term in
+    semantic dedup at the 100x tier, ~25 jobs across alternations): ONE
+    job per alternation. Both phases are LAZY localCheckpoints and the
+    survivor's materializing action is a ``count()`` (lineage truncation
+    and the edge count come out of the same job; the old shape paid two
+    eager checkpoint jobs plus the convergence aggregate every round).
+    The count doubles as a convergence pre-check: both phases map each
+    input edge to at most one output edge (large-star images each (u,v),
+    v>u; small-star emits |Γ≤(u)| edges per node — relink drops the
+    min-edge, the self-link restores one), so the canonical edge count is
+    NON-INCREASING and a strict drop proves the set changed — not a
+    fixpoint, skip the star-forest aggregate. The aggregate runs only on
+    a count plateau. Cost of the laziness: an alternation that both
+    shrinks the set AND lands exactly on the star forest is detected one
+    alternation later — but that extra alternation runs on the SMALLEST
+    edge set of the whole run, while the skipped aggregates ran on the
+    largest (measured at the 100x tier: see SCALING.md round 9).
+
     Returns (doc_id, keeper_id): every node that appears in ``pairs``,
     labeled with its component's minimum id — identical contract and
     labeling to ``near_dup_keepers``, so the two are interchangeable
@@ -406,6 +424,8 @@ def connected_components(
         .localCheckpoint()
     )
     # Undirected edge set, kept canonical (lo < hi) between alternations.
+    # Lazy checkpoint + count: one job materializes the truncated lineage
+    # AND yields the baseline edge count for the plateau pre-check.
     edges = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("lo"),
@@ -413,8 +433,9 @@ def connected_components(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
 
     def _is_star_forest(e: DataFrame) -> bool:
         # Exact convergence test (round 8 — replaces the two-phase edge-set
@@ -456,13 +477,16 @@ def connected_components(
         ).select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         m_u = sym.groupBy("u").agg(F.min("v").alias("min_nbr"))
         m_u = m_u.select("u", F.least("u", "min_nbr").alias("m"))
+        # lazy: materialized (and lineage-truncated) inside the survivor's
+        # count job below — no standalone barrier job for the intermediate
+        # phase (VERDICT r8: checkpoint only the survivor)
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(m_u, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         # Small-star: orient edges toward the smaller endpoint; for every u,
@@ -475,14 +499,20 @@ def connected_components(
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
         )
         self_link = m_u.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
-        small = relink.unionByName(self_link).distinct().localCheckpoint()
+        small = (
+            relink.unionByName(self_link).distinct().localCheckpoint(eager=False)
+        )
 
-        # Convergence: the OUTPUT is already a star forest ⇔ it is a joint
-        # fixpoint of both phases (proof at _is_star_forest) — detected the
-        # round it is REACHED, not one alternation later.
+        # ONE job: materializes large + small (truncating both lineages)
+        # and returns the canonical edge count. A strict drop proves the
+        # set changed — not a fixpoint — so the exact star-forest
+        # aggregate runs only on a plateau (count is non-increasing
+        # through both phases; proof in the docstring).
+        n_small = small.count()
         edges = small
-        if _is_star_forest(small):
+        if n_small == n_edges and _is_star_forest(small):
             break
+        n_edges = n_small
     else:
         raise ValueError(
             f"connected_components: no fixpoint after {max_rounds} "
