@@ -365,6 +365,41 @@ def sql_propagation_rounds(rounds: int) -> str:
     return ",\n  ".join(parts)
 
 
+def _is_star_forest_df(e: DataFrame) -> bool:
+    """Exact convergence test for the large-star/small-star alternation
+    (round 8 — replaces the two-phase edge-set equality, which cost 2
+    counts + 2 exceptAll anti-joins and could only detect a fixpoint one
+    full alternation AFTER reaching it). A canonical (distinct, lo < hi)
+    edge set is a fixpoint of BOTH phases iff it is a STAR FOREST: no hi
+    repeats and no node is both a hi and a lo.
+
+      star forest ⇒ fixpoint: for a star (r, v₁..vₖ), large-star at r
+      re-emits every (r, vᵢ) and members have no larger neighbors;
+      small-star's relink + self-link likewise re-emit exactly the star.
+      fixpoint ⇒ star forest: if x is hi of (a,x) AND lo of (x,b),
+      large-star at x emits (m,b) with m ≤ a < x and does NOT re-emit
+      (x,b) (x isn't the min of Γ(x)∪{x}) — the set changed. If x is hi
+      of (a,x) and (b,x) with a < b, both may survive large-star, but
+      small-star at x relinks b to m = a, emitting (a,b) ∉ S. (The chain
+      {(1,2),(1,3),(2,4)} is small-star-stable but fails the predicate
+      via 2 ∈ hi ∩ lo — exactly the case the old code's "both phases"
+      comparison guarded against.)
+
+    ONE pass: per node, count hi-roles and lo-roles; short-circuits on
+    the first violation."""
+    roles = e.select(
+        F.col("hi").alias("n"), F.lit(1).alias("h"), F.lit(0).alias("l")
+    ).unionByName(
+        e.select(F.col("lo").alias("n"), F.lit(0).alias("h"), F.lit(1).alias("l"))
+    )
+    return (
+        roles.groupBy("n")
+        .agg(F.sum("h").alias("h"), F.sum("l").alias("l"))
+        .filter((F.col("h") > 1) | ((F.col("h") > 0) & (F.col("l") > 0)))
+        .isEmpty()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -389,7 +424,7 @@ def connected_components(
     edge relation (linear, no broadcast); ``localCheckpoint`` truncates
     the iterative lineage exactly as in the propagation path. Convergence
     is the exact star-forest predicate (one aggregate pass; provably
-    equivalent to the joint two-phase fixpoint — see ``_is_star_forest``),
+    equivalent to the joint two-phase fixpoint — see ``_is_star_forest_df``),
     not a fingerprint. ``max_rounds`` is a runaway backstop (log₂ of any
     real corpus is < 50), raising instead of silently returning partial
     labels.
@@ -437,37 +472,6 @@ def connected_components(
     )
     n_edges = edges.count()
 
-    def _is_star_forest(e: DataFrame) -> bool:
-        # Exact convergence test (round 8 — replaces the two-phase edge-set
-        # equality, which cost 2 counts + 2 exceptAll anti-joins and could
-        # only detect a fixpoint one full alternation AFTER reaching it).
-        # A canonical (distinct, lo < hi) edge set is a fixpoint of BOTH
-        # phases iff it is a STAR FOREST: no hi repeats and no node is both
-        # a hi and a lo.
-        #   star forest ⇒ fixpoint: for a star (r, v₁..vₖ), large-star at r
-        #   re-emits every (r, vᵢ) and members have no larger neighbors;
-        #   small-star's relink + self-link likewise re-emit exactly the
-        #   star.
-        #   fixpoint ⇒ star forest: if x is hi of (a,x) AND lo of (x,b),
-        #   large-star at x emits (m,b) with m ≤ a < x and does NOT re-emit
-        #   (x,b) (x isn't the min of Γ(x)∪{x}) — the set changed. If x is
-        #   hi of (a,x) and (b,x) with a < b, both may survive large-star,
-        #   but small-star at x relinks b to m = a, emitting (a,b) ∉ S.
-        #   (The chain {(1,2),(1,3),(2,4)} is small-star-stable but fails
-        #   the predicate via 2 ∈ hi ∩ lo — exactly the case the old code's
-        #   "both phases" comparison guarded against.)
-        # ONE pass: per node, count hi-roles and lo-roles; short-circuits
-        # on the first violation.
-        roles = e.select(F.col("hi").alias("n"), F.lit(1).alias("h"), F.lit(0).alias("l")).unionByName(
-            e.select(F.col("lo").alias("n"), F.lit(0).alias("h"), F.lit(1).alias("l"))
-        )
-        return (
-            roles.groupBy("n")
-            .agg(F.sum("h").alias("h"), F.sum("l").alias("l"))
-            .filter((F.col("h") > 1) | ((F.col("h") > 0) & (F.col("l") > 0)))
-            .isEmpty()
-        )
-
     for _ in range(max_rounds):
         # Large-star: for every node u, connect each STRICTLY LARGER
         # neighbor v to m = min(Γ(u) ∪ {u}).  Symmetrize, take per-u min
@@ -510,7 +514,7 @@ def connected_components(
         # through both phases; proof in the docstring).
         n_small = small.count()
         edges = small
-        if n_small == n_edges and _is_star_forest(small):
+        if n_small == n_edges and _is_star_forest_df(small):
             break
         n_edges = n_small
     else:

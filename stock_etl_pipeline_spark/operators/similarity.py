@@ -827,11 +827,21 @@ def _hier_index(C, n_super: int | None = None, iters: int = 3):
     required here: any covering yields the identical pruned argmin, the
     structure only decides what gets pruned), member position lists, and
     conservatively inflated radii. Returns None when the model is too small
-    to split."""
+    to split.
+
+    ``SPARK_GRAFT_HIER_SUPER`` overrides the ~√K super-cell count (an A/B
+    knob for scripts/ab.py env arms — the bound proof is structure-
+    independent, so ANY count yields the identical argmin; the count only
+    moves the prune rate. The √K default was confirmed by a 3-point sweep
+    at K=14336, SCALING.md round 9)."""
     import numpy as np
 
     K = C.shape[0]
-    S_n = n_super or max(2, int(round(K**0.5)))
+    S_n = (
+        n_super
+        or int(os.environ.get("SPARK_GRAFT_HIER_SUPER", "0"))
+        or max(2, int(round(K**0.5)))
+    )
     if S_n >= K:
         return None
     cC = (C * C).sum(axis=1)
@@ -2227,6 +2237,169 @@ def ann_bucketed_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+# --- recall-aware cell-count auto-probe (round 9) ----------------------------
+
+_AUTO_PROBE_SAMPLE = 512
+
+# Last auto-probe decision (tests / operational forensics): {"n": int,
+# "true_pairs": int, "candidates": {K: {"recall", "rel_cost", "score"}},
+# "chosen": int}. The probe also logs one line at INFO.
+LAST_AUTO_PROBE: dict | None = None
+
+
+def probe_cell_count(
+    v: DataFrame,
+    threshold: float,
+    *,
+    iters: int,
+    id_col: str = "vec_id",
+    sample_n: int = _AUTO_PROBE_SAMPLE,
+    candidates: list[int] | None = None,
+) -> int:
+    """Measure recall@K across candidate cell counts and return the best
+    recall-per-cost K — the operator form of ``scripts/recall_probe.py``
+    (round 8 measured recall is NOT monotone in K: 0.16 at the √n/7
+    default rising to 0.66 at K=1024 then falling to 0.09 at K=14336 on
+    the 100x corpus, because recall is governed by how well cells match
+    the corpus's intrinsic cluster structure). Opt-in via
+    ``semantic_dedup(k_clusters="auto-probe")`` — the default stays √n/7
+    (one synthetic corpus must not retune a data-dependent constant).
+
+    Ground truth is scale-correct: the ``sample_n`` LOWEST ids (bounded,
+    deterministic) are collected and broadcast; ONE ``mapInPandas`` pass
+    scores sample × corpus with the exact fixed-point GEMM (the pair
+    stage's own arithmetic: exact integer dot, floor-quantized to 1e-6
+    BEFORE the threshold) — the corpus never collects, so the probe holds
+    at any corpus size. For each candidate K the full ``kmeans_exact`` +
+    Arrow assignment runs and recall = the co-assigned fraction of true
+    pairs — exactly the pairs the within-cell search can possibly see.
+
+    Scoring: recall / rel_cost with rel_cost(K) = ½·√(K/K0) + ½·(K0/K),
+    K0 = √n/7 — the two-level-assignment cost law (a'·n·√K pruned
+    assignment + g·n²/K per-cell GEMM, SCALING.md round 8) with the two
+    terms anchored EQUAL at K0, where the flat model's optimum put them
+    (K* = √(n·g/a)). The anchor is a modeling assumption, recorded here
+    so the score is auditable; recall differences across the 4x-spaced
+    candidates dominate the cost term in every measured case. Ties break
+    to the smaller K. A corpus with no true sample pairs scores recall
+    1.0 everywhere and picks K0.
+
+    Cost of the probe itself: one sample×corpus Arrow pass plus one
+    (train + assign + join) per candidate — the affordable-by-design
+    large-K path (two-level pruned assignment auto-fires at K ≥ 512).
+    """
+    import numpy as np
+
+    from ..caching import eager_cache
+
+    n = v.count()
+    k0 = max(2, round(n**0.5 / 7))
+    if candidates is None:
+        cap = max(2, n // 4)
+        candidates = sorted({min(k, cap) for k in (k0, 4 * k0, 16 * k0)})
+
+    samp = (
+        v.orderBy(id_col).limit(sample_n).select(id_col, "v_dbl").collect()
+    )
+    if not samp:
+        raise ValueError("probe_cell_count: empty corpus")
+    s_ids = np.array([r[id_col] for r in samp], dtype=np.int64)
+    Si = np.rint(
+        np.stack([np.asarray(r["v_dbl"], np.float64) for r in samp]) * 1e6
+    )
+    smax = float(np.abs(Si).max()) or 1.0
+    sn = np.sqrt((Si * Si).sum(axis=1))
+    sn[sn == 0.0] = 1.0  # zero vectors: cosine 0 with everything
+    thr = float(threshold)
+    id_type = dict(v.dtypes)[id_col]
+
+    def scan(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Mi = np.rint(np.stack(pdf["v_dbl"].to_numpy()) * 1e6)
+            bmax = float(np.abs(Mi).max()) or 1.0
+            if float(Mi.shape[1]) * smax * bmax >= _GUARD_LIMIT:
+                raise ValueError(
+                    "probe_cell_count: dim * max|v_int|^2 exceeds 2^53 - "
+                    "the exact integer contract breaks"
+                )
+            mn = np.sqrt((Mi * Mi).sum(axis=1))
+            mn[mn == 0.0] = 1.0
+            # exact integer dot (float64 GEMM, no rounding by the guard),
+            # then the pair stage's quantize-before-compare rule
+            G = (Si @ Mi.T) / np.outer(sn, mn)
+            q = np.floor(G * 1e6 + 0.5) / 1e6
+            a, b = np.nonzero(q >= thr)
+            c_ids = pdf[id_col].to_numpy()
+            keep = s_ids[a] != c_ids[b]
+            yield pd.DataFrame(
+                {"s_id": s_ids[a[keep]], "c_id": c_ids[b[keep]]}
+            )
+
+    pairs = eager_cache(
+        v.select(id_col, "v_dbl").mapInPandas(
+            scan, f"s_id {id_type}, c_id {id_type}"
+        )
+    )
+    n_pairs = pairs.count()
+
+    results: dict[int, dict] = {}
+    best_k, best_score = None, -1.0
+    for K in candidates:
+        cent = kmeans_exact(
+            v, k_clusters=K, iters=iters, id_col=id_col, assign_backend="arrow"
+        )
+        asg = assign_to_centroids_arrow(
+            v.select(id_col, "v_dbl", "vv"), cent, id_col=id_col
+        ).select(id_col, "cid")
+        if n_pairs:
+            co = (
+                pairs.join(
+                    asg.select(
+                        F.col(id_col).alias("s_id"), F.col("cid").alias("ca")
+                    ),
+                    "s_id",
+                )
+                .join(
+                    asg.select(
+                        F.col(id_col).alias("c_id"), F.col("cid").alias("cb")
+                    ),
+                    "c_id",
+                )
+                .filter(F.col("ca") == F.col("cb"))
+                .count()
+            )
+            recall = co / n_pairs
+        else:
+            recall = 1.0
+        rel_cost = 0.5 * (K / k0) ** 0.5 + 0.5 * (k0 / K)
+        score = recall / rel_cost
+        results[K] = {
+            "recall": round(recall, 4),
+            "rel_cost": round(rel_cost, 4),
+            "score": round(score, 4),
+        }
+        if score > best_score:  # strict: ties keep the smaller (earlier) K
+            best_k, best_score = K, score
+
+    global LAST_AUTO_PROBE
+    LAST_AUTO_PROBE = {
+        "n": n,
+        "true_pairs": n_pairs,
+        "candidates": results,
+        "chosen": best_k,
+    }
+    import logging
+
+    logging.getLogger(__name__).info(
+        "cell-count auto-probe: %s", LAST_AUTO_PROBE
+    )
+    return best_k
+
+
 # --- semantic dedup (SemDeDup composition) ----------------------------------
 
 
@@ -2234,7 +2407,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float,
     *,
-    k_clusters: int = 8,
+    k_clusters: int | str = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2260,9 +2433,12 @@ def semantic_dedup(
     count matches the corpus's intrinsic cluster structure (measured on
     the 100x corpus: recall 0.16 at K=64 RISING to 0.66 at K=1024, then
     falling to 0.09 at K=14336 — SCALING.md round 8), so measure the
-    recall probe before choosing K on a new corpus. Cells bound the
-    quadratic term at Σ n_cell² — the 100 TB story is the cell count
-    growing with the corpus so cells stay executor-sized.
+    recall probe before choosing K on a new corpus —
+    ``k_clusters="auto-probe"`` (opt-in) runs :func:`probe_cell_count`
+    to do exactly that: it scores {√n/7, 4x, 16x} by measured
+    recall-per-cost on a deterministic sample and uses the winner. Cells
+    bound the quadratic term at Σ n_cell² — the 100 TB story is the cell
+    count growing with the corpus so cells stay executor-sized.
 
     Keeper policy:
     - ``min_id`` (default): smallest id in the component — cheap,
@@ -2309,6 +2485,8 @@ def semantic_dedup(
         raise ValueError(f"unknown pair backend {pair_backend!r}")
     if assign_backend not in ("jvm", "arrow"):
         raise ValueError(f"unknown assign backend {assign_backend!r}")
+    if isinstance(k_clusters, str) and k_clusters != "auto-probe":
+        raise ValueError(f"unknown k_clusters mode {k_clusters!r}")
     import pandas as pd
 
     from ..caching import begin_pipeline, eager_cache
@@ -2321,6 +2499,10 @@ def semantic_dedup(
     # rule as the text-dedup signature relations; MEMORY_AND_DISK spills at
     # scale, and the pipeline pool releases it on the next entry.
     v = eager_cache(with_micro_vectors(df.select(id_col, vec_col), vec_col))
+    if k_clusters == "auto-probe":
+        k_clusters = probe_cell_count(
+            v, threshold, iters=iters, id_col=id_col
+        )
     centroids = kmeans_exact(
         v, k_clusters=k_clusters, iters=iters, id_col=id_col,
         assign_backend=assign_backend,

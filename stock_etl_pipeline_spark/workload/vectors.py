@@ -826,13 +826,20 @@ def _sem_tier(n_vecs: int) -> dict:
             k_clusters=_IVF_K, pair_backend="int", propagation_rounds=_SEM_ROUNDS
         )
     # Tier-1 experiment knobs (never tier 0 — the oracle geometry stays
-    # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count and
-    # SPARK_GRAFT_SEM_ASSIGN pins the assignment backend, so scripts/ab.py
-    # env-arms can A/B the √n constant and the Arrow/JVM assignment at the
-    # soak tiers.
+    # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count (or, as
+    # "auto-probe", runs the recall-per-cost probe —
+    # similarity.probe_cell_count) and SPARK_GRAFT_SEM_ASSIGN pins the
+    # assignment backend, so scripts/ab.py env-arms can A/B the √n
+    # constant, the probe, and the Arrow/JVM assignment at the soak tiers.
     override = os.environ.get("SPARK_GRAFT_SEM_CELLS")
+    if override == "auto-probe":
+        k = "auto-probe"
+    elif override:
+        k = int(override)
+    else:
+        k = max(_IVF_K + 1, round(n_vecs**0.5 / 7))
     return dict(
-        k_clusters=int(override) if override else max(_IVF_K + 1, round(n_vecs**0.5 / 7)),
+        k_clusters=k,
         pair_backend=pair,
         propagation_rounds=None,
         assign_backend=os.environ.get("SPARK_GRAFT_SEM_ASSIGN", "arrow"),

@@ -499,6 +499,73 @@ def test_semantic_dedup_partitioning_invariant(spark):
     assert a == b
 
 
+def test_cell_count_auto_probe(spark):
+    """k_clusters="auto-probe" (round 9, opt-in): the probe measures
+    recall@K per candidate, records its decision, and semantic_dedup with
+    the mode is bit-identical to running it with the chosen K directly.
+    On a corpus whose clusters all co-assign at every candidate (the
+    planted 3-family corpus), recall ties at 1.0 and the cost term must
+    break the tie to the SMALLEST candidate K0."""
+    from stock_etl_pipeline_spark.operators import similarity
+    from stock_etl_pipeline_spark.operators.similarity import (
+        probe_cell_count,
+        semantic_dedup,
+        with_micro_vectors,
+    )
+
+    # 64 vectors in 4 tight orthogonal families -> every true pair is
+    # within-family; any K whose cells don't split a family scores 1.0
+    rows = []
+    for i in range(64):
+        fam = i % 4
+        vec = [0.0] * 8
+        vec[fam] = 1.0
+        vec[7] = 0.001 * (i // 4)  # tiny intra-family spread
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    v = with_micro_vectors(df.select("vec_id", "embedding"), "embedding")
+    chosen = probe_cell_count(v, 0.99, iters=2, candidates=[4, 16])
+    probe = similarity.LAST_AUTO_PROBE
+    assert probe["chosen"] == chosen
+    assert set(probe["candidates"]) == {4, 16}
+    assert probe["true_pairs"] > 0
+    for rec in probe["candidates"].values():
+        assert 0.0 <= rec["recall"] <= 1.0
+    # recall ties at 1.0 on this corpus -> the cost term picks the small K
+    assert probe["candidates"][4]["recall"] == 1.0
+    assert chosen == 4
+
+    a = sorted(
+        map(repr, semantic_dedup(df, 0.99, k_clusters="auto-probe", iters=2).collect())
+    )
+    b = sorted(
+        map(
+            repr,
+            semantic_dedup(
+                df, 0.99, k_clusters=similarity.LAST_AUTO_PROBE["chosen"], iters=2
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_auto_probe_never_fires_at_tier0(monkeypatch):
+    """SPARK_GRAFT_SEM_CELLS="auto-probe" is a tier-1 knob: tier 0 (the
+    frozen oracle geometry every driver SF lands in) must ignore it."""
+    from stock_etl_pipeline_spark.workload.vectors import (
+        _IVF_K,
+        _SEM_TIER0_MAX,
+        _sem_tier,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SEM_CELLS", "auto-probe")
+    t0 = _sem_tier(_SEM_TIER0_MAX)
+    assert t0["k_clusters"] == _IVF_K  # frozen, knob ignored
+    t1 = _sem_tier(_SEM_TIER0_MAX + 1)
+    assert t1["k_clusters"] == "auto-probe"  # opt-in passes through
+
+
 def test_semantic_dedup_rejects_unknown_policy(spark):
     import pytest
 
