@@ -14,6 +14,10 @@ Variants:
   survivor  NO ckpt on large (ReuseExchange dedupes it inside small's one
             plan) + eager ckpt small + star-forest agg each round
   surv_cnt  like survivor + count-plateau gate (count over cached small)
+  hybrid    the SHIPPED operator with the round-9 local finish (edge count
+            under the gate -> bounded collect + driver union-find)
+  shipped0  the SHIPPED operator, gate disabled (pure distributed) — the
+            in-tree twin of lazy_cnt, sanity vs the handwritten replica
 
 Usage: python scripts/cc_lab.py [--cliques 30000] [--chains 2000] [--reps 3]
 Output: one JSON line per (rep, variant), then a min/median summary.
@@ -68,10 +72,28 @@ def build_pairs(spark, n_cliques: int, n_chains: int):
 def cc_variant(pairs, variant: str, max_rounds: int = 50):
     """The connected_components alternation loop with the variant's
     checkpoint/convergence policy. Mirrors operators/dedup.py (keep in
-    sync when the operator changes)."""
+    sync when the operator changes). ``hybrid``/``shipped0`` call the
+    shipped operator itself (gate on/off via SPARK_GRAFT_CC_LOCAL)."""
     from pyspark.sql import functions as F
 
-    from stock_etl_pipeline_spark.operators.dedup import _is_star_forest_df
+    from stock_etl_pipeline_spark.operators.dedup import (
+        _is_star_forest_df,
+        connected_components,
+    )
+
+    if variant in ("hybrid", "shipped0"):
+        saved = os.environ.get("SPARK_GRAFT_CC_LOCAL")
+        if variant == "shipped0":
+            os.environ["SPARK_GRAFT_CC_LOCAL"] = "0"
+        else:
+            os.environ.pop("SPARK_GRAFT_CC_LOCAL", None)
+        try:
+            return connected_components(pairs), -1
+        finally:
+            if saved is None:
+                os.environ.pop("SPARK_GRAFT_CC_LOCAL", None)
+            else:
+                os.environ["SPARK_GRAFT_CC_LOCAL"] = saved
 
     id_a, id_b = "doc_a", "doc_b"
     nodes = (
@@ -166,7 +188,7 @@ def main() -> int:
     n_pairs = pairs.count()
     print(json.dumps({"pairs": n_pairs}), flush=True)
 
-    variants = ("r8", "lazy_cnt", "survivor", "surv_cnt")
+    variants = ("r8", "lazy_cnt", "survivor", "surv_cnt", "hybrid", "shipped0")
     expected = None
     times: dict[str, list[float]] = {v: [] for v in variants}
     for rep in range(reps):

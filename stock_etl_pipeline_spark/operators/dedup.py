@@ -400,6 +400,56 @@ def _is_star_forest_df(e: DataFrame) -> bool:
     )
 
 
+# Local-finish boundary for connected_components: once the (non-increasing)
+# canonical edge count is at or under this, the edge set collects (bounded:
+# 16 bytes/edge → 32 MB at the default) and a driver-side union-find
+# finishes the grouping in one pass — late alternations are pure
+# fixed-cost (jobs, AQE finalization, barriers) on tiny relations, the
+# K-flat floor VERDICT r8 item 1 named. SPARK_GRAFT_CC_LOCAL overrides
+# (0 disables — the pure-distributed arm for A/B and property tests).
+CC_LOCAL_EDGE_MAX = 2_000_000
+
+
+def _cc_local_threshold() -> int:
+    knob = os.environ.get("SPARK_GRAFT_CC_LOCAL")
+    return int(knob) if knob is not None else CC_LOCAL_EDGE_MAX
+
+
+def _union_find_min_labels(lo, hi):
+    """Exact min-label connected components over collected edge arrays —
+    the driver-side finisher, fully VECTORIZED (Shiloach–Vishkin-style
+    min-hooking + pointer-jumping; a per-edge Python union-find loop
+    measured 3.2 s on the 100x tier's 1.6M-edge graph, this runs it in
+    0.67 s). Per round: every edge hooks the larger of its endpoints'
+    parents to the smaller (``np.minimum.at`` resolves write collisions
+    to the min), then full pointer-jump compression; stop when no edge
+    hooks. Parent values are non-increasing and bounded below, so the
+    loop terminates; at the fixpoint every edge joins same-root nodes, so
+    each component carries ONE root, and that root is the component's
+    minimum index — the min index m can never be overwritten (all parent
+    values in its component are ≥ m) and is its own root, and
+    ``np.unique`` returns ids SORTED, so min index ⇔ min id (the keeper
+    contract). Returns (ids, labels) covering every node in the edges."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    a, b = inv[: len(lo)], inv[len(lo):]
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        pa, pb = parent[a], parent[b]
+        hooked = bool(len(pa)) and bool((pa != pb).any())
+        if hooked:
+            np.minimum.at(parent, np.maximum(pa, pb), np.minimum(pa, pb))
+        while True:  # pointer-jump to full compression
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if not hooked:
+            break
+    return ids, ids[parent]
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -447,6 +497,18 @@ def connected_components(
     edge set of the whole run, while the skipped aggregates ran on the
     largest (measured at the 100x tier: see SCALING.md round 9).
 
+    Hybrid local finish (round 9, second act): alternations on a small
+    edge set are pure fixed cost, so once the in-hand count is ≤
+    ``CC_LOCAL_EDGE_MAX`` (env ``SPARK_GRAFT_CC_LOCAL``; 0 = pure
+    distributed) the canonical edges collect — bounded by the gate
+    itself, ≤ 32 MB at the default, the centroid-model collect
+    contract — and an exact min-label union-find finishes driver-side.
+    Exact CC is unique, so the hybrid and distributed paths return
+    identical labels (property- and equality-test-pinned). At 100 TB
+    the distributed rounds shrink the graph log-fast until the gate
+    opens; at the 100x tier the pair graph is already under the gate
+    and CC collapses to one collect.
+
     Returns (doc_id, keeper_id): every node that appears in ``pairs``,
     labeled with its component's minimum id — identical contract and
     labeling to ``near_dup_keepers``, so the two are interchangeable
@@ -472,7 +534,39 @@ def connected_components(
     )
     n_edges = edges.count()
 
+    # Local finish: alternations on an already-small edge set are pure
+    # per-round fixed cost, so once the count (already in hand — it IS the
+    # materializing action) is under the bounded threshold, collect and
+    # union-find driver-side. Same bounded-collect contract as the
+    # centroid/codebook models: the gate bounds the transfer (≤ 32 MB at
+    # the default), and at 100 TB the alternations shrink the graph
+    # log-fast until the gate opens. Integer-id graphs only (the engine's
+    # ids are int64 everywhere; a non-integral id type falls through to
+    # the distributed loop rather than trusting numpy object semantics).
+    id_type = dict(edges.dtypes)["lo"]
+    thr = _cc_local_threshold() if id_type in ("bigint", "int") else 0
+
+    def _finish_local(e: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        pdf = e.select("lo", "hi").toPandas()
+        ids, labels = _union_find_min_labels(
+            pdf["lo"].to_numpy(), pdf["hi"].to_numpy()
+        )
+        lab = pairs.sparkSession.createDataFrame(
+            pd.DataFrame({"id": ids, "root": labels}), schema="id long, root long"
+        ).select(
+            F.col("id").cast(id_type).alias("id"),
+            F.col("root").cast(id_type).alias("root"),
+        )
+        return nodes.join(lab, "id", "left").select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("id")).alias("keeper_id"),
+        )
+
     for _ in range(max_rounds):
+        if thr and n_edges <= thr:
+            return _finish_local(edges)
         # Large-star: for every node u, connect each STRICTLY LARGER
         # neighbor v to m = min(Γ(u) ∪ {u}).  Symmetrize, take per-u min
         # neighbor, emit (v, m) for v > u; (v, m) is already v > m.

@@ -402,13 +402,15 @@ def test_cc_agrees_with_propagation_when_rounds_suffice(spark):
     assert cc == prop
 
 
-def test_cc_star_forest_predicate_boundary(spark):
+def test_cc_star_forest_predicate_boundary(spark, monkeypatch):
     """The edge set {(1,2),(1,3),(2,4)} is SMALL-star-stable but not a
     joint fixpoint (node 2 is both a hi and a lo) — the star-forest
     convergence predicate must not fire early on it, and the final labels
     must collapse the whole component to 1. Guards the 'both phases'
     requirement the round-8 predicate replaced the two-way edge-set
-    comparison with."""
+    comparison with. Gate disabled: this pins the DISTRIBUTED loop's
+    predicate (the default gate would take the local-finish path)."""
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL", "0")
     assert _cc(spark, [(1, 2), (1, 3), (2, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
@@ -420,6 +422,8 @@ def test_cc_empty_pairs(spark):
 
 
 def test_cc_string_ids(spark):
+    # string ids fall through to the distributed loop (the local finish is
+    # integer-id-only by construction) — contract unchanged either way
     from stock_etl_pipeline_spark.operators.dedup import connected_components
 
     df = spark.createDataFrame(
@@ -427,6 +431,45 @@ def test_cc_string_ids(spark):
     )
     got = {r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()}
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x": "x", "y": "x"}
+
+
+def test_cc_hybrid_local_finish_matches_distributed(spark, monkeypatch):
+    """Round-9 hybrid: the union-find local finish and the pure
+    distributed alternation loop return IDENTICAL labels (exact CC is
+    unique). Mixed graph — cliques (near-dup families), an 11-node chain
+    (diameter > any fixed round count), and isolated self-pairs — sized
+    well past what one alternation collapses. Also pins the gate
+    boundary: a threshold of exactly the edge count takes the local path
+    immediately; edge count − 1 forces at least one distributed
+    alternation before the shrunken set passes the gate."""
+    from stock_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = []
+    for base in range(0, 300, 6):  # 50 cliques of 4 (ids base..base+3)
+        ids = [base, base + 1, base + 2, base + 3]
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+    pairs += [(1000 + i, 1001 + i) for i in range(10)]  # chain
+    pairs += [(5000, 5000), (6000, 6000)]  # self-pairs label themselves
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    n_edges = 50 * 6 + 10  # canonical distinct lo<hi edges
+
+    def run():
+        return {
+            r["doc_id"]: r["keeper_id"]
+            for r in connected_components(df).collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL", "0")
+    dist = run()
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL", str(n_edges))
+    local_now = run()
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL", str(n_edges - 1))
+    local_later = run()
+    assert dist == local_now == local_later
+    # spot-check the contract on each shape
+    assert dist[3] == 0 and dist[9] == 6  # clique min-ids
+    assert all(dist[1000 + i] == 1000 for i in range(11))  # chain collapses
+    assert dist[5000] == 5000 and dist[6000] == 6000  # isolated
 
 
 # --- semantic dedup (SemDeDup composition) -----------------------------------

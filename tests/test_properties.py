@@ -348,16 +348,32 @@ def _uf_components(pairs):
 )
 def test_connected_components_matches_union_find(spark, pairs):
     """Large-star/small-star labels ≡ union-find min-id components on
-    arbitrary small graphs (self-loops label themselves)."""
+    arbitrary small graphs (self-loops label themselves). BOTH paths —
+    the round-9 hybrid local finish (default gate) and the pure
+    distributed alternation loop (gate disabled) — must match the ground
+    truth, and therefore each other."""
+    import os
+
     from stock_etl_pipeline_spark.operators.dedup import connected_components
 
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-    got = {r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()}
     want = _uf_components([(a, b) for a, b in pairs if a != b])
     for a, b in pairs:
         if a == b:
             want.setdefault(a, a)
-    assert got == want
+    got_local = {
+        r["doc_id"]: r["keeper_id"] for r in connected_components(df).collect()
+    }
+    assert got_local == want
+    os.environ["SPARK_GRAFT_CC_LOCAL"] = "0"
+    try:
+        got_dist = {
+            r["doc_id"]: r["keeper_id"]
+            for r in connected_components(df).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_CC_LOCAL"]
+    assert got_dist == want
 
 
 _unicode_texts = st.lists(
