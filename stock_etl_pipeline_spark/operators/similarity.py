@@ -2534,6 +2534,98 @@ def semantic_dedup(
         cells = cells.select(id_col, "cid", "cdist", "v_dbl", "vv")
     cells = eager_cache(cells)
 
+    # Fused per-cell grouping (round 9): SemDeDup pairs are WITHIN-CELL by
+    # construction (the search never crosses cells), so the pair graph is a
+    # disjoint union of per-cell graphs and components ≡ per-cell
+    # components. The default int backend therefore computes the exact
+    # grouping INSIDE the pair kernel (vectorized min-label union-find on
+    # the thresholded adjacency the GEMM just built) and emits one
+    # (id, cid, cdist, group_id) row per vector — the O(dup-mass) pair
+    # relation never materializes, never shuffles, and the global CC stage
+    # disappears (at the 100x tier that relation was 1.58M edges and CC was
+    # the largest K-flat term — SCALING.md round 9). Identical labels by
+    # construction: same kept edges, same min-id component labeling
+    # (equality test-pinned against the pairs+CC arm).
+    # SPARK_GRAFT_SEM_FUSE_GROUPS=0 keeps the pairs+CC path as an A/B arm;
+    # tier 0 (propagation_rounds) always takes the pairs path — it is the
+    # oracle-replayed geometry and stays frozen.
+    fuse_groups = (
+        pair_backend == "int"
+        and propagation_rounds is None
+        and os.environ.get("SPARK_GRAFT_SEM_FUSE_GROUPS", "1") != "0"
+    )
+    if fuse_groups:
+        from .dedup import _union_find_min_labels
+
+        id_type = dict(df.dtypes)[id_col]
+        grp_schema = (
+            f"{id_col} {id_type}, cid int, cdist double, group_id {id_type}"
+        )
+
+        def cell_groups_int(key, pdf):
+            import numpy as np
+
+            ids = pdf["_id"].to_numpy()
+            group = ids.copy()
+            if len(pdf) >= 2:
+                vd = np.stack(pdf["v_dbl"].to_numpy())
+                # identical arithmetic to cell_cosines_int below: exact
+                # micro-int recovery, guarded exact GEMM, slack prefilter,
+                # quantize survivors only
+                Vf = np.rint(vd * 1e6)
+                dim = Vf.shape[1]
+                mx = int(np.abs(Vf).max()) or 1
+                if float(dim) * float(mx) * float(mx) >= _GUARD_LIMIT:
+                    raise ValueError(
+                        "int pair backend: dim * max|v_int|^2 exceeds 2^53"
+                    )
+                S = Vf @ Vf.T
+                n = np.sqrt(np.diag(S))
+                cos = S / np.outer(n, n)
+                ia, ib = np.nonzero(cos >= threshold - 1e-6)
+                kp = ids[ia] < ids[ib]
+                ia, ib = ia[kp], ib[kp]
+                q = np.floor(cos[ia, ib] * 1e6 + 0.5) / 1e6
+                keep_m = q >= threshold
+                ea, eb = ids[ia][keep_m], ids[ib][keep_m]
+                if len(ea):
+                    uids, ulabels = _union_find_min_labels(ea, eb)
+                    pos = np.searchsorted(uids, ids)
+                    pos_c = np.minimum(pos, len(uids) - 1)
+                    hit = uids[pos_c] == ids
+                    group[hit] = ulabels[pos_c[hit]]
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cid": pdf["cid"],
+                    "cdist": pdf["cdist"],
+                    "group_id": group,
+                }
+            )
+
+        labeled = (
+            cells.select(
+                F.col(id_col).alias("_id"), "cid", "cdist", "v_dbl"
+            )
+            .groupBy("cid")
+            .applyInPandas(cell_groups_int, grp_schema)
+        )
+        if keep == "min_id":
+            return labeled.select(
+                id_col, "cid", "group_id", F.col("group_id").alias("keeper_id")
+            )
+        # two consumers below (reps agg + the join) — cache the linear
+        # (id, cid, cdist, group_id) relation so the GEMM+UF kernel runs once
+        labeled = eager_cache(labeled)
+        reps = (
+            labeled.groupBy("group_id")
+            .agg(F.min(F.struct(-F.col("cdist"), F.col(id_col))).alias("m"))
+            .select("group_id", F.col(f"m.{id_col}").alias("keeper_id"))
+        )
+        return labeled.join(reps, "group_id").select(
+            id_col, "cid", "group_id", "keeper_id"
+        )
+
     if pair_backend == "jvm":
         a = cells.select(
             F.col(id_col).alias("vec_a"), "cid",

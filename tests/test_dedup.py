@@ -609,6 +609,43 @@ def test_auto_probe_never_fires_at_tier0(monkeypatch):
     assert t1["k_clusters"] == "auto-probe"  # opt-in passes through
 
 
+def test_semantic_fused_groups_match_pairs_cc(spark, monkeypatch):
+    """Round-9 fused per-cell grouping ≡ the pairs + connected_components
+    arm, row for row, under BOTH keeper policies — pairs never cross
+    cells, so per-cell min-label components ARE the global components.
+    Corpus includes a multi-member family (transitivity inside a cell),
+    singletons, and a zero vector."""
+    from stock_etl_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(48):
+        fam = i % 3
+        vec = [0.0] * 6
+        vec[fam] = 1.0
+        vec[5] = 0.002 * (i // 3)  # tight intra-family spread
+        rows.append((i, vec))
+    rows.append((100, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0]))  # singleton
+    rows.append((101, [0.0] * 6))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for keep in ("min_id", "far_from_centroid"):
+        monkeypatch.delenv("SPARK_GRAFT_SEM_FUSE_GROUPS", raising=False)
+        fused = sorted(
+            map(
+                repr,
+                semantic_dedup(df, 0.99, k_clusters=3, iters=2, keep=keep).collect(),
+            )
+        )
+        monkeypatch.setenv("SPARK_GRAFT_SEM_FUSE_GROUPS", "0")
+        cc = sorted(
+            map(
+                repr,
+                semantic_dedup(df, 0.99, k_clusters=3, iters=2, keep=keep).collect(),
+            )
+        )
+        assert fused == cc, f"fused != pairs+CC under keep={keep}"
+
+
 def test_semantic_dedup_rejects_unknown_policy(spark):
     import pytest
 
