@@ -593,6 +593,42 @@ def test_cell_count_auto_probe(spark):
     assert a == b
 
 
+def test_auto_probe_detects_oversplit_recall_loss(spark):
+    """The probe must MEASURE recall, not assume monotonicity: on a corpus
+    whose 8 tight families include one straddling two axes, K=8 over-splits
+    (the straddler's pairs land in different cells — measured recall 0.40)
+    while K=2 keeps every family whole (recall 1.0), so the probe must
+    reject the over-split despite the candidates arriving either way.
+    Deterministic: first-K-ids seeding, 2 Lloyd iters, fixed corpus."""
+    from stock_etl_pipeline_spark.operators import similarity
+    from stock_etl_pipeline_spark.operators.similarity import (
+        probe_cell_count,
+        with_micro_vectors,
+    )
+
+    rows = []
+    i = 0
+    for c in range(7):
+        for r in range(8):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[7 if c != 7 else 6] += 0.001 * r
+            rows.append((i, v))
+            i += 1
+    for r in range(8):  # straddler family, pulled alternately toward axes 0/1
+        v = [0.6, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5]
+        v[r % 2] += 0.08
+        rows.append((i, v))
+        i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = with_micro_vectors(df.select("vec_id", "embedding"), "embedding")
+    chosen = probe_cell_count(v, 0.98, iters=2, candidates=[2, 8])
+    probe = similarity.LAST_AUTO_PROBE
+    assert probe["candidates"][2]["recall"] == 1.0
+    assert probe["candidates"][8]["recall"] < 0.5  # the over-split is real
+    assert chosen == 2
+
+
 def test_auto_probe_never_fires_at_tier0(monkeypatch):
     """SPARK_GRAFT_SEM_CELLS="auto-probe" is a tier-1 knob: tier 0 (the
     frozen oracle geometry every driver SF lands in) must ignore it."""
