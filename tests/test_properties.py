@@ -376,6 +376,36 @@ def test_connected_components_matches_union_find(spark, pairs):
     assert got_dist == want
 
 
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_union_find_min_labels_matches_reference(pairs):
+    """The vectorized Shiloach–Vishkin min-hooking finisher (shared by the
+    CC local finish and the fused SemDeDup grouping) ≡ plain union-find
+    min-id labels, for arbitrary small graphs — pure numpy, no Spark."""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators.dedup import _union_find_min_labels
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    if not edges:
+        return
+    lo = np.array([a for a, _ in edges], dtype=np.int64)
+    hi = np.array([b for _, b in edges], dtype=np.int64)
+    ids, labels = _union_find_min_labels(lo, hi)
+    got = dict(zip(ids.tolist(), labels.tolist()))
+    want = _uf_components(edges)
+    assert got == want
+
+
 _unicode_texts = st.lists(
     st.text(
         alphabet=st.characters(
