@@ -204,6 +204,41 @@ def main() -> int:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Plan fingerprints (round 9): md5 of the optimized logical plan with
+    # session-varying tokens stripped (exprIds, plan ids, object
+    # addresses) — measured stable across sessions on identical code+data,
+    # different when the plan changes. round_compare.py uses two rounds'
+    # fingerprints to auto-derive the UNTOUCHED query set for the
+    # median-ruler (BASELINE.md). Caveat: a Python-kernel BODY change
+    # inside an identically-named/shaped mapInPandas node does not move
+    # the plan, so such rounds must still pass --touched explicitly.
+    import hashlib
+
+    def plan_fp(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+L?", "#", s)
+        s = re.sub(r"plan_id=\d+", "plan_id=", s)
+        s = re.sub(r"0x[0-9a-f]+", "0x", s)
+        s = re.sub(r"at [^>]*>", ">", s)
+        return hashlib.md5(s.encode()).hexdigest()[:12]
+
+    # PLAN_ONLY: building a registered DataFrame must not re-run the
+    # pipelines' eager cache fills (and a persist marker would put
+    # InMemoryRelation in the plan, tying the fingerprint to cache state).
+    # Bounded model training (kmeans/codebook collects) still executes —
+    # that is plan construction for these operators and costs seconds.
+    plan_hash = {}
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
+    try:
+        for name, s in bench_specs.items():
+            try:
+                spark.catalog.clearCache()
+                plan_hash[name] = plan_fp(s.fn(spark, sf_dir))
+            except Exception:
+                plan_hash[name] = None
+    finally:
+        del os.environ["SPARK_GRAFT_PLAN_ONLY"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -215,6 +250,7 @@ def main() -> int:
                 "sf": sf,
                 "sentinel_sec": sentinel_sec,
                 "sentinel_arrow_sec": sentinel_arrow_sec,
+                "plan_hash": plan_hash,
             }
         )
     )

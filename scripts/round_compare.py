@@ -53,11 +53,24 @@ def main() -> int:
     if len(paths) != 2:
         raise SystemExit(__doc__)
     old, new = load(paths[0]), load(paths[1])
-    touched = (
-        set(argv[argv.index("--touched") + 1].split(","))
-        if "--touched" in argv
-        else set()
-    )
+    if "--touched" in argv:
+        touched = set(argv[argv.index("--touched") + 1].split(","))
+        touched_src = "explicit"
+    elif old.get("plan_hash") and new.get("plan_hash"):
+        # auto-derive from bench.py's plan fingerprints (round 9): a query
+        # whose optimized-plan hash moved was touched. Caveat (see
+        # bench.py): a Python-kernel BODY change inside an identical plan
+        # node does not move the hash — pass --touched for such rounds.
+        touched = {
+            q
+            for q in set(old["plan_hash"]) & set(new["plan_hash"])
+            if old["plan_hash"][q] != new["plan_hash"][q]
+            or old["plan_hash"][q] is None
+        }
+        touched_src = "plan-hash"
+    else:
+        touched = set()
+        touched_src = "none (pass --touched or use plan_hash benches)"
     common = sorted(set(old["queries"]) & set(new["queries"]))
     drift = {}
     for band, key in (("jvm", "sentinel_sec"), ("arrow", "sentinel_arrow_sec")):
@@ -94,6 +107,7 @@ def main() -> int:
         )
     out = {
         "old": paths[0], "new": paths[1],
+        "touched": sorted(touched), "touched_src": touched_src,
         "total_raw": round(new["value"] / old["value"], 3),
         "sentinel_drift": {k: round(v, 3) for k, v in drift.items()},
         "untouched_median": {

@@ -31,9 +31,21 @@ only copy.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+
+def _plan_only() -> bool:
+    # SPARK_GRAFT_PLAN_ONLY=1 turns both cache helpers into no-ops: used
+    # by bench.py's plan-fingerprint pass, which builds every registered
+    # DataFrame WITHOUT executing it — an eager fill there would re-run
+    # every pipeline's materialization jobs just to read a plan string,
+    # and a persist marker would swap InMemoryRelation into the optimized
+    # plan, making the fingerprint depend on cache state instead of code.
+    return os.environ.get("SPARK_GRAFT_PLAN_ONLY") == "1"
 
 
 def begin_pipeline() -> None:
@@ -46,6 +58,8 @@ def eager_cache(df: DataFrame) -> DataFrame:
     caches are raced by concurrent stages of the first consuming job and
     each racer recomputes the pipeline), and track for release at the next
     ``begin_pipeline()``."""
+    if _plan_only():
+        return df
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,6 +73,8 @@ def lazy_cache(df: DataFrame) -> DataFrame:
     relations whose first consumer is a single sequential job (no
     concurrent-stage fill race), where an extra materialization job would
     only add latency."""
+    if _plan_only():
+        return df
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
