@@ -44,3 +44,24 @@ def test_dedup_pipelines_do_not_accumulate_cached_blocks(spark):
     # values — the plan recomputes from lineage.
     caching.release()
     assert {(r["doc_a"], r["doc_b"]) for r in mh.collect()} == mh_result
+
+
+def test_plan_only_mode_disables_cache_helpers(spark, monkeypatch):
+    """SPARK_GRAFT_PLAN_ONLY=1 (bench.py's plan-fingerprint pass) must make
+    both cache helpers identity functions: no persist marker (which would
+    put InMemoryRelation in the optimized plan and tie the fingerprint to
+    cache state), no eager fill, nothing tracked for release."""
+    from stock_etl_pipeline_spark import caching
+
+    df = spark.range(10)
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
+    caching.release()
+    out_e = caching.eager_cache(df)
+    out_l = caching.lazy_cache(df)
+    assert out_e is df and out_l is df
+    assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+    assert caching._TRACKED == []
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY")
+    out = caching.eager_cache(spark.range(5))
+    assert out.storageLevel.useMemory  # normal mode unaffected
+    caching.release()
