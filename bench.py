@@ -3,12 +3,19 @@
 
 Runs every bench-flagged query from the workload registry at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``. The FINAL stdout line is the compact
+headline JSON (the driver captures only the last ~2000 chars of stdout
+and parses the last line — keep this line small and last):
 
   {"metric": "workload_total", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <float>,
    "sentinel_sec": <fixed-probe sec>,
    "sentinel_arrow_sec": <fixed-python-worker-probe sec>}
+
+The line BEFORE it (and the ``PLANHASH.json`` sidecar next to this
+file) carries the per-query code fingerprints
+({"metric": "code_fingerprints", "plan_hash": ..., "kernel_hash": ...})
+that scripts/round_compare.py uses to auto-derive the untouched set.
 
 ``sentinel_sec`` times a FIXED probe plan (hard-coded below, independent
 of the registry so no round's code changes can touch it): a two-key
@@ -204,23 +211,15 @@ def main() -> int:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    # Plan fingerprints (round 9): md5 of the optimized logical plan with
-    # session-varying tokens stripped (exprIds, plan ids, object
-    # addresses) — measured stable across sessions on identical code+data,
-    # different when the plan changes. round_compare.py uses two rounds'
-    # fingerprints to auto-derive the UNTOUCHED query set for the
-    # median-ruler (BASELINE.md). Caveat: a Python-kernel BODY change
-    # inside an identically-named/shaped mapInPandas node does not move
-    # the plan, so such rounds must still pass --touched explicitly.
-    import hashlib
-
-    def plan_fp(df) -> str:
-        s = df._jdf.queryExecution().optimizedPlan().toString()
-        s = re.sub(r"#\d+L?", "#", s)
-        s = re.sub(r"plan_id=\d+", "plan_id=", s)
-        s = re.sub(r"0x[0-9a-f]+", "0x", s)
-        s = re.sub(r"at [^>]*>", ">", s)
-        return hashlib.md5(s.encode()).hexdigest()[:12]
+    # Code fingerprints (round 9, reshaped round 10): plan_hash is the
+    # optimized-logical-plan md5 (moves when the PLAN changes);
+    # kernel_hash is the in-package module-source-closure md5 (moves on
+    # any kernel-body edit the plan cannot see). round_compare.py marks a
+    # query TOUCHED when either moved — see fingerprints.py.
+    from stock_etl_pipeline_spark.fingerprints import (
+        kernel_fingerprint,
+        plan_fingerprint,
+    )
 
     # PLAN_ONLY: building a registered DataFrame must not re-run the
     # pipelines' eager cache fills (and a persist marker would put
@@ -228,18 +227,42 @@ def main() -> int:
     # Bounded model training (kmeans/codebook collects) still executes —
     # that is plan construction for these operators and costs seconds.
     plan_hash = {}
+    kernel_hash = {}
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     try:
         for name, s in bench_specs.items():
+            kernel_hash[name] = kernel_fingerprint(s.fn)
             try:
                 spark.catalog.clearCache()
-                plan_hash[name] = plan_fp(s.fn(spark, sf_dir))
+                plan_hash[name] = plan_fingerprint(s.fn(spark, sf_dir))
             except Exception:
                 plan_hash[name] = None
     finally:
         del os.environ["SPARK_GRAFT_PLAN_ONLY"]
 
     total = round(sum(timings.values()), 3)
+
+    # OUTPUT CONTRACT (round 10 — VERDICT r9 item 1): the driver captures
+    # only the LAST ~2000 chars of stdout and json-parses the final line.
+    # Round 9 inlined the ~1.5 kB plan_hash map into that line and pushed
+    # its head past the window → BENCH_r09.json parsed: null. So:
+    # fingerprints go to a sidecar file AND a separate stdout line FIRST;
+    # the final line stays compact (timings only, ~1.3 kB) and LAST.
+    fingerprints = {
+        "metric": "code_fingerprints",
+        "sf": sf,
+        "plan_hash": plan_hash,
+        "kernel_hash": kernel_hash,
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PLANHASH.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(fingerprints, f)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries them
+    print(json.dumps(fingerprints))
     print(
         json.dumps(
             {
@@ -250,7 +273,6 @@ def main() -> int:
                 "sf": sf,
                 "sentinel_sec": sentinel_sec,
                 "sentinel_arrow_sec": sentinel_arrow_sec,
-                "plan_hash": plan_hash,
             }
         )
     )

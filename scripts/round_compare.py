@@ -5,8 +5,7 @@ Mechanizes the two-band + untouched-median procedure so a round
 comparison is one command instead of a hand-built table:
 
 1. per-band sentinel drift (JVM / Arrow);
-2. per-band MEDIAN RAW ratio of the UNTOUCHED queries (pass the touched
-   set via --touched; everything else is assumed code-identical);
+2. per-band MEDIAN RAW ratio of the UNTOUCHED queries;
 3. the override check: if a band's sentinel drift and its untouched
    median disagree by more than DISAGREE_X (1.3), the untouched median
    becomes that band's ruler (SCALING.md round 9: sentinels do not
@@ -16,16 +15,33 @@ comparison is one command instead of a hand-built table:
    (check BASELINE.md's scope-grown-queries footnote before calling one
    a regression).
 
+Touched derivation (unless ``--touched`` overrides): a query is TOUCHED
+when its plan fingerprint OR its kernel (module-source-closure)
+fingerprint moved between the two rounds — see
+stock_etl_pipeline_spark/fingerprints.py. A query whose fingerprints are
+unknown on either side (hash None, map truncated, old round predates
+kernel hashes AND plan hash missing) is EXCLUDED from the untouched
+median and reported, never silently assumed untouched (ADVICE r9).
+
+Input files may be, per side:
+- the driver's wrapper ({"parsed": {...}, "tail": "..."}). When
+  ``parsed`` is null (the r9 truncation), the queries/sentinels/
+  fingerprints are reconstructed from the raw ``tail`` text and the
+  comparison runs on the surviving cells, labeled partial.
+- a raw bench.py output file (the final JSON line, or the full stdout
+  with the code_fingerprints line before it).
+Optional ``--fp-old FILE`` / ``--fp-new FILE`` merge fingerprints from a
+PLANHASH.json sidecar (bench.py writes one next to itself each run).
+
 Usage:
   python scripts/round_compare.py BENCH_rOLD.json BENCH_rNEW.json \
-      [--touched q1,q2] [--json]
-
-Accepts either the driver's wrapper files ({"parsed": {...}}) or raw
-bench.py output lines.
+      [--touched q1,q2] [--fp-old PLANHASH.json] [--fp-new PLANHASH.json] \
+      [--json]
 """
 from __future__ import annotations
 
 import json
+import re
 import statistics
 import sys
 
@@ -39,39 +55,148 @@ ARROW_BAND = {
 DISAGREE_X = 1.3
 FLAG_X = 1.25
 
+_SCALARS = {"value", "sf", "sentinel_sec", "sentinel_arrow_sec"}
+_WRAPPER_SCALARS = {"n", "rc", "cpus"}
+
+
+def _from_text(text: str) -> dict:
+    """Reconstruct a bench dict from raw (possibly head-truncated) output.
+
+    Numeric '"name": 1.23' pairs are query timings (scalar keys split
+    out); '"name": "<12 hex>"' pairs are plan fingerprints. A pair whose
+    opening quote fell off the truncation edge is dropped, never guessed.
+    """
+    d: dict = {"queries": {}, "partial": True}
+    for k, v in re.findall(r'"([A-Za-z0-9_]+)":\s*(-?[0-9]+(?:\.[0-9]+)?)\b', text):
+        if k in _SCALARS:
+            d[k] = float(v)
+        elif k not in _WRAPPER_SCALARS:
+            d["queries"][k] = float(v)
+    # 12-hex string pairs are fingerprints; bucket them by the enclosing
+    # map's surviving '"plan_hash": {' / '"kernel_hash": {' marker. Pairs
+    # BEFORE the first visible marker belong to a map whose name fell off
+    # the truncation edge — unattributable, dropped (the affected queries
+    # surface as 'unknown' and are excluded from the ruler, never guessed).
+    marks = [
+        (m.start(), m.group(1))
+        for m in re.finditer(r'"(plan_hash|kernel_hash)":\s*\{', text)
+    ]
+    for i, (pos, name) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(text)
+        pairs = dict(
+            re.findall(r'"([A-Za-z0-9_]+)":\s*"([0-9a-f]{12})"', text[pos:end])
+        )
+        if pairs:
+            d[name] = pairs
+    return d
+
 
 def load(path: str) -> dict:
     with open(path) as f:
-        d = json.load(f)
-    return d.get("parsed", d)
+        raw = f.read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = _from_text(raw)  # raw bench stdout (possibly multi-line)
+        if not d["queries"]:
+            raise SystemExit(f"{path}: not JSON and no bench cells recoverable")
+        return d
+    # driver wrapper: a present-but-null "parsed" means the final line
+    # overflowed the tail window (BENCH_r09.json) — reconstruct from tail.
+    if "parsed" in d or "tail" in d:
+        parsed = d.get("parsed") or {}
+        if parsed.get("queries"):
+            return parsed
+        rec = _from_text(d.get("tail", ""))
+        if not rec["queries"]:
+            raise SystemExit(
+                f"{path}: wrapper has parsed={parsed or None} and no bench "
+                "cells recoverable from its tail — artifact is unusable"
+            )
+        return rec
+    if "queries" not in d:
+        # raw JSON but not a bench line (e.g. a fingerprints sidecar)
+        if "plan_hash" in d or "kernel_hash" in d:
+            raise SystemExit(
+                f"{path}: looks like a fingerprints sidecar — pass it via "
+                "--fp-old/--fp-new, not as a bench file"
+            )
+        raise SystemExit(f"{path}: no 'queries' map in artifact")
+    return d
+
+
+def _fp_maps(bench: dict, sidecar_path: str | None) -> tuple[dict, dict]:
+    ph = dict(bench.get("plan_hash") or {})
+    kh = dict(bench.get("kernel_hash") or {})
+    if sidecar_path:
+        with open(sidecar_path) as f:
+            sc = json.load(f)
+        ph.update(sc.get("plan_hash") or {})
+        kh.update(sc.get("kernel_hash") or {})
+    return ph, kh
+
+
+def _pair_state(a, b):
+    """None = unknown (either side missing/null), else a == b."""
+    if a is None or b is None:
+        return None
+    return a == b
 
 
 def main() -> int:
     argv = sys.argv
-    skip = {argv[argv.index("--touched") + 1]} if "--touched" in argv else set()
-    paths = [a for a in argv[1:] if not a.startswith("--") and a not in skip]
+
+    def opt(name: str) -> str | None:
+        return argv[argv.index(name) + 1] if name in argv else None
+
+    opt_vals = {v for n in ("--touched", "--fp-old", "--fp-new") if (v := opt(n))}
+    paths = [a for a in argv[1:] if not a.startswith("--") and a not in opt_vals]
     if len(paths) != 2:
         raise SystemExit(__doc__)
     old, new = load(paths[0]), load(paths[1])
-    if "--touched" in argv:
-        touched = set(argv[argv.index("--touched") + 1].split(","))
-        touched_src = "explicit"
-    elif old.get("plan_hash") and new.get("plan_hash"):
-        # auto-derive from bench.py's plan fingerprints (round 9): a query
-        # whose optimized-plan hash moved was touched. Caveat (see
-        # bench.py): a Python-kernel BODY change inside an identical plan
-        # node does not move the hash — pass --touched for such rounds.
-        touched = {
-            q
-            for q in set(old["plan_hash"]) & set(new["plan_hash"])
-            if old["plan_hash"][q] != new["plan_hash"][q]
-            or old["plan_hash"][q] is None
-        }
-        touched_src = "plan-hash"
-    else:
-        touched = set()
-        touched_src = "none (pass --touched or use plan_hash benches)"
     common = sorted(set(old["queries"]) & set(new["queries"]))
+    if not common:
+        raise SystemExit(f"no common queries between {paths[0]} and {paths[1]}")
+
+    unknown: set[str] = set()
+    if opt("--touched") is not None:
+        touched = set(opt("--touched").split(","))
+        touched_src = "explicit"
+    else:
+        ph_old, kh_old = _fp_maps(old, opt("--fp-old"))
+        ph_new, kh_new = _fp_maps(new, opt("--fp-new"))
+        touched = set()
+        if (ph_old or kh_old) and (ph_new or kh_new):
+            # per-query: touched if any fingerprint pair moved; unknown
+            # (excluded from the ruler, reported) if NO pair is known on
+            # both sides — a None/truncated hash is never assumed stable.
+            for q in common:
+                s_plan = _pair_state(ph_old.get(q), ph_new.get(q))
+                s_kern = _pair_state(kh_old.get(q), kh_new.get(q))
+                if s_plan is False or s_kern is False:
+                    touched.add(q)
+                elif s_plan is None and s_kern is None:
+                    unknown.add(q)
+            touched_src = "plan+kernel-hash"
+            if unknown:
+                touched_src += (
+                    f" ({len(unknown)} unknown excluded from ruler: "
+                    + ",".join(sorted(unknown)) + ")"
+                )
+        else:
+            # a side with NO fingerprint maps at all (pre-r9 bench, or a
+            # wrapper whose fingerprint line fell outside the tail and no
+            # --fp-* sidecar given): fall back to the pre-fingerprint
+            # behavior — all queries feed the median — rather than an
+            # empty ruler basis that silently reinstates the sentinel.
+            unknown = set()
+            touched_src = (
+                "none (a side lacks fingerprints — pass --touched or "
+                "--fp-old/--fp-new; ruler basis includes ALL queries)"
+            )
+
+    ruler_excluded = touched | unknown
+
     drift = {}
     for band, key in (("jvm", "sentinel_sec"), ("arrow", "sentinel_arrow_sec")):
         if key in old and key in new:
@@ -81,7 +206,7 @@ def main() -> int:
         un = [
             new["queries"][q] / old["queries"][q]
             for q in common
-            if q not in touched and (q in ARROW_BAND) == (band == "arrow")
+            if q not in ruler_excluded and (q in ARROW_BAND) == (band == "arrow")
         ]
         medians[band] = statistics.median(un) if un else None
         ruler, src = drift.get(band), "sentinel"
@@ -102,13 +227,22 @@ def main() -> int:
                 "query": q, "band": band, "raw": round(raw, 3),
                 "norm": round(norm, 3) if norm else None,
                 "touched": q in touched,
+                "unknown": q in unknown,
                 "flag": bool(norm and norm > FLAG_X and q not in touched),
             }
         )
+    if "value" in old and "value" in new:
+        total_raw, total_basis = new["value"] / old["value"], "value"
+    else:
+        so = sum(old["queries"][q] for q in common)
+        sn = sum(new["queries"][q] for q in common)
+        total_raw, total_basis = sn / so, f"common-{len(common)}"
     out = {
         "old": paths[0], "new": paths[1],
+        "partial": bool(old.get("partial") or new.get("partial")),
         "touched": sorted(touched), "touched_src": touched_src,
-        "total_raw": round(new["value"] / old["value"], 3),
+        "unknown": sorted(unknown),
+        "total_raw": round(total_raw, 3), "total_basis": total_basis,
         "sentinel_drift": {k: round(v, 3) for k, v in drift.items()},
         "untouched_median": {
             k: round(v, 3) for k, v in medians.items() if v is not None
@@ -119,11 +253,22 @@ def main() -> int:
     if "--json" in argv:
         print(json.dumps(out))
         return 0
-    print(f"total raw {out['total_raw']}  sentinel drift {out['sentinel_drift']}")
+    print(
+        f"total raw {out['total_raw']} ({total_basis})"
+        f"  sentinel drift {out['sentinel_drift']}"
+        + ("  [PARTIAL artifact]" if out["partial"] else "")
+    )
     print(f"untouched medians {out['untouched_median']}  rulers {out['ruler']}")
+    print(f"touched [{touched_src}]: {', '.join(sorted(touched)) or '-'}")
+    if unknown:
+        print(f"unknown (excluded from ruler): {', '.join(sorted(unknown))}")
     print(f"\n{'query':30s} {'band':6s} {'raw':>7s} {'norm':>7s}  notes")
     for r in sorted(rows, key=lambda r: -(r["norm"] or 0)):
-        notes = ("TOUCHED " if r["touched"] else "") + ("ADJUDICATE" if r["flag"] else "")
+        notes = (
+            ("TOUCHED " if r["touched"] else "")
+            + ("UNKNOWN " if r["unknown"] else "")
+            + ("ADJUDICATE" if r["flag"] else "")
+        )
         print(
             f"{r['query']:30s} {r['band']:6s} {r['raw']:7.3f} "
             f"{r['norm'] if r['norm'] is not None else float('nan'):7.3f}  {notes}"

@@ -31,11 +31,14 @@ only copy.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOG = logging.getLogger(__name__)
+_PLAN_ONLY_WARNED = False
 
 
 def _plan_only() -> bool:
@@ -45,7 +48,24 @@ def _plan_only() -> bool:
     # every pipeline's materialization jobs just to read a plan string,
     # and a persist marker would swap InMemoryRelation into the optimized
     # plan, making the fingerprint depend on cache state instead of code.
-    return os.environ.get("SPARK_GRAFT_PLAN_ONLY") == "1"
+    #
+    # Warn ONCE when the flag actually suppresses a persist (ADVICE r9):
+    # if the env var leaks into a real run (exported shell, a harness
+    # crashing before cleanup), every pipeline silently loses its
+    # diamond-DAG caching — this line is the signal that turns "mysterious
+    # slowdown" into a one-grep diagnosis.
+    active = os.environ.get("SPARK_GRAFT_PLAN_ONLY") == "1"
+    global _PLAN_ONLY_WARNED
+    if active and not _PLAN_ONLY_WARNED:
+        _PLAN_ONLY_WARNED = True
+        _LOG.warning(
+            "SPARK_GRAFT_PLAN_ONLY=1: suppressing pipeline persists "
+            "(plan-fingerprint mode). If this is a real run, unset the "
+            "env var — every diamond-DAG cache is a no-op right now."
+        )
+    elif not active:
+        _PLAN_ONLY_WARNED = False  # re-arm if the flag is cleared and re-set
+    return active
 
 
 def begin_pipeline() -> None:

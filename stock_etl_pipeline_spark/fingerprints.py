@@ -1,0 +1,91 @@
+"""Per-query code fingerprints for round-over-round bench comparison.
+
+Two complementary fingerprints (consumed by scripts/round_compare.py to
+auto-derive the UNTOUCHED query set for the median ruler — BASELINE.md):
+
+- ``plan_fingerprint(df)`` — md5 of the optimized logical plan with
+  session-varying tokens stripped (exprIds, plan ids, object addresses).
+  Stable across sessions on identical code+data; moves when the PLAN
+  changes. Blind spot: a Python-kernel BODY edit inside an identically
+  shaped mapInPandas node does not move the plan (VERDICT r9 item 3).
+
+- ``kernel_fingerprint(fn)`` — md5 over the SOURCE BYTES of the module
+  defining ``fn`` plus every in-package module reachable from it through
+  module-level globals (functions/classes imported from siblings pull in
+  their defining modules, transitively). Moves on ANY byte edit to any
+  module the query's code can reach — deliberately over-approximate:
+  marking extra queries "touched" only shrinks the untouched-median ruler
+  basis (safe); missing a touch would silently bias it (unsafe).
+
+Together: a query is UNTOUCHED for the ruler only when BOTH hashes are
+stable, which closes the kernel-body blind spot without parsing Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import re
+from collections.abc import Callable
+
+_PKG = __name__.rsplit(".", 1)[0]  # "stock_etl_pipeline_spark"
+
+# module source hashes memoized per process (files do not change mid-run)
+_SRC_HASH: dict[str, str] = {}
+
+
+def _module_src_hash(mod) -> str | None:
+    name = mod.__name__
+    if name not in _SRC_HASH:
+        f = getattr(mod, "__file__", None)
+        if not f or not f.endswith(".py"):
+            return None
+        with open(f, "rb") as fh:
+            _SRC_HASH[name] = hashlib.md5(fh.read()).hexdigest()
+    return _SRC_HASH[name]
+
+
+def module_closure(mod, pkg_prefix: str = _PKG) -> dict[str, str]:
+    """``{module_name: src_md5}`` for every in-package module reachable from
+    ``mod`` via module-level globals (modules, functions, classes)."""
+    out: dict[str, str] = {}
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        name = getattr(m, "__name__", "")
+        if name in out or not name.startswith(pkg_prefix):
+            continue
+        h = _module_src_hash(m)
+        if h is None:
+            continue
+        out[name] = h
+        for v in vars(m).values():
+            mm = v if inspect.ismodule(v) else inspect.getmodule(v)
+            if mm is not None and getattr(mm, "__name__", "").startswith(pkg_prefix):
+                stack.append(mm)
+    return out
+
+
+def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
+    """md5 over the sorted (module, src_md5) closure of ``fn``'s module."""
+    mod = inspect.getmodule(fn)
+    if mod is None:
+        return None
+    closure = module_closure(mod, pkg_prefix)
+    if not closure:
+        return None
+    acc = hashlib.md5()
+    for name in sorted(closure):
+        acc.update(name.encode())
+        acc.update(closure[name].encode())
+    return acc.hexdigest()[:12]
+
+
+def plan_fingerprint(df) -> str:
+    """md5 of the optimized logical plan, session-varying tokens stripped."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+L?", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"0x[0-9a-f]+", "0x", s)
+    s = re.sub(r"at [^>]*>", ">", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]

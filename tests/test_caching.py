@@ -65,3 +65,35 @@ def test_plan_only_mode_disables_cache_helpers(spark, monkeypatch):
     out = caching.eager_cache(spark.range(5))
     assert out.storageLevel.useMemory  # normal mode unaffected
     caching.release()
+
+
+def test_plan_only_warns_once_and_rearms(spark, monkeypatch, caplog):
+    """Suppressing a persist under SPARK_GRAFT_PLAN_ONLY=1 logs ONE
+    WARNING (ADVICE r9: a leaked env var must be visible in run output,
+    not manifest only as mysterious slowdowns), does not repeat on the
+    next suppression, and re-arms after the flag clears."""
+    import logging
+
+    from stock_etl_pipeline_spark import caching
+
+    df = spark.range(3)
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
+    caching._PLAN_ONLY_WARNED = False
+    with caplog.at_level(logging.WARNING, logger="stock_etl_pipeline_spark.caching"):
+        caching.eager_cache(df)
+        caching.lazy_cache(df)
+    hits = [r for r in caplog.records if "SPARK_GRAFT_PLAN_ONLY" in r.message]
+    assert len(hits) == 1
+
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY")
+    caplog.clear()
+    out = caching.eager_cache(spark.range(2))
+    assert out.storageLevel.useMemory
+    caching.release()
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
+    with caplog.at_level(logging.WARNING, logger="stock_etl_pipeline_spark.caching"):
+        caching.lazy_cache(df)
+    hits = [r for r in caplog.records if "SPARK_GRAFT_PLAN_ONLY" in r.message]
+    assert len(hits) == 1  # re-armed after the clean interval
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY")

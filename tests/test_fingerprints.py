@@ -1,0 +1,90 @@
+"""fingerprints.py: kernel (module-source-closure) fingerprint semantics.
+
+The contract round_compare relies on (VERDICT r9 item 3): a Python
+kernel-body edit — invisible to the optimized-plan hash — must move the
+kernel fingerprint of every query whose code can reach the edited
+module, and must NOT move queries that cannot reach it.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import textwrap
+
+from stock_etl_pipeline_spark import fingerprints
+
+
+def _mk_pkg(tmp_path):
+    pkg = tmp_path / "fp_pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helper.py").write_text(
+        textwrap.dedent(
+            """
+            def kern(x):
+                return x + 1
+            """
+        )
+    )
+    (pkg / "other.py").write_text("UNRELATED = 1\n")
+    (pkg / "query.py").write_text(
+        textwrap.dedent(
+            """
+            from fp_pkg.helper import kern
+
+            def q(spark, sf_dir):
+                return kern(0)
+            """
+        )
+    )
+    sys.path.insert(0, str(tmp_path))
+    return pkg
+
+
+def _cleanup(tmp_path):
+    sys.path.remove(str(tmp_path))
+    for name in [n for n in sys.modules if n.startswith("fp_pkg")]:
+        del sys.modules[name]
+
+
+def test_kernel_edit_moves_fingerprint_unrelated_does_not(tmp_path):
+    pkg = _mk_pkg(tmp_path)
+    try:
+        qmod = importlib.import_module("fp_pkg.query")
+        closure = fingerprints.module_closure(qmod, pkg_prefix="fp_pkg")
+        # the imported-function edge pulls in the sibling module
+        assert set(closure) == {"fp_pkg.query", "fp_pkg.helper"}
+
+        h0 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp_pkg")
+        assert h0 is not None
+
+        # kernel-BODY edit in the reachable sibling (no reload needed:
+        # the fingerprint reads file bytes, not loaded code objects)
+        (pkg / "helper.py").write_text("def kern(x):\n    return x + 2\n")
+        fingerprints._SRC_HASH.clear()
+        h1 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp_pkg")
+        assert h1 != h0
+
+        # an edit to a module the query CANNOT reach leaves it stable
+        (pkg / "other.py").write_text("UNRELATED = 2\n")
+        fingerprints._SRC_HASH.clear()
+        h2 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp_pkg")
+        assert h2 == h1
+    finally:
+        _cleanup(tmp_path)
+
+
+def test_bench_queries_all_fingerprintable():
+    """Every bench-flagged registry query must yield a non-None kernel
+    fingerprint (a None would land it in round_compare's 'unknown' bucket
+    and shrink the ruler basis)."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    registry = load_all()
+    missing = [
+        n
+        for n, s in registry.items()
+        if s.bench and fingerprints.kernel_fingerprint(s.fn) is None
+    ]
+    assert missing == []

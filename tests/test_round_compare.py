@@ -24,13 +24,15 @@ def _run(old: dict, new: dict, tmp_path, extra=()):
     return json.loads(res.stdout)
 
 
-def _bench(queries, sj, sa, ph=None):
+def _bench(queries, sj, sa, ph=None, kh=None):
     d = {
         "value": sum(queries.values()), "queries": queries,
         "sentinel_sec": sj, "sentinel_arrow_sec": sa,
     }
     if ph is not None:
         d["plan_hash"] = ph
+    if kh is not None:
+        d["kernel_hash"] = kh
     return d
 
 
@@ -70,8 +72,120 @@ def test_auto_touched_from_plan_hash(tmp_path):
         _bench(q_old, 1.0, 1.0, ph_old), _bench(q_new, 1.0, 1.0, ph_new), tmp_path
     )
     assert out["touched"] == ["c"]
-    assert out["touched_src"] == "plan-hash"
+    assert out["touched_src"].startswith("plan+kernel-hash")
     c = next(r for r in out["queries"] if r["query"] == "c")
     assert c["touched"] and not c["flag"]
     # the untouched median ignores c: ruler stays ~1.0
     assert abs(out["untouched_median"]["jvm"] - 1.0) < 1e-9
+
+
+def test_parsed_null_wrapper_reconstructed_from_tail(tmp_path):
+    """The r9 truncation shape (VERDICT r9 item 1): a driver wrapper with
+    "parsed": null must be reconstructed from its head-truncated tail —
+    surviving timing cells compared, fingerprints recovered under the
+    correct map, partial flagged, total recomputed over common cells."""
+    q = {"alpha": 1.0, "beta": 2.0, "gamma": 3.0}
+    inner = json.dumps({
+        "metric": "workload_total", "value": 6.0, "unit": "sec",
+        "queries": q, "sf": 0.1, "sentinel_sec": 0.4,
+        "sentinel_arrow_sec": 0.5,
+        "plan_hash": {"alpha": "a" * 12, "beta": "b" * 12, "gamma": "c" * 12},
+    })
+    # truncate the head: drop "metric"/"value" and chop MID-pair through
+    # alpha so its opening quote is gone (must be dropped, not guessed)
+    tail = inner[inner.index('"alpha"') + 3:]
+    wrapper = {"n": 9, "rc": 0, "cpus": 32, "sf": 0.1, "tail": tail,
+               "parsed": None}
+    old = _bench(q, 0.4, 0.5,
+                 ph={"alpha": "a" * 12, "beta": "b" * 12, "gamma": "X" * 12})
+    a, b = str(tmp_path / "old.json"), str(tmp_path / "new.json")
+    json.dump(old, open(a, "w"))
+    json.dump(wrapper, open(b, "w"))
+    res = subprocess.run(
+        [sys.executable, SCRIPT, a, b, "--json"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    out = json.loads(res.stdout)
+    assert out["partial"] is True
+    # alpha's timing pair was chopped mid-pair -> only beta/gamma compared
+    names = {r["query"] for r in out["queries"]}
+    assert names == {"beta", "gamma"}
+    assert out["total_basis"] == "common-2"
+    # gamma's recovered plan hash differs from old -> touched
+    assert out["touched"] == ["gamma"]
+
+
+def test_real_r9_artifact_loads(tmp_path):
+    """The in-tree BENCH_r09.json (parsed: null) must be consumable
+    against BENCH_r08.json — the exact pair that crashed in round 9."""
+    res = subprocess.run(
+        [sys.executable, SCRIPT,
+         os.path.join(REPO, "BENCH_r08.json"),
+         os.path.join(REPO, "BENCH_r09.json"), "--json"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    out = json.loads(res.stdout)
+    assert out["partial"] is True
+    assert len(out["queries"]) >= 20
+    # r8 predates fingerprints entirely -> fallback: full median basis,
+    # and the round-9 override must fire (sentinels claim ~0.5x)
+    assert out["ruler"]["jvm"][1] == "untouched-median"
+    assert not any(r["flag"] for r in out["queries"])
+
+
+def test_kernel_hash_edit_flips_touched(tmp_path):
+    """A kernel-body-only edit (plan hash STABLE, kernel hash moved) marks
+    the query touched — the round-9 blind spot closed (VERDICT item 3)."""
+    q_old = {"a": 1.0, "b": 1.0, "c": 1.0}
+    q_new = {"a": 1.0, "b": 1.0, "c": 2.5}
+    ph = {"a": "1" * 12, "b": "2" * 12, "c": "3" * 12}  # identical plans
+    kh_old = {"a": "d" * 12, "b": "e" * 12, "c": "f" * 12}
+    kh_new = {"a": "d" * 12, "b": "e" * 12, "c": "0" * 12}  # c's kernel edited
+    out = _run(
+        _bench(q_old, 1.0, 1.0, ph=ph, kh=kh_old),
+        _bench(q_new, 1.0, 1.0, ph=ph, kh=kh_new),
+        tmp_path,
+    )
+    assert out["touched"] == ["c"]
+    c = next(r for r in out["queries"] if r["query"] == "c")
+    assert c["touched"] and not c["flag"]
+    assert abs(out["untouched_median"]["jvm"] - 1.0) < 1e-9
+
+
+def test_none_hash_either_side_excluded_as_unknown(tmp_path):
+    """A query whose hash is None on either side (fingerprinting failed)
+    is excluded from the untouched median and reported — never silently
+    treated as untouched (ADVICE r9)."""
+    q_old = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    q_new = {"a": 1.2, "b": 1.2, "c": 1.2, "d": 5.0}  # d regressed 5x...
+    ph_old = {"a": "1" * 12, "b": "2" * 12, "c": "3" * 12, "d": None}
+    ph_new = {"a": "1" * 12, "b": "2" * 12, "c": "3" * 12, "d": None}
+    out = _run(
+        _bench(q_old, 1.0, 1.0, ph=ph_old),
+        _bench(q_new, 1.0, 1.0, ph=ph_new),
+        tmp_path,
+    )
+    assert out["unknown"] == ["d"]
+    assert "unknown excluded" in out["touched_src"]
+    # ...and d does NOT poison the median (1.2, not dragged by 5.0)
+    assert abs(out["untouched_median"]["jvm"] - 1.2) < 1e-9
+    d = next(r for r in out["queries"] if r["query"] == "d")
+    assert d["unknown"] and not d["touched"]
+
+
+def test_fp_sidecar_merge(tmp_path):
+    """--fp-new merges a PLANHASH.json sidecar into a bench file that has
+    no inline fingerprints (the new compact-final-line format)."""
+    q = {"a": 1.0, "b": 1.0}
+    old = _bench(q, 1.0, 1.0, ph={"a": "1" * 12, "b": "2" * 12},
+                 kh={"a": "aa" * 6, "b": "bb" * 6})
+    new = _bench({"a": 1.0, "b": 3.0}, 1.0, 1.0)  # no inline fingerprints
+    sc = str(tmp_path / "PLANHASH.json")
+    json.dump({"metric": "code_fingerprints",
+               "plan_hash": {"a": "1" * 12, "b": "9" * 12},
+               "kernel_hash": {"a": "aa" * 6, "b": "bb" * 6}}, open(sc, "w"))
+    out = _run(old, new, tmp_path, extra=("--fp-new", sc))
+    assert out["touched"] == ["b"]
+    assert out["unknown"] == []
