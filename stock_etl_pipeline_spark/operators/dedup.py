@@ -28,6 +28,7 @@ engine's training-data-pipeline extension per the build plan.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -78,16 +79,62 @@ def _simhash_sig_backend(override: str | None) -> str:
 # golden sf0.001/sf0.01 corpora stay untouched).
 _SPREAD_MIN_DOCS = 4_000
 
-# Spread-gate decision cache, keyed by the scan's file set. The partition
-# count of a file scan is a function of the files and the split confs, not
-# of the projected columns, so every projection of the same files shares
-# one decision — and the exact probe (`df.rdd.getNumPartitions()`, which
-# forces full physical planning incl. AQE finalization — ADVICE r8) runs
-# at most ONCE per source instead of on every gated signature chain.
-# Bounded: cleared wholesale past _SPREAD_CACHE_MAX (file sets per session
-# are few; the clear only costs one re-probe per live source).
+# Spread-gate decision cache. The partition count of a PURE FILE SCAN is a
+# function of the files and the split confs, not of the projected columns,
+# so every projection of the same files shares one decision — and the exact
+# probe (`df.rdd.getNumPartitions()`, which forces full physical planning
+# incl. AQE finalization — ADVICE r8) runs at most ONCE per source instead
+# of on every gated signature chain. But that function-of-files claim holds
+# ONLY for scan-shaped plans (ADVICE r9): a post-shuffle/joined/aggregated
+# relation over the same files has a partition count set by the exchange,
+# so such plans bypass the cache and take the exact probe; and the split
+# confs + defaultParallelism are part of the key, so a mid-session conf
+# change re-probes instead of reusing a stale verdict. Bounded: cleared
+# wholesale past _SPREAD_CACHE_MAX (file sets per session are few; the
+# clear only costs one re-probe per live source).
 _SPREAD_CACHE_MAX = 256
-_spread_decisions: dict[tuple[str, ...], bool] = {}
+_spread_decisions: dict[tuple, bool] = {}
+
+# Analyzed-logical-plan node heads that keep a plan "scan-shaped": narrow,
+# exchange-free operators whose output partitioning is the scan's own.
+_SCAN_SHAPED_NODES = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "View", "Relation", "LogicalRelation"}
+)
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True when the analyzed logical plan is Project/Filter over a file
+    relation only — the one shape whose partition count is a pure function
+    of (file set, split confs). Logical-plan string walk: no physical
+    planning, no AQE finalization."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    heads = re.findall(r"^[\s:+|-]*([A-Za-z]\w*)", plan, flags=re.M)
+    return bool(heads) and all(h in _SCAN_SHAPED_NODES for h in heads)
+
+
+def _spread_cache_key(df: DataFrame) -> tuple | None:
+    """Cache key for the spread verdict, or None when the plan must take
+    the exact uncached probe (non-file relation or not scan-shaped)."""
+    files = tuple(sorted(df.inputFiles()))
+    if not files or not _scan_shaped(df):
+        return None
+    spark = df.sparkSession
+
+    def conf(key: str) -> str | None:
+        # conf.get(key, default) type-validates the default against the
+        # conf entry under Spark 4 — unset optional confs need the try.
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    return (
+        files,
+        spark.sparkContext.defaultParallelism,
+        conf("spark.sql.files.maxPartitionBytes"),
+        conf("spark.sql.files.openCostInBytes"),
+        conf("spark.sql.files.minPartitionNum"),
+    )
 
 
 def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
@@ -103,22 +150,23 @@ def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     results are unchanged (test-pinned).
 
     The single-partition probe forces physical planning, so its verdict is
-    cached per FILE SET (``df.inputFiles()`` — logical-plan walk only);
-    non-file relations (memory test frames, post-shuffle inputs) fall back
-    to the exact uncached probe."""
+    cached per (file set, split confs, defaultParallelism) — and ONLY for
+    scan-shaped plans, where the partition count is a pure function of
+    that key (ADVICE r9). Non-file relations, post-shuffle/joined inputs,
+    and memory test frames take the exact uncached probe."""
     if n_docs is None or n_docs < _SPREAD_MIN_DOCS:
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if par <= 1:
         return df
-    files = tuple(sorted(df.inputFiles()))
-    single = _spread_decisions.get(files) if files else None
+    key = _spread_cache_key(df)
+    single = _spread_decisions.get(key) if key is not None else None
     if single is None:
         single = df.rdd.getNumPartitions() == 1
-        if files:
+        if key is not None:
             if len(_spread_decisions) >= _SPREAD_CACHE_MAX:
                 _spread_decisions.clear()
-            _spread_decisions[files] = single
+            _spread_decisions[key] = single
     return df.repartition(par) if single else df
 
 # --- shingling --------------------------------------------------------------

@@ -881,7 +881,9 @@ def test_spread_decision_cached_per_file_set(spark, tmp_path):
     ).coalesce(1).write.parquet(p)
     scan = spark.read.parquet(p)
     par = spark.sparkContext.defaultParallelism
-    key = tuple(sorted(scan.inputFiles()))
+    key = dedup._spread_cache_key(scan.select("text"))
+    assert key is not None  # pure projection of a file scan is cacheable
+    assert key == dedup._spread_cache_key(scan.select("doc_id"))
 
     dedup._spread_decisions.pop(key, None)
     out = dedup._spread_single_partition(
@@ -897,6 +899,44 @@ def test_spread_decision_cached_per_file_set(spark, tmp_path):
     )
     assert out2.rdd.getNumPartitions() == 1
     dedup._spread_decisions.pop(key, None)
+
+
+def test_spread_cache_scoped_to_scan_shaped_plans(spark, tmp_path):
+    """The cached verdict is a property of (files, split confs) ONLY for
+    scan-shaped plans (ADVICE r9): a post-shuffle relation over the same
+    files must bypass the cache (a poisoned True entry must NOT make it
+    repartition an already-parallel relation — the 2.4x token-mass-shuffle
+    loss the round-8 gate exists to avoid), and a split-conf change must
+    change the key so a stale verdict is never reused."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    p = str(tmp_path / "one_split2")
+    spark.createDataFrame(
+        [(i, "a") for i in range(16)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+
+    # 1) post-shuffle plan over the SAME files: not scan-shaped -> no key
+    shuffled = scan.repartition(4)
+    assert dedup._spread_cache_key(shuffled) is None
+    scan_key = dedup._spread_cache_key(scan)
+    dedup._spread_decisions[scan_key] = True  # poison: "single partition"
+    out = dedup._spread_single_partition(shuffled, dedup._SPREAD_MIN_DOCS)
+    # exact probe sees 4 partitions -> no repartition despite the poison
+    assert out.rdd.getNumPartitions() == 4
+    # ...and an aggregate over the same files is likewise uncacheable
+    agg = scan.groupBy("text").count()
+    assert dedup._spread_cache_key(agg) is None
+
+    # 2) split-conf change moves the key -> stale verdict not consulted
+    old_conf = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
+        key2 = dedup._spread_cache_key(scan)
+        assert key2 != scan_key
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_conf)
+    dedup._spread_decisions.pop(scan_key, None)
 
 
 def test_hier_assign_kernel_matches_flat():
