@@ -1204,6 +1204,88 @@ def _py_q6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def _pq_driver_models(
+    cu: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_subspaces: int,
+    dsub: int,
+    n_codes: int,
+    id_col: str,
+):
+    """Driver-resident coarse model + init codebook shared by the PQ
+    training paths (arrow kernels, fused jvm). Every output is bounded by
+    construction — O(K·dim) centroid doubles and O(codes·dim) init
+    residuals — and every double replays the JVM expressions' exact IEEE
+    sequence (``_py_dot`` = the ``_DOT_D`` fold order; quantize/tiebreak =
+    ``assign_to_centroids``'s).
+
+    Returns (cids, c_dbl, cc, c_int, cq_dbl, cqq, coarse_py, cb) where
+    ``coarse_py(v_dbl, vv) -> cell index`` and ``cb[m]`` is the sorted
+    (code_id, w_dbl, ww) init codebook of subspace ``m``.
+    """
+    # Bounded models: centroids were just materialized as a literal
+    # relation, so this collect scans a LocalRelation (no recompute).
+    cent = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = [int(r["cid"]) for r in cent]
+    c_dbl = [list(r["c_dbl"]) for r in cent]
+    cc = [float(r["cc"]) for r in cent]
+    # Re-quantized centroids (the jvm cq relation, driver-side, exact).
+    c_int = [[int(math.floor(x * MICRO + 0.5)) for x in row] for row in c_dbl]
+    cq_dbl = [[x / MICRO for x in row] for row in c_int]
+    cqq = [_py_dot(row, row) for row in cq_dbl]
+
+    def coarse_py(v_dbl, vv):
+        """Driver-side coarse assignment replaying assign_to_centroids'
+        quantized distance + lowest-cid tiebreak exactly (pure Python)."""
+        best, best_i = None, None
+        for i in range(len(cids)):
+            d = _py_q6(vv + cc[i] - 2 * _py_dot(v_dbl, c_dbl[i]))
+            if best is None or d < best:
+                best, best_i = d, i
+        return best_i
+
+    # Codebook init = residual sub-vectors of the first n_codes ids (the jvm
+    # subs.filter(id < n_codes) relation) — one bounded scan job.
+    init_rows = (
+        cu.filter(F.col(id_col) < n_codes)
+        .select(id_col, "v_int", "v_dbl", "vv")
+        .collect()
+    )
+    # cb: per sub_id, sorted (code_id, w_dbl, ww) lists.
+    cb: list[list[tuple[int, list[float], float]]] = [[] for _ in range(n_subspaces)]
+    for r in sorted(init_rows, key=lambda r: r[id_col]):
+        i = coarse_py(list(r["v_dbl"]), float(r["vv"]))
+        r_int = [v - c for v, c in zip(r["v_int"], c_int[i])]
+        for m in range(n_subspaces):
+            w = [x / MICRO for x in r_int[m * dsub : (m + 1) * dsub]]
+            cb[m].append((int(r[id_col]), w, _py_dot(w, w)))
+    return cids, c_dbl, cc, c_int, cq_dbl, cqq, coarse_py, cb
+
+
+def _pq_qwt(spark, qu: DataFrame, cb, *, n_subspaces: int, dsub: int, query_id_col: str) -> DataFrame:
+    """Bounded query-side ADC table (the jvm qwt relation), built on the
+    driver with the exact ``_DOT_D`` fold: q_arr[m][c] = ⟨q_m, w_{m,c}⟩."""
+    q_rows = qu.select(query_id_col, "v_dbl").collect()
+    qwt_data = [
+        (
+            r[query_id_col],
+            [
+                [
+                    _py_dot(list(r["v_dbl"])[m * dsub : (m + 1) * dsub], w)
+                    for _, w, _ in cb[m]
+                ]
+                for m in range(n_subspaces)
+            ],
+        )
+        for r in q_rows
+    ]
+    qid_type = dict(qu.dtypes)[query_id_col]
+    return spark.createDataFrame(
+        qwt_data, f"{query_id_col} {qid_type}, q_arr array<array<double>>"
+    )
+
+
 def _pq_train_encode_arrow(
     spark,
     cu: DataFrame,
@@ -1255,42 +1337,10 @@ def _pq_train_encode_arrow(
     """
     import numpy as np
 
-    # Bounded models: centroids were just materialized as a literal
-    # relation, so this collect scans a LocalRelation (no recompute).
-    cent = sorted(centroids.collect(), key=lambda r: r["cid"])
-    cids = [int(r["cid"]) for r in cent]
-    c_dbl = [list(r["c_dbl"]) for r in cent]
-    cc = [float(r["cc"]) for r in cent]
-    # Re-quantized centroids (the jvm cq relation, driver-side, exact).
-    c_int = [[int(math.floor(x * MICRO + 0.5)) for x in row] for row in c_dbl]
-    cq_dbl = [[x / MICRO for x in row] for row in c_int]
-    cqq = [_py_dot(row, row) for row in cq_dbl]
-
-    def _coarse_py(v_dbl, vv):
-        """Driver-side coarse assignment replaying assign_to_centroids'
-        quantized distance + lowest-cid tiebreak exactly (pure Python)."""
-        best, best_cid, best_i = None, None, None
-        for i, cid in enumerate(cids):
-            d = _py_q6(vv + cc[i] - 2 * _py_dot(v_dbl, c_dbl[i]))
-            if best is None or d < best:
-                best, best_cid, best_i = d, cid, i
-        return best_i
-
-    # Codebook init = residual sub-vectors of the first n_codes ids (the jvm
-    # subs.filter(id < n_codes) relation) — one bounded scan job.
-    init_rows = (
-        cu.filter(F.col(id_col) < n_codes)
-        .select(id_col, "v_int", "v_dbl", "vv")
-        .collect()
+    cids, c_dbl, cc, c_int, cq_dbl, cqq, _coarse_py, cb = _pq_driver_models(
+        cu, centroids, n_subspaces=n_subspaces, dsub=dsub,
+        n_codes=n_codes, id_col=id_col,
     )
-    # cb: per sub_id, sorted (code_id, w_dbl, ww) lists.
-    cb: list[list[tuple[int, list[float], float]]] = [[] for _ in range(n_subspaces)]
-    for r in sorted(init_rows, key=lambda r: r[id_col]):
-        i = _coarse_py(list(r["v_dbl"]), float(r["vv"]))
-        r_int = [v - c for v, c in zip(r["v_int"], c_int[i])]
-        for m in range(n_subspaces):
-            w = [x / MICRO for x in r_int[m * dsub : (m + 1) * dsub]]
-            cb[m].append((int(r[id_col]), w, _py_dot(w, w)))
 
     C_np = np.asarray(c_dbl, dtype=np.float64)
     cc_np = np.asarray(cc, dtype=np.float64)
@@ -1422,24 +1472,273 @@ def _pq_train_encode_arrow(
         encode, f"neighbor_id {id_type}, cid int, code_arr array<int>, aa double"
     )
 
-    # Bounded query-side ADC table (the jvm qwt): q_arr[m][c] = ⟨q_m, w_{m,c}⟩.
-    q_rows = qu.select(query_id_col, "v_dbl").collect()
-    qwt_data = [
-        (
-            r[query_id_col],
-            [
-                [
-                    _py_dot(list(r["v_dbl"])[m * dsub : (m + 1) * dsub], w)
-                    for _, w, _ in cb[m]
-                ]
-                for m in range(n_subspaces)
-            ],
+    qwt = _pq_qwt(
+        spark, qu, cb, n_subspaces=n_subspaces, dsub=dsub,
+        query_id_col=query_id_col,
+    )
+    cq_sel = spark.createDataFrame(
+        list(zip(cids, cq_dbl)), "cid int, cq_dbl array<double>"
+    )
+    return cq_sel, qwt, enc
+
+
+def _pq_train_encode_fused_jvm(
+    spark,
+    cu0: DataFrame,
+    qu: DataFrame,
+    centroids: DataFrame,
+    *,
+    dim: int,
+    n_subspaces: int,
+    dsub: int,
+    n_codes: int,
+    pq_iters: int,
+    id_col: str,
+    query_id_col: str,
+):
+    """Fused JVM PQ training + encoding (round 10) — the legacy chain's
+    exact arithmetic with the fixed-cost orchestration removed.
+
+    The legacy jvm chain pays, at tier 0, a driver-blocking materialize
+    per model relation plus the per-(vector,subspace) ``subs`` persist and
+    its argmin/aggregate/join shuffles — ~16 s of pure orchestration at
+    sf0.001 (VERDICT r9 item 2) on KB-sized models. This path extends the
+    ``_kmeans_exact_fused`` pattern across the PQ subspaces:
+
+    - the whole model (centroids incl. re-quantized ints + ALL subspace
+      codebooks) rides as ONE broadcast data row — bounded at
+      O(K·dim + M·codes·dsub) doubles by construction;
+    - per Lloyd iteration, ONE aggregate job: coarse argmin as a narrow
+      ``array_min`` projection (the pattern pinned bit-identical to
+      ``assign_to_centroids``), exact int64 residuals, per-subspace code
+      argmin in the same stage, then a single
+      posexplode → groupBy(sub, code, pos) aggregate whose map-side
+      combine collapses the n×dim explode before its one shuffle,
+      collected at ≤ M·codes·dsub rows and combined with Python ints;
+    - encoding = the SAME narrow projection emitting (id, cid, code_arr)
+      plus one broadcast join against the driver-built ``cwt`` literal for
+      ``aa`` (the legacy ``aa_expr`` string, verbatim) — the n×M ``subs``
+      relation, its persist fill, and the collect_list re-assembly all
+      disappear; the corpus is scanned shuffle-free.
+
+    At 100 TB the corpus is touched exactly ``pq_iters`` + 1 times with no
+    data-sized shuffle; every model stays driver-resident KBs.
+
+    Bit-exactness vs the legacy chain (pinned by
+    tests/test_ann_recall.py::test_pq_fused_matches_legacy_chain): the
+    coarse distance replays ``(vv + cc − 2·_DOT_D)`` with the 1e-6 floor
+    quantize and (dist, cid) tiebreak; residuals are the same int64
+    ``zip_with`` subtraction; code distance replays ``_assign_codes``'s
+    ``(rr + ww − 2·wv)`` quantize with (dist, code_id) tiebreak; the
+    driver codebook update is ``s / (1e6·n)`` per dimension (the jvm cast/
+    multiply/divide sequence) with the ``_py_dot`` (= ``_DOT_D``) norm
+    fold; cwt/qwt tables are single IEEE ops on exact inputs, the same
+    operation order as the legacy ``tv``/``qv`` expressions. Unlike the
+    arrow path there is NO BLAS accumulation anywhere — this path stays
+    oracle-exact, same as the legacy chain it replaces.
+
+    Returns (cq_sel, qwt, enc) for the shared ADC tail.
+    """
+    cids, c_dbl, cc, c_int, cq_dbl, cqq, _coarse, cb = _pq_driver_models(
+        cu0, centroids, n_subspaces=n_subspaces, dsub=dsub,
+        n_codes=n_codes, id_col=id_col,
+    )
+
+    model_schema = (
+        "cents array<struct<cid:int,c_dbl:array<double>,cc:double,"
+        "c_int:array<bigint>>>, "
+        "books array<array<struct<code_id:int,w_dbl:array<double>,ww:double>>>"
+    )
+    cents_data = list(zip(cids, c_dbl, cc, c_int))
+
+    def _model_df(cb_cur):
+        # Model as broadcast DATA (one row), not plan literals: every
+        # iteration and the encode pass reuse the same compiled plan
+        # (the _kmeans_exact_fused argument; createDataFrame round-trips
+        # doubles IEEE-exactly).
+        return spark.createDataFrame([(cents_data, cb_cur)], model_schema)
+
+    def _coded(df: DataFrame, cb_cur, keep: list[str]) -> DataFrame:
+        """Narrow coarse-assign + residual + per-subspace code argmin over
+        the broadcast model; emits keep + (cid, code_0..code_{M-1}) and
+        r_int. Each step is its own projection so the argmin HOFs are
+        never inlined into a consumer that would re-evaluate them
+        (the round-8 Generate-reevaluation hazard)."""
+
+        def _dist(c):
+            dot = F.aggregate(
+                F.zip_with(F.col("v_dbl"), c["c_dbl"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return (
+                F.floor((F.col("vv") + c["cc"] - 2 * dot) * 1e6 + F.lit(0.5))
+                / 1e6
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _dist(c).alias("dist"),
+                    c["cid"].alias("cid"),
+                    c["c_int"].alias("c_int"),
+                ),
+            )
         )
-        for r in q_rows
-    ]
-    qid_type = dict(qu.dtypes)[query_id_col]
-    qwt = spark.createDataFrame(
-        qwt_data, f"{query_id_col} {qid_type}, q_arr array<array<double>>"
+        step = df.crossJoin(F.broadcast(_model_df(cb_cur))).select(
+            *keep, "v_int", "books", best.alias("b")
+        )
+        step = step.select(
+            *keep,
+            F.col("b.cid").alias("cid"),
+            F.zip_with("v_int", F.col("b.c_int"), lambda x, y: x - y).alias(
+                "r_int"
+            ),
+            "books",
+        )
+        # Per-subspace residual doubles + their norms, hoisted into named
+        # columns so the code-argmin folds below reference them instead of
+        # re-deriving per codeword.
+        for m in range(n_subspaces):
+            step = step.withColumn(
+                f"rs_{m}",
+                F.transform(
+                    F.slice("r_int", m * dsub + 1, dsub),
+                    lambda x: x / F.lit(MICRO),
+                ),
+            )
+        for m in range(n_subspaces):
+            step = step.withColumn(
+                f"rr_{m}",
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"rs_{m}"), F.col(f"rs_{m}"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+
+        def _code_sel(m):
+            def _qd(w):
+                wv = F.aggregate(
+                    F.zip_with(
+                        F.col(f"rs_{m}"), w["w_dbl"], lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                return (
+                    F.floor(
+                        (F.col(f"rr_{m}") + w["ww"] - 2 * wv) * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                )
+
+            return F.array_min(
+                F.transform(
+                    F.element_at("books", m + 1),
+                    lambda w: F.struct(
+                        _qd(w).alias("dist"), w["code_id"].alias("code_id")
+                    ),
+                )
+            )["code_id"]
+
+        return step.select(
+            *keep,
+            "cid",
+            "r_int",
+            *[_code_sel(m).alias(f"code_{m}") for m in range(n_subspaces)],
+        )
+
+    data = cu0.select("v_int", "v_dbl", "vv")
+    for _ in range(pq_iters):
+        coded = _coded(data, cb, keep=[])
+        # ONE shuffle: the n×dim posexplode is map-side combined down to
+        # ≤ partitions × M×codes×dsub rows before it, and the collect is
+        # the bounded M×codes×dsub aggregate.
+        agg = (
+            coded.select(
+                F.array(
+                    *[F.col(f"code_{m}") for m in range(n_subspaces)]
+                ).alias("codes_arr"),
+                F.posexplode("r_int").alias("pos", "val"),
+            )
+            .select(
+                F.expr(f"pos DIV {dsub}").alias("sub_id"),
+                F.element_at(
+                    "codes_arr", (F.expr(f"pos DIV {dsub}") + 1).cast("int")
+                ).alias("code_id"),
+                F.expr(f"pos % {dsub}").alias("pos_m"),
+                "val",
+            )
+            .groupBy("sub_id", "code_id", "pos_m")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by.setdefault((int(r["sub_id"]), int(r["code_id"])), {})[
+                int(r["pos_m"])
+            ] = (int(r["s"]), int(r["n"]))
+        new_cb: list[list[tuple[int, list[float], float]]] = [
+            [] for _ in range(n_subspaces)
+        ]
+        for (m, code), d in sorted(by.items()):
+            # The jvm update: dv = CAST(s AS DOUBLE) / (1e6 · n) per dim;
+            # codes with no assigned vectors drop out (the jvm inner join
+            # drops them the same way).
+            n = d[0][1]
+            w = [float(d[i][0]) / (MICRO * n) for i in range(dsub)]
+            new_cb[m].append((code, w, _py_dot(w, w)))
+        cb = new_cb
+
+    # Driver-built ADC tables (the legacy cwt relation, as a literal):
+    # t_arr[m][c] = 2⟨cq_m, w_{m,c}⟩ + ww — single IEEE ops on exact
+    # inputs, the legacy tv expression's operation order.
+    cwt = spark.createDataFrame(
+        [
+            (
+                cid,
+                cqq[i],
+                [
+                    [
+                        2 * _py_dot(cq_dbl[i][m * dsub : (m + 1) * dsub], w)
+                        + ww
+                        for _, w, ww in cb[m]
+                    ]
+                    for m in range(n_subspaces)
+                ],
+            )
+            for i, cid in enumerate(cids)
+        ],
+        "cid int, cqq double, t_arr array<array<double>>",
+    )
+
+    # Encoded corpus: the same narrow projection + one broadcast join for
+    # aa (the legacy aa_expr string, verbatim — left-to-right fixed order).
+    aa_expr = "cqq" + "".join(
+        " + " + _ADC_LOOKUP.format(arr="t_arr", m=m + 1)
+        for m in range(n_subspaces)
+    )
+    enc = (
+        _coded(cu0.select(id_col, "v_int", "v_dbl", "vv"), cb, keep=[id_col])
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cid",
+            F.array(
+                *[F.col(f"code_{m}") for m in range(n_subspaces)]
+            ).alias("code_arr"),
+        )
+        .join(F.broadcast(cwt), "cid")
+        .select("neighbor_id", "cid", "code_arr", F.expr(aa_expr).alias("aa"))
+    )
+
+    qwt = _pq_qwt(
+        spark, qu, cb, n_subspaces=n_subspaces, dsub=dsub,
+        query_id_col=query_id_col,
     )
     cq_sel = spark.createDataFrame(
         list(zip(cids, cq_dbl)), "cid int, cq_dbl array<double>"
@@ -1524,6 +1823,17 @@ def ivf_pq_topk(
     )
     if assign_backend == "arrow":
         cq_sel, qwt, enc = _pq_train_encode_arrow(
+            corpus.sparkSession, cu0, qu, centroids,
+            dim=dim, n_subspaces=n_subspaces, dsub=dsub, n_codes=n_codes,
+            pq_iters=pq_iters, id_col=id_col, query_id_col=query_id_col,
+        )
+        return _pq_adc_tail(cu, qu, centroids, cq_sel, qwt, enc, **tail_kw)
+    # Fused jvm path (round 10): one aggregate job per PQ Lloyd iteration,
+    # shuffle-free encode, bit-identical to the legacy chain below
+    # (equivalence test-pinned). SPARK_GRAFT_PQ_FUSE=0 keeps the legacy
+    # chain as an A/B arm.
+    if os.environ.get("SPARK_GRAFT_PQ_FUSE", "1") != "0":
+        cq_sel, qwt, enc = _pq_train_encode_fused_jvm(
             corpus.sparkSession, cu0, qu, centroids,
             dim=dim, n_subspaces=n_subspaces, dsub=dsub, n_codes=n_codes,
             pq_iters=pq_iters, id_col=id_col, query_id_col=query_id_col,
@@ -2537,20 +2847,26 @@ def semantic_dedup(
     # Fused per-cell grouping (round 9): SemDeDup pairs are WITHIN-CELL by
     # construction (the search never crosses cells), so the pair graph is a
     # disjoint union of per-cell graphs and components ≡ per-cell
-    # components. The default int backend therefore computes the exact
+    # components. The GEMM-shaped backends therefore compute the exact
     # grouping INSIDE the pair kernel (vectorized min-label union-find on
-    # the thresholded adjacency the GEMM just built) and emits one
+    # the thresholded adjacency the GEMM just built) and emit one
     # (id, cid, cdist, group_id) row per vector — the O(dup-mass) pair
     # relation never materializes, never shuffles, and the global CC stage
     # disappears (at the 100x tier that relation was 1.58M edges and CC was
     # the largest K-flat term — SCALING.md round 9). Identical labels by
     # construction: same kept edges, same min-id component labeling
     # (equality test-pinned against the pairs+CC arm).
+    # Round 10 (VERDICT r9 item 5): the gemm A/B arm fuses the SAME way —
+    # its edges come from the unit-vector BLAS GEMM instead of the exact
+    # int GEMM — so int-vs-gemm A/Bs compare pair kernels like-for-like
+    # instead of confounding grouping strategy.
     # SPARK_GRAFT_SEM_FUSE_GROUPS=0 keeps the pairs+CC path as an A/B arm;
     # tier 0 (propagation_rounds) always takes the pairs path — it is the
-    # oracle-replayed geometry and stays frozen.
+    # oracle-replayed geometry and stays frozen. The jvm backend has no
+    # in-kernel adjacency to fuse on (its pairs come from a relational
+    # join) and always takes the pairs path.
     fuse_groups = (
-        pair_backend == "int"
+        pair_backend in ("int", "gemm")
         and propagation_rounds is None
         and os.environ.get("SPARK_GRAFT_SEM_FUSE_GROUPS", "1") != "0"
     )
@@ -2562,11 +2878,30 @@ def semantic_dedup(
             f"{id_col} {id_type}, cid int, cdist double, group_id {id_type}"
         )
 
+        def _grouped_frame(pdf, ids, ea, eb):
+            group = ids.copy()
+            if len(ea):
+                uids, ulabels = _union_find_min_labels(ea, eb)
+                import numpy as np
+
+                pos = np.searchsorted(uids, ids)
+                pos_c = np.minimum(pos, len(uids) - 1)
+                hit = uids[pos_c] == ids
+                group[hit] = ulabels[pos_c[hit]]
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cid": pdf["cid"],
+                    "cdist": pdf["cdist"],
+                    "group_id": group,
+                }
+            )
+
         def cell_groups_int(key, pdf):
             import numpy as np
 
             ids = pdf["_id"].to_numpy()
-            group = ids.copy()
+            ea = eb = ()
             if len(pdf) >= 2:
                 vd = np.stack(pdf["v_dbl"].to_numpy())
                 # identical arithmetic to cell_cosines_int below: exact
@@ -2588,27 +2923,32 @@ def semantic_dedup(
                 q = np.floor(cos[ia, ib] * 1e6 + 0.5) / 1e6
                 keep_m = q >= threshold
                 ea, eb = ids[ia][keep_m], ids[ib][keep_m]
-                if len(ea):
-                    uids, ulabels = _union_find_min_labels(ea, eb)
-                    pos = np.searchsorted(uids, ids)
-                    pos_c = np.minimum(pos, len(uids) - 1)
-                    hit = uids[pos_c] == ids
-                    group[hit] = ulabels[pos_c[hit]]
-            return pd.DataFrame(
-                {
-                    id_col: ids,
-                    "cid": pdf["cid"],
-                    "cdist": pdf["cdist"],
-                    "group_id": group,
-                }
-            )
+            return _grouped_frame(pdf, ids, ea, eb)
 
+        def cell_groups_gemm(key, pdf):
+            import numpy as np
+
+            ids = pdf["_id"].to_numpy()
+            ea = eb = ()
+            if len(pdf) >= 2:
+                # identical edge arithmetic to cell_cosines below: unit
+                # BLAS GEMM, direct threshold (no quantize) — same kept
+                # edges as the gemm pairs+CC arm by construction
+                m = np.stack(pdf["unit"].to_numpy())
+                cos = m @ m.T
+                ia, ib = np.nonzero(cos >= threshold)
+                kp = ids[ia] < ids[ib]
+                ea, eb = ids[ia][kp], ids[ib][kp]
+            return _grouped_frame(pdf, ids, ea, eb)
+
+        vec_field = "v_dbl" if pair_backend == "int" else "unit"
+        kernel = cell_groups_int if pair_backend == "int" else cell_groups_gemm
         labeled = (
             cells.select(
-                F.col(id_col).alias("_id"), "cid", "cdist", "v_dbl"
+                F.col(id_col).alias("_id"), "cid", "cdist", vec_field
             )
             .groupBy("cid")
-            .applyInPandas(cell_groups_int, grp_schema)
+            .applyInPandas(kernel, grp_schema)
         )
         if keep == "min_id":
             return labeled.select(

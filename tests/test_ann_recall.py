@@ -164,6 +164,36 @@ def test_kmeans_fused_matches_legacy_bit_exact(spark, monkeypatch):
     assert fused == legacy  # bit-exact: == on floats, no tolerance
 
 
+def test_pq_fused_matches_legacy_chain(spark, monkeypatch):
+    """The round-10 fused jvm PQ path (one aggregate job per Lloyd
+    iteration, shuffle-free encode, driver-built ADC tables) must
+    reproduce the legacy multi-materialize jvm chain BIT-exactly on the
+    real corpus — same shortlists, same approx/exact cosines to the last
+    ulp, same ranks. The oracle replays the legacy arithmetic, so this
+    equivalence is what keeps embedding_ivf_pq driver-green with the
+    fused path as the default."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    kw = dict(dim=64, k_clusters=8, iters=2, nprobe=2, n_subspaces=8,
+              n_codes=16, pq_iters=2, k=10, shortlist_factor=3,
+              id_col="vec_id", query_id_col="query_id")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_PQ_FUSE", "0")
+    legacy = rows(similarity.ivf_pq_topk(e, q, **kw))
+    monkeypatch.setenv("SPARK_GRAFT_PQ_FUSE", "1")
+    fused = rows(similarity.ivf_pq_topk(e, q, **kw))
+    assert len(legacy) > 0
+    assert fused == legacy  # bit-exact: == on floats, no tolerance
+
+
 def test_ivf_pq_arrow_assignment_matches_jvm(spark):
     """ivf_pq_topk(assign_backend='arrow') must reproduce the JVM path's
     ranked output on the test corpus (same rounded scores, same ranks)."""

@@ -664,22 +664,34 @@ def test_semantic_fused_groups_match_pairs_cc(spark, monkeypatch):
     rows.append((101, [0.0] * 6))  # zero vector
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    # the gemm arm's unit-vector normalization divides by sqrt(vv): a zero
+    # vector is outside its contract (ANSI divide-by-zero) on BOTH its
+    # fused and pairs+CC paths, so the gemm comparison drops id 101
+    df_gemm = df.filter("vec_id <> 101")
     for keep in ("min_id", "far_from_centroid"):
-        monkeypatch.delenv("SPARK_GRAFT_SEM_FUSE_GROUPS", raising=False)
-        fused = sorted(
-            map(
-                repr,
-                semantic_dedup(df, 0.99, k_clusters=3, iters=2, keep=keep).collect(),
+        for backend in ("int", "gemm"):  # gemm fused in round 10 (VERDICT r9)
+            d = df if backend == "int" else df_gemm
+            monkeypatch.delenv("SPARK_GRAFT_SEM_FUSE_GROUPS", raising=False)
+            fused = sorted(
+                map(
+                    repr,
+                    semantic_dedup(
+                        d, 0.99, k_clusters=3, iters=2, keep=keep,
+                        pair_backend=backend,
+                    ).collect(),
+                )
             )
-        )
-        monkeypatch.setenv("SPARK_GRAFT_SEM_FUSE_GROUPS", "0")
-        cc = sorted(
-            map(
-                repr,
-                semantic_dedup(df, 0.99, k_clusters=3, iters=2, keep=keep).collect(),
+            monkeypatch.setenv("SPARK_GRAFT_SEM_FUSE_GROUPS", "0")
+            cc = sorted(
+                map(
+                    repr,
+                    semantic_dedup(
+                        d, 0.99, k_clusters=3, iters=2, keep=keep,
+                        pair_backend=backend,
+                    ).collect(),
+                )
             )
-        )
-        assert fused == cc, f"fused != pairs+CC under keep={keep}"
+            assert fused == cc, f"fused != pairs+CC under {keep}/{backend}"
 
 
 def test_semantic_dedup_rejects_unknown_policy(spark):
