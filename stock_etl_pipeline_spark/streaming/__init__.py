@@ -17,6 +17,7 @@ from .pipeline import (
     stateful_user_totals,
     stream_merge_upsert,
     streaming_semantic_dedup,
+    streaming_semantic_groups,
     streaming_simhash_near_dup,
     tumbling_event_counts,
     tuned_stream_confs,
@@ -34,6 +35,7 @@ __all__ = [
     "sessionize_stream",
     "stateful_sessionize",
     "streaming_semantic_dedup",
+    "streaming_semantic_groups",
     "streaming_simhash_near_dup",
     "stateful_user_totals",
     "stream_merge_upsert",

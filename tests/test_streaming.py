@@ -449,6 +449,68 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     assert set(got) <= {r["vec_id"] for r in batch} - keepers
 
 
+def test_streaming_semantic_groups_match_batch_fused(spark, tmp_path):
+    """VERDICT r9 item 4: streaming_semantic_groups re-shapes the stream's
+    flagged output into the batch fused grouping's representation
+    (id, cid, group_id, keeper_id), and on a dup-packed CLIQUE corpus whose
+    families span micro-batch boundaries the two relations must be
+    identical row for row — batch/stream parity compared on identical
+    structures, not a flag set vs a labeling."""
+    from stock_etl_pipeline_spark.operators import similarity
+
+    THRESH, K, N = 0.95, 4, 40
+    rows = []
+    for i in range(N):
+        fam = i % K
+        vec = [0.0] * 8
+        vec[fam] = 1.0
+        vec[4 + fam] = 0.001 * (i // K)  # tight clique within each family
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = similarity.with_micro_vectors(emb)
+    cents = similarity.kmeans_exact(v, k_clusters=K, iters=2)
+
+    t0 = 1_704_110_400
+    timed = emb.withColumn(
+        "ts", F.timestamp_seconds(F.lit(t0) + F.col("vec_id"))
+    ).select("vec_id", "ts", "embedding")
+    src = str(tmp_path / "emb_groups_stream")
+    # three micro-batches by id range: every family (i % 4) spans all three
+    for lo, hi in ((0, 13), (13, 26), (26, N)):
+        timed.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, ts timestamp, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged_df = streaming.streaming_semantic_dedup(
+        stream, cents, threshold=THRESH, watermark="2 hours"
+    )
+    streaming.run_to_memory(flagged_df, "t_semgroups", str(tmp_path / "ckpt_sg"))
+
+    stream_groups = sorted(
+        tuple(r)
+        for r in streaming.streaming_semantic_groups(
+            spark.table("t_semgroups")
+        ).collect()
+    )
+    batch_groups = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(  # default fused int backend
+            emb, THRESH, k_clusters=K, iters=2
+        )
+        .select("vec_id", "cid", "group_id", "keeper_id")
+        .collect()
+    )
+    assert len(stream_groups) == N
+    assert stream_groups == batch_groups
+    # non-vacuous: real multi-member groups exist
+    assert len({g for _, _, g, _ in batch_groups}) < N
+
+
 def test_streaming_semantic_dedup_member_expiry(spark, tmp_path):
     """Per-member horizon pruning in a hot cell: identical vectors arriving
     at 0m/45m/150m/151m against a 1h horizon — the 151m arrival must match
