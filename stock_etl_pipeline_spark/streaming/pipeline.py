@@ -727,9 +727,21 @@ def streaming_semantic_dedup(
     exactly the batch pair query's later-id sides. Like the batch operator
     (and the SemDeDup paper), duplicate search is within-cell only.
 
+    Fragment edges (round 10): the cell state also carries a running
+    min-label per member (an incremental per-cell union-find), and each
+    arrival emits ``matched_reps`` — the distinct FRAGMENT labels of all
+    its in-horizon matches, not just the best one. One edge per matched
+    fragment is exactly the edge set whose offline closure
+    (:func:`streaming_semantic_groups`) reproduces the batch fused
+    grouping on ANY within-cell component shape — chains included — while
+    staying O(#fragments) per row instead of O(#matches); the single
+    best-match edge alone under-merges the {a~c, b~c, a≁c} shape
+    (test-pinned).
+
     Output: one row per arriving vector: (``id_col``, ts, cid, matched_id,
-    cosine); matched_id NULL when nothing within the horizon cleared the
-    threshold. Callers keep-first by dropping flagged ids.
+    cosine, matched_reps); matched_id/matched_reps NULL when nothing
+    within the horizon cleared the threshold. Callers keep-first by
+    dropping flagged ids.
     """
     import numpy as np
     import pandas as pd
@@ -786,11 +798,12 @@ def streaming_semantic_dedup(
     )
 
     out_schema = (
-        f"{id_col} long, ts timestamp, cid int, matched_id long, cosine double"
+        f"{id_col} long, ts timestamp, cid int, matched_id long, "
+        "cosine double, matched_reps array<long>"
     )
     state_schema = (
         "ids array<long>, units array<double>, tss array<long>, "
-        "dim int, last_us long"
+        "labels array<long>, dim int, last_us long"
     )
 
     def update(key, pdf_iter, state: GroupState):
@@ -804,15 +817,17 @@ def streaming_semantic_dedup(
         pdf = pd.concat(batch).sort_values(["ts", id_col])
         wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            s_ids, s_units, s_tss, dim, last_us = state.get
+            s_ids, s_units, s_tss, s_labels, dim, last_us = state.get
             m_ids = np.asarray(s_ids, dtype=np.int64)
             m_tss = np.asarray(s_tss, dtype=np.int64)
+            m_labels = np.asarray(s_labels, dtype=np.int64)
             m_units = np.asarray(s_units, dtype=np.float64).reshape(-1, dim)
             keep = (m_tss + horizon_us) // 1000 > wm_ms  # member horizon
             if not keep.all():
-                m_ids, m_tss, m_units = m_ids[keep], m_tss[keep], m_units[keep]
+                m_ids, m_tss = m_ids[keep], m_tss[keep]
+                m_labels, m_units = m_labels[keep], m_units[keep]
         else:
-            m_ids = m_tss = np.empty(0, dtype=np.int64)
+            m_ids = m_tss = m_labels = np.empty(0, dtype=np.int64)
             m_units = None
             last_us = 0
         U_batch = np.stack(
@@ -824,6 +839,11 @@ def streaming_semantic_dedup(
         nb, m0 = len(pdf), len(m_ids)
         ids_a = np.concatenate([m_ids, pdf[id_col].to_numpy(dtype=np.int64)])
         units_a = np.vstack([m_units, U_batch])
+        # running per-member min-label (incremental union-find): batch rows
+        # start as their own fragment; merges below fold matched fragments
+        labels_a = np.concatenate(
+            [m_labels, pdf[id_col].to_numpy(dtype=np.int64)]
+        )
         ts_us = (
             pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64) // 1000
         )
@@ -833,6 +853,7 @@ def streaming_semantic_dedup(
         G = np.floor((U_batch @ units_a.T) * 1e6 + 0.5) / 1e6
         matched = np.full(nb, -1, dtype=np.int64)
         cosines = np.full(nb, np.nan)
+        reps_out: list[list[int] | None] = [None] * nb
         start = 0
         for i in range(nb):
             cnt = m0 + i
@@ -845,6 +866,18 @@ def streaming_semantic_dedup(
                     cmax = g[sel].max()
                     matched[i] = ids_a[start:cnt][sel[g[sel] == cmax]].min()
                     cosines[i] = cmax
+                    # one edge per matched FRAGMENT: enough for the offline
+                    # closure to reproduce batch components on any shape,
+                    # O(#fragments) not O(#matches)
+                    frags = np.unique(labels_a[start:cnt][sel])
+                    reps_out[i] = [int(x) for x in frags]
+                    merged = min(int(frags.min()), int(ids_a[cnt]))
+                    # fold every LIVE member of a matched fragment (and the
+                    # arrival itself) into the merged fragment; members
+                    # behind `start` are never read again
+                    live = labels_a[start:cnt]
+                    live[np.isin(live, frags)] = merged
+                    labels_a[cnt] = merged
         end = m0 + nb
         start = max(0, end - cell_cap)
         if nb:
@@ -854,6 +887,7 @@ def streaming_semantic_dedup(
                 [int(x) for x in ids_a[start:end]],
                 [float(x) for x in units_a[start:end].ravel()],
                 [int(x) for x in tss_a[start:end]],
+                [int(x) for x in labels_a[start:end]],
                 int(dim),
                 int(last_us),
             )
@@ -877,6 +911,7 @@ def streaming_semantic_dedup(
                     [None if m < 0 else float(c) for m, c in zip(matched, cosines)],
                     dtype="Float64",
                 ),
+                "matched_reps": pd.Series(reps_out, dtype=object),
             }
         )
 
@@ -908,17 +943,15 @@ def streaming_semantic_groups(
     (id, matched_id) edges with zero global grouping jobs. min_id keeper
     convention (the batch default): ``keeper_id == group_id``.
 
-    Exactness caveat (documented and test-pinned): the stream emits at
-    most ONE edge per arrival — its best earlier in-horizon match — which
-    is a SUBSET of the batch pair relation. On clique-shaped duplicate
-    families (template/dup-packed corpora: every pair of a family clears
-    the threshold) the union-find closure over these edges reproduces the
-    batch components exactly, because each later member links into the
-    family's connected prefix. On CHAIN-shaped families (a~b, b~c, a≁c)
-    the stream can under-merge: c's single best-match edge may land in a
-    fragment not yet containing a. Use this view for parity reporting and
-    keep-first accounting; batch ``semantic_dedup`` remains the grouping
-    of record on chain-heavy corpora.
+    Exactness (test-pinned): with ``matched_reps`` present (round 10 —
+    one edge per matched FRAGMENT, from the stream's in-state incremental
+    union-find) the closure reproduces the batch components on ANY
+    within-cell shape, chains included, under the stream's own contract
+    (in-order arrival, every family pair witnessed inside the horizon and
+    the FIFO cap). Without it (pre-round-10 sinks) the view falls back to
+    the single best-match edge, which is exact on clique-shaped duplicate
+    families but can under-merge chains — e.g. {a~c, b~c, a≁c}, where
+    c's one edge bypasses half the component (the pinned negative case).
 
     Input must be bounded (a materialized stream window / test sink), like
     any grouping report; the per-cell kernel state is O(cell) like the
@@ -929,6 +962,7 @@ def streaming_semantic_groups(
 
     from ..operators.dedup import _union_find_min_labels
 
+    has_reps = "matched_reps" in flagged.columns
     id_type = dict(flagged.dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, cid int, group_id {id_type}, "
@@ -938,10 +972,20 @@ def streaming_semantic_groups(
     def cell_groups(key, pdf):
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         group = ids.copy()
-        has = pd.notna(pdf["matched_id"]).to_numpy()
-        if has.any():
-            ea = ids[has]
-            eb = pdf["matched_id"][has].to_numpy(dtype=np.int64)
+        ea_parts, eb_parts = [], []
+        if has_reps:
+            for i, reps in zip(ids, pdf["matched_reps"]):
+                if reps is not None and len(reps):
+                    ea_parts.append(np.full(len(reps), i, dtype=np.int64))
+                    eb_parts.append(np.asarray(reps, dtype=np.int64))
+        else:
+            has = pd.notna(pdf["matched_id"]).to_numpy()
+            if has.any():
+                ea_parts.append(ids[has])
+                eb_parts.append(pdf["matched_id"][has].to_numpy(dtype=np.int64))
+        if ea_parts:
+            ea = np.concatenate(ea_parts)
+            eb = np.concatenate(eb_parts)
             uids, ulabels = _union_find_min_labels(ea, eb)
             pos = np.searchsorted(uids, ids)
             pos_c = np.minimum(pos, len(uids) - 1)

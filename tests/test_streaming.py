@@ -511,6 +511,88 @@ def test_streaming_semantic_groups_match_batch_fused(spark, tmp_path):
     assert len({g for _, _, g, _ in batch_groups}) < N
 
 
+def test_streaming_semantic_groups_exact_on_chains(spark, tmp_path):
+    """Round-10 fragment edges: matched_reps carries one edge per matched
+    FRAGMENT (in-state incremental union-find), so the offline closure
+    reproduces the batch fused grouping on chain-shaped components too —
+    including the {a~c, b~c, a≁c} shape where the single best-match edge
+    provably under-merges (pinned as the negative case)."""
+    import math
+
+    from stock_etl_pipeline_spark.operators import similarity
+
+    THRESH = 0.93
+    def vec(d0, d1, angle_deg):
+        v = [0.0] * 6
+        v[d0] = math.cos(math.radians(angle_deg))
+        v[d1] = math.sin(math.radians(angle_deg))
+        return v
+
+    rows = [
+        # chain family in dims (0,1): 0~1 (cos14=.970), 1~2 (.970), 0≁2 (cos28=.883)
+        (0, vec(0, 1, 0.0)), (1, vec(0, 1, 14.0)), (2, vec(0, 1, 28.0)),
+        # vee family in dims (2,3): 3~5 (cos20=.940), 4~5 (.940), 3≁4 (cos40=.766)
+        (3, vec(2, 3, 0.0)), (4, vec(2, 3, 40.0)), (5, vec(2, 3, 20.0)),
+        # singleton in dim 4
+        (6, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = similarity.with_micro_vectors(emb)
+    cents = similarity.kmeans_exact(v, k_clusters=1, iters=2)
+
+    t0 = 1_704_110_400
+    timed = emb.withColumn(
+        "ts", F.timestamp_seconds(F.lit(t0) + F.col("vec_id"))
+    ).select("vec_id", "ts", "embedding")
+    src = str(tmp_path / "emb_chain_stream")
+    # chain (2) and vee (5) members cross micro-batch boundaries
+    for lo, hi in ((0, 2), (2, 5), (5, 7)):
+        timed.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, ts timestamp, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flagged_df = streaming.streaming_semantic_dedup(
+        stream, cents, threshold=THRESH, watermark="2 hours"
+    )
+    streaming.run_to_memory(flagged_df, "t_chains", str(tmp_path / "ckpt_ch"))
+    sink = spark.table("t_chains")
+
+    # id 5 matched BOTH fragments of its family -> two reps
+    r5 = next(r for r in sink.collect() if r["vec_id"] == 5)
+    assert sorted(r5["matched_reps"]) == [3, 4]
+
+    batch_groups = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, THRESH, k_clusters=1, iters=2)
+        .select("vec_id", "cid", "group_id", "keeper_id")
+        .collect()
+    )
+    # chain {0,1,2} and vee {3,4,5} are whole components in batch
+    assert {g for i, _, g, _ in batch_groups if i in (0, 1, 2)} == {0}
+    assert {g for i, _, g, _ in batch_groups if i in (3, 4, 5)} == {3}
+
+    via_reps = sorted(
+        tuple(r) for r in streaming.streaming_semantic_groups(sink).collect()
+    )
+    assert via_reps == batch_groups
+
+    # negative pin: the single best-match edge alone under-merges the vee —
+    # 4 never links (its only edges are through 5's second fragment)
+    via_best = {
+        r["vec_id"]: r["group_id"]
+        for r in streaming.streaming_semantic_groups(
+            sink.drop("matched_reps")
+        ).collect()
+    }
+    assert via_best[4] == 4  # under-merged (batch says 3)
+    assert via_best[5] == 3
+
+
 def test_streaming_semantic_dedup_member_expiry(spark, tmp_path):
     """Per-member horizon pruning in a hot cell: identical vectors arriving
     at 0m/45m/150m/151m against a 1h horizon — the 151m arrival must match
