@@ -23,9 +23,12 @@ stable, which closes the kernel-body blind spot without parsing Python.
 
 from __future__ import annotations
 
+import ast
 import hashlib
+import importlib
 import inspect
 import re
+import sys
 from collections.abc import Callable
 
 _PKG = __name__.rsplit(".", 1)[0]  # "stock_etl_pipeline_spark"
@@ -47,7 +50,20 @@ def _module_src_hash(mod) -> str | None:
 
 def module_closure(mod, pkg_prefix: str = _PKG) -> dict[str, str]:
     """``{module_name: src_md5}`` for every in-package module reachable from
-    ``mod`` via module-level globals (modules, functions, classes)."""
+    ``mod`` via module-level globals (modules, functions, classes).
+
+    A PACKAGE module's attributes include every submodule ever imported —
+    the import machinery binds ``pkg.child`` onto ``pkg`` — which are
+    import-order artifacts, not code references: following them makes
+    every closure swallow the whole package (measured: all 32 bench
+    kernel hashes collapsed to ONE value, so any edit anywhere would mark
+    every query touched and empty the untouched-median ruler basis). So a
+    module's OWN-subtree module attributes are skipped; genuine
+    references survive because ``from .sibling import fn`` binds the
+    function (whose ``getmodule`` IS the sibling) and cross-package
+    ``from ..operators import dedup`` binds a module that is not in the
+    referencing module's own subtree.
+    """
     out: dict[str, str] = {}
     stack = [mod]
     while stack:
@@ -61,9 +77,66 @@ def module_closure(mod, pkg_prefix: str = _PKG) -> dict[str, str]:
         out[name] = h
         for v in vars(m).values():
             mm = v if inspect.ismodule(v) else inspect.getmodule(v)
-            if mm is not None and getattr(mm, "__name__", "").startswith(pkg_prefix):
+            mm_name = getattr(mm, "__name__", "")
+            if (
+                mm is not None
+                and mm_name.startswith(pkg_prefix)
+                and not mm_name.startswith(name + ".")
+            ):
                 stack.append(mm)
+        stack.extend(_static_imports(m, pkg_prefix))
     return out
+
+
+def _static_imports(mod, pkg_prefix: str):
+    """In-package modules named by IMPORT STATEMENTS anywhere in ``mod``'s
+    source — including function bodies, which the globals walk cannot see
+    (e.g. a query fn's ``from ..quality import quality_metrics_agg``).
+    Package ``__init__`` bodies are deliberately NOT scanned: their
+    function-body imports are registration fan-outs (``load_all`` imports
+    every workload module), and following those re-collapses every
+    closure onto the whole package; their module-level imports are
+    already covered by the globals walk."""
+    if getattr(mod, "__path__", None) is not None:  # package __init__
+        return []
+    f = getattr(mod, "__file__", None)
+    if not f or not f.endswith(".py"):
+        return []
+    try:
+        with open(f) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return []
+    names: set[str] = set()
+    parts = mod.__name__.split(".")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(pkg_prefix):
+                    names.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                anchor = ".".join(parts[: len(parts) - node.level])
+                base = anchor + ("." + node.module if node.module else "")
+            else:
+                base = node.module or ""
+            if base.startswith(pkg_prefix):
+                names.add(base)
+                # an imported NAME may itself be a module (from ..operators
+                # import similarity); non-module names fail the import
+                # below and drop out
+                for a in node.names:
+                    names.add(base + "." + a.name)
+    mods = []
+    for n in sorted(names):
+        m = sys.modules.get(n)
+        if m is None:
+            try:
+                m = importlib.import_module(n)
+            except Exception:
+                continue
+        mods.append(m)
+    return mods
 
 
 def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:

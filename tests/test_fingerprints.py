@@ -88,3 +88,35 @@ def test_bench_queries_all_fingerprintable():
         if s.bench and fingerprints.kernel_fingerprint(s.fn) is None
     ]
     assert missing == []
+
+
+def test_kernel_closures_have_per_module_granularity():
+    """The closure must NOT collapse onto the whole package (the package
+    __init__ submodule-attribute trap: import machinery binds pkg.child
+    onto pkg — following those made all 32 bench kernel hashes identical,
+    so any edit would mark every query touched and empty the
+    untouched-median ruler basis). And it must SEE function-body imports
+    (the static-scan half): stock's quality_suite imports quality inside
+    the query fn."""
+    from stock_etl_pipeline_spark.workload import docs, load_all, stock, vectors
+
+    reg = load_all()
+    kh = {
+        n: fingerprints.kernel_fingerprint(s.fn)
+        for n, s in reg.items()
+        if s.bench
+    }
+    assert len(set(kh.values())) >= 4  # collapse guard
+
+    cs = fingerprints.module_closure(stock)
+    assert "stock_etl_pipeline_spark.quality" in cs  # function-body import
+    assert "stock_etl_pipeline_spark.operators.asof" in cs
+    assert "stock_etl_pipeline_spark.workload.docs" not in cs  # no siblings
+
+    cd = fingerprints.module_closure(docs)
+    assert "stock_etl_pipeline_spark.caching" in cd  # function-body import
+    assert "stock_etl_pipeline_spark.operators.dedup" in cd
+    assert "stock_etl_pipeline_spark.operators.similarity" not in cd
+
+    cv = fingerprints.module_closure(vectors)
+    assert "stock_etl_pipeline_spark.operators.similarity" in cv
