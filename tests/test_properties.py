@@ -647,3 +647,82 @@ def test_hier_assign_property_matches_flat(dim, n_cent, n_vec, n_super, data):
     q_hier, p_hier = _assign_block(V, vv, C, cc, hier)
     assert (p_flat == p_hier).all()
     assert (q_flat == q_hier).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=11).flatmap(
+        lambda n: st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n),
+                st.integers(min_value=0, max_value=n),
+            ),
+            max_size=24,
+        ).map(lambda es: (n + 1, es))
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_fragment_edges_closure_matches_components(graph):
+    """The streaming semantic-dedup fragment-edge argument, pinned on
+    random graphs (pure numpy — no Spark): process nodes in id order,
+    maintain the incremental min-label union-find exactly as the state
+    kernel does, emit one edge per matched FRAGMENT per arrival; the
+    offline _union_find_min_labels closure over those edges must equal
+    the true connected components of the full pair graph — for ANY
+    shape, not just the clique/chain/vee hand cases. (The single
+    best-match edge provably fails this — the pinned vee case in
+    tests/test_streaming.py.)"""
+    import numpy as np
+
+    from stock_etl_pipeline_spark.operators.dedup import (
+        _union_find_min_labels,
+    )
+
+    n, edge_list = graph
+    adj = [set() for _ in range(n)]
+    for a, b in edge_list:
+        if a != b and a < n and b < n:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    # ground truth: classic union-find over the full pair graph
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(n):
+        for b in adj[a]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    truth = {i: find(i) for i in range(n)}
+
+    # the state kernel's incremental labeling + fragment-edge emission
+    labels = {}
+    ea, eb = [], []
+    for i in range(n):
+        matches = [j for j in range(i) if j in adj[i]]
+        if matches:
+            frags = sorted({labels[j] for j in matches})
+            for f in frags:
+                ea.append(i)
+                eb.append(f)
+            merged = min(frags + [i])
+            for j in range(i):
+                if labels[j] in frags:
+                    labels[j] = merged
+            labels[i] = merged
+        else:
+            labels[i] = i
+
+    got = {i: i for i in range(n)}
+    if ea:
+        uids, ulabels = _union_find_min_labels(
+            np.asarray(ea, dtype=np.int64), np.asarray(eb, dtype=np.int64)
+        )
+        for u, lab in zip(uids, ulabels):
+            got[int(u)] = int(lab)
+    assert got == truth
