@@ -231,7 +231,13 @@ def main() -> int:
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     try:
         for name, s in bench_specs.items():
-            kernel_hash[name] = kernel_fingerprint(s.fn)
+            # each fingerprint guarded separately: a None lands the query
+            # in round_compare's 'unknown' bucket (excluded from the
+            # ruler, reported) instead of killing the whole bench run
+            try:
+                kernel_hash[name] = kernel_fingerprint(s.fn)
+            except Exception:
+                kernel_hash[name] = None
             try:
                 spark.catalog.clearCache()
                 plan_hash[name] = plan_fingerprint(s.fn(spark, sf_dir))
