@@ -120,3 +120,32 @@ def test_kernel_closures_have_per_module_granularity():
 
     cv = fingerprints.module_closure(vectors)
     assert "stock_etl_pipeline_spark.operators.similarity" in cv
+
+
+def test_bench_final_line_fits_tail_capture_window():
+    """The driver captures the LAST ~2000 chars of bench.py stdout and
+    parses the final line; round 9 lost its artifact to a 2.6 kB line.
+    Pin the contract against registry growth: the workload_total line,
+    rebuilt with the CURRENT bench set and worst-case cell widths, must
+    stay comfortably inside the window."""
+    import json
+
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    bench_names = sorted(n for n, s in reg.items() if s.bench)
+    line = json.dumps(
+        {
+            "metric": "workload_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 99999.999 for n in bench_names},  # worst width
+            "sf": 0.001,
+            "sentinel_sec": 99.999,
+            "sentinel_arrow_sec": 99.999,
+        }
+    )
+    assert len(line) < 1800, (
+        f"final bench line would be {len(line)} chars — approaching the "
+        "~2000-char tail window; move something to the fingerprints line"
+    )
