@@ -303,8 +303,9 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     *,
-    target_file_mb: int = 256,
+    target_file_mb: float = 256,
     partition_col: str | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction: rewrite a parquet path into ~target-sized
     files. Incremental appends (streaming foreachBatch, daily MERGEs) accrete
@@ -312,6 +313,10 @@ def compact_parquet(
     periodic compaction restores scan efficiency. Stages to a sibling path
     then swaps via the recoverable rename dance (_swap_into_place) so the
     data always exists under some path.
+
+    ``zorder_cols`` re-clusters on the Z-order curve while compacting (the
+    natural pairing — appends degrade file sizes AND clustering together;
+    one staged rewrite restores both; Delta's OPTIMIZE ... ZORDER BY shape).
     """
     df = spark.read.parquet(path)
     total_bytes = sum(
@@ -321,7 +326,15 @@ def compact_parquet(
     )
     n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
     tmp_path = path.rstrip("/") + "__compacting"
-    writer = df.repartition(n_files)
+    if zorder_cols is not None:
+        zdf, _ = _with_zvalue(df, zorder_cols)
+        writer = (
+            zdf.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        writer = df.repartition(n_files)
     if partition_col is not None:
         writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp_path)
     else:
@@ -341,3 +354,156 @@ def _list_files(spark: SparkSession, path: str):
     it = fs.listFiles(path_cls(path), True)
     while it.hasNext():
         yield it.next()
+
+
+# --- multi-dimensional clustering (Z-order) ----------------------------------
+# write_partitioned's single-column clustering (sortWithinPartitions) gives
+# row-group min/max pruning on ONE column; every other predicate column sees
+# random value ranges per file and prunes nothing. The lakehouse answer
+# (Delta Lake's OPTIMIZE ZORDER BY, public docs/implementation; Morton 1966)
+# is a space-filling curve: rank-normalize each clustering column to a small
+# integer, bit-interleave the ranks into one z-value, and range-write on it —
+# every file then covers a small HYPERCUBE of the clustering space, so
+# min/max footer stats are tight on EVERY clustering column at once and the
+# engine's ordinary parquet filter pushdown skips row groups for predicates
+# on any subset of them. At 100 TB this is the difference between scanning
+# the whole table and scanning the few files whose box intersects the query.
+#
+# Scale shape: one approxQuantile pass per column (driver collects ≤ 2^bits
+# boundaries — KBs), one narrow projection computing the z-value (bounded
+# HOF fold + a bits×k-term interleave, pure JVM codegen), one range
+# exchange. Nothing driver-sized depends on the row count.
+
+
+def equi_depth_bucket_expr(col: str, boundaries: Sequence[float]):
+    """Bucket index of ``CAST(col AS DOUBLE)`` in the equi-depth histogram
+    ``boundaries`` (sorted internal quantile cuts): the count of cuts ≤ the
+    value, a bounded HOF fold over a literal array (JVM-side, no UDF).
+    NULLs land in bucket 0 (they sort first in the curve, mirroring
+    NULLS FIRST)."""
+    v = F.col(col).cast("double")
+    cuts = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucket = F.aggregate(
+        cuts, F.lit(0), lambda acc, b: acc + F.when(v >= b, 1).otherwise(0)
+    )
+    return F.when(v.isNull(), F.lit(0)).otherwise(bucket)
+
+
+def zvalue_expr(bucket_cols: Sequence, bits: int):
+    """Morton interleave: bit i of bucket j lands at z-bit ``i*k + (k-1-j)``
+    so same-significance bits of every dimension are adjacent — the property
+    that makes contiguous z-ranges small hypercubes. ``bits×k`` shift-mask
+    terms, all whole-stage-codegen arithmetic."""
+    k = len(bucket_cols)
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds the 62-bit z budget")
+    z = F.lit(0).cast("long")
+    for j, b in enumerate(bucket_cols):
+        bl = b.cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bl, i).bitwiseAND(F.lit(1)), i * k + (k - 1 - j)
+            )
+    return z
+
+
+def _with_zvalue(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> tuple[DataFrame, dict[str, list[float]]]:
+    """``df`` plus a ``__z`` Morton-code column over ``cols``; returns the
+    per-column equi-depth cuts too (driver-resident, ≤ 2^bits floats each)."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    cuts: dict[str, list[float]] = {}
+    for c, bs in zip(cols, casted.approxQuantile(cols, probs, relative_error)):
+        # collapse duplicate cuts (heavy hitters occupy one bucket, the fold
+        # stays monotone); keep sorted order
+        cuts[c] = sorted(set(bs))
+    buckets = [equi_depth_bucket_expr(c, cuts[c]) for c in cols]
+    return df.withColumn("__z", zvalue_expr(buckets, bits)), cuts
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = WRITE_TRUNCATE,
+    relative_error: float = 0.001,
+) -> dict:
+    """Write ``df`` as parquet clustered on the Z-order curve over ``cols``.
+
+    Equi-depth (quantile) rank normalization — not equi-width — so skewed
+    columns still spread across the curve: 2^bits buckets per column from
+    one ``approxQuantile`` pass (Greenwald–Khanna, driver holds only the
+    cuts). ``repartitionByRange`` on the z-value gives each output file a
+    contiguous z-range (a small box in clustering space);
+    ``sortWithinPartitions`` tightens per-ROW-GROUP stats inside each file.
+    Columns must be numeric/timestamp (rank-normalizable via CAST AS
+    DOUBLE). Composable with hive partitioning the same way as the
+    reference's PARTITION BY date CLUSTER BY symbol doctrine
+    (plugins/helpers/queries.py:16-17): partition coarse, z-order fine —
+    callers partition first and z-order within.
+
+    Returns the usual write report plus the per-column cut counts.
+    """
+    out, cuts = _with_zvalue(df, cols, bits=bits, relative_error=relative_error)
+    n = n_files if n_files is not None else df.rdd.getNumPartitions()
+    (
+        out.repartitionByRange(max(1, n), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    rep = _report(df, path, mode)
+    rep["zorder"] = {c: len(cuts[c]) for c in cols}
+    return rep
+
+
+def scan_pruning_stats(path: str, box: dict[str, tuple]) -> dict:
+    """Row-group pruning audit from parquet footers: how many row groups
+    could a conjunctive box predicate (``{col: (lo, hi)}``) skip on this
+    layout? Mirrors exactly what the scan's min/max filter pushdown does,
+    but deterministically (no timing) — the measurement tool behind the
+    zorder-vs-natural layout tables in SCALING.md. Footer-only: reads KBs
+    per file regardless of data size. Missing stats count as candidates
+    (conservative, like the engine)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_groups = 0
+    n_candidates = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            n_groups += 1
+            rg = md.row_group(g)
+            keep = True
+            for c, (lo, hi) in box.items():
+                st = rg.column(name_to_idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if st.max < lo or st.min > hi:
+                    keep = False
+                    break
+            if keep:
+                n_candidates += 1
+    return {
+        "n_files": len(files),
+        "n_row_groups": n_groups,
+        "n_candidates": n_candidates,
+        "candidate_fraction": (n_candidates / n_groups) if n_groups else 1.0,
+    }

@@ -1,0 +1,193 @@
+"""Z-order clustered write (sinks.zorder_write): curve correctness vs a
+Python reference, equi-depth bucketing behavior, row preservation, and the
+capability the layout exists for — multi-column row-group pruning measured
+from the parquet footers (sinks.scan_pruning_stats), zorder vs natural vs
+single-column clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_etl_pipeline_spark import sinks
+from stock_etl_pipeline_spark.datasets import load_table
+
+
+def _z_ref(vals: list[int], bits: int) -> int:
+    k = len(vals)
+    z = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * k + (k - 1 - j))
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 170, 255) for b in (0, 3, 128, 200, 255)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", sinks.zvalue_expr([F.col("a"), F.col("b")], bits=8)
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _z_ref([a, b], 8), (a, b)
+
+
+def test_zvalue_three_dims_and_bit_budget(spark):
+    df = spark.createDataFrame([(7, 1, 4)], "a int, b int, c int")
+    (row,) = df.withColumn(
+        "z", sinks.zvalue_expr([F.col("a"), F.col("b"), F.col("c")], bits=4)
+    ).collect()
+    assert row["z"] == _z_ref([7, 1, 4], 4)
+    with pytest.raises(ValueError, match="62-bit"):
+        sinks.zvalue_expr([F.col("a")] * 4, bits=16)
+
+
+def test_equi_depth_buckets_monotone_and_null_first(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    cuts = [25.0, 50.0, 75.0]
+    out = df.withColumn("b", sinks.equi_depth_bucket_expr("v", cuts)).collect()
+    by_v = {r["v"]: r["b"] for r in out}
+    assert by_v[None] == 0
+    assert by_v[0.0] == 0 and by_v[24.0] == 0
+    assert by_v[25.0] == 1 and by_v[49.0] == 1
+    assert by_v[50.0] == 2 and by_v[75.0] == 3 and by_v[99.0] == 3
+    # monotone in the value
+    vals = sorted((v, b) for v, b in by_v.items() if v is not None)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(vals, vals[1:]))
+
+
+def test_zorder_write_roundtrip_preserves_rows(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events")
+    path = str(tmp_path / "zorder_events")
+    rep = sinks.zorder_write(ev, path, ["user_id", "value"], n_files=4)
+    assert rep["rows_loaded"] == ev.count()
+    assert set(rep["zorder"]) == {"user_id", "value"}
+    back = spark.read.parquet(path)
+    assert back.schema == ev.schema
+    assert (
+        back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    )
+
+
+def test_zorder_write_handles_nulls_and_constant_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i % 7 if i % 11 else None, 1.0) for i in range(500)],
+        "a int, k double",
+    )
+    path = str(tmp_path / "zorder_nulls")
+    rep = sinks.zorder_write(df, path, ["a", "k"], n_files=2)
+    # constant column collapses to one cut set entry at most
+    assert rep["zorder"]["k"] <= 1
+    assert spark.read.parquet(path).count() == 500
+
+
+def test_scan_pruning_stats_counts_known_layout(spark, tmp_path):
+    # two files with disjoint known ranges -> a box over one range keeps
+    # exactly that file's row group
+    p = str(tmp_path / "known")
+    spark.createDataFrame([(i,) for i in range(100)], "x int").coalesce(
+        1
+    ).write.parquet(p)
+    spark.createDataFrame([(i,) for i in range(1000, 1100)], "x int").coalesce(
+        1
+    ).write.mode("append").parquet(p)
+    st = sinks.scan_pruning_stats(p, {"x": (0, 50)})
+    assert st["n_files"] == 2
+    assert st["n_candidates"] == 1
+    st_all = sinks.scan_pruning_stats(p, {"x": (0, 2000)})
+    assert st_all["n_candidates"] == st_all["n_row_groups"]
+
+
+def test_compact_parquet_with_zorder_restores_clustering(spark, sf_oracle, tmp_path):
+    """Simulated append degradation: many small un-clustered appends, then
+    one compacting rewrite with zorder_cols — file count drops AND the
+    footers become prunable on both clustering columns."""
+    ev = load_table(spark, sf_oracle, "events").select("user_id", "value")
+    path = str(tmp_path / "accreted")
+    for i in range(4):
+        ev.filter(F.col("user_id") % 4 == i).repartition(8).write.mode(
+            "append"
+        ).parquet(path)
+    before = sinks.scan_pruning_stats(path, {})
+    assert before["n_files"] == 32
+    rep = sinks.compact_parquet(
+        spark, path, target_file_mb=0.02, zorder_cols=["user_id", "value"]
+    )
+    assert rep["rows_loaded"] == ev.count()
+    after = sinks.scan_pruning_stats(path, {})
+    assert 1 < after["n_files"] < before["n_files"]
+    lo, hi = ev.approxQuantile("user_id", [0.4, 0.5], 0.01)
+    frac = sinks.scan_pruning_stats(path, {"user_id": (lo, hi)})[
+        "candidate_fraction"
+    ]
+    assert frac < 1.0
+    back = spark.read.parquet(path)
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_zorder_prunes_on_both_dims_where_natural_cannot(spark, sf_oracle, tmp_path):
+    """The capability test: on events, user_id and value are uncorrelated
+    with arrival order, so the natural layout's footers prune (almost)
+    nothing for predicates on them; the z-ordered layout must prune BOTH a
+    single-dim predicate on each clustering column AND their conjunction,
+    and the single-column-sorted layout must beat zorder only on its own
+    column (that is the trade zorder makes)."""
+    ev = load_table(spark, sf_oracle, "events").select("user_id", "value", "ts")
+    n_files = 32
+    natural = str(tmp_path / "natural")
+    ev.repartition(n_files).write.parquet(natural)
+    zordered = str(tmp_path / "zordered")
+    sinks.zorder_write(ev, zordered, ["user_id", "value"], n_files=n_files)
+    one_col = str(tmp_path / "one_col")
+    ev.repartitionByRange(n_files, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(one_col)
+
+    # a 5%-of-mass slice per dimension (measured fractions at this geometry:
+    # z_u 0.31, z_v 0.28, z_uv 0.094 — thresholds below carry ~2x margin for
+    # range-boundary sampling variation)
+    lo_u, hi_u = ev.approxQuantile("user_id", [0.45, 0.5], 0.001)
+    lo_v, hi_v = ev.approxQuantile("value", [0.45, 0.5], 0.001)
+    box_u = {"user_id": (lo_u, hi_u)}
+    box_v = {"value": (lo_v, hi_v)}
+    box_uv = {"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)}
+
+    nat_u = sinks.scan_pruning_stats(natural, box_u)["candidate_fraction"]
+    z_u = sinks.scan_pruning_stats(zordered, box_u)["candidate_fraction"]
+    z_v = sinks.scan_pruning_stats(zordered, box_v)["candidate_fraction"]
+    z_uv = sinks.scan_pruning_stats(zordered, box_uv)["candidate_fraction"]
+    col_u = sinks.scan_pruning_stats(one_col, box_u)["candidate_fraction"]
+    col_v = sinks.scan_pruning_stats(one_col, box_v)["candidate_fraction"]
+
+    assert nat_u > 0.9, "natural layout unexpectedly clustered on user_id"
+    assert z_u <= 0.6
+    assert z_v <= 0.6
+    assert z_uv <= 0.25
+    assert z_uv <= z_u and z_uv <= z_v
+    assert col_u <= z_u  # dedicated sort wins its own column...
+    assert col_v > 0.9  # ...and is blind on the other; zorder is not
+
+    # pruning must not change answers: the filtered scan agrees across
+    # layouts (the engine applies the same stats logic the audit models)
+    expected = ev.filter(
+        (F.col("user_id") >= lo_u)
+        & (F.col("user_id") <= hi_u)
+        & (F.col("value") >= lo_v)
+        & (F.col("value") <= hi_v)
+    ).count()
+    got = (
+        spark.read.parquet(zordered)
+        .filter(
+            (F.col("user_id") >= lo_u)
+            & (F.col("user_id") <= hi_u)
+            & (F.col("value") >= lo_v)
+            & (F.col("value") <= hi_v)
+        )
+        .count()
+    )
+    assert got == expected
