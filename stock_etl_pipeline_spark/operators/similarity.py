@@ -28,7 +28,7 @@ import math
 import os
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # --- normalization ----------------------------------------------------------
@@ -1168,6 +1168,146 @@ def ivf_topk(
     )
     q_cells = assign_to_centroids(qu, centroids, id_col=query_id_col, nprobe=nprobe).select(
         query_id_col, "cid", F.col("v_int").alias("q_int"), F.col("vvi").alias("q_vvi")
+    )
+    scale = float(10**rank_digits)
+    qcos = F.floor(
+        int_cosine("q_int", "q_vvi", "n_int", "n_vvi") * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
+    scored = (
+        q_cells.join(c_cells, "cid")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", qcos.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --- IVF at rest: the inverted file realized as parquet layout ---------------
+# ivf_topk builds its inverted file per query batch — correct when the corpus
+# is already loaded, wasteful when the same corpus serves many ANN sessions.
+# At 100 TB the embedding table lives in object storage; the scale move is to
+# PERSIST the IVF structure as data layout: assign once, range-write by cell
+# id (each parquet file = a contiguous cell range, footer min/max exact on
+# cell_id), save the tiny centroid model as a sidecar. Every later query then
+# assigns itself to nprobe cells against the sidecar (KBs) and scans ONLY the
+# probed cells' row groups — ordinary parquet predicate pushdown does the
+# index lookup; no index service, no re-train, nprobe/K of the table read.
+# (The same layout doctrine as sinks.zorder_write, specialized to the
+# IVF key; Faiss's IVF on-disk lists re-expressed as lakehouse layout.)
+
+
+def ivf_clustered_write(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int | None = None,
+    assign_backend: str = "jvm",
+) -> dict:
+    """Train the exact k-means coarse quantizer, assign every corpus vector
+    its cell, and write the corpus parquet range-partitioned + sorted on
+    ``cell_id`` with the centroid model in a ``<path>_model`` sidecar.
+    Original columns round-trip unchanged (float32 embeddings re-derive
+    bit-identical micro-int vectors on read), so ``ivf_probed_topk`` over
+    the layout is BIT-EQUAL to ``ivf_topk`` at the same geometry — pinned
+    in tests/test_zorder.py."""
+    cu0 = with_micro_vectors(corpus, vec_col)
+    centroids = kmeans_exact(
+        cu0, k_clusters=k_clusters, iters=iters, id_col=id_col,
+        assign_backend=assign_backend,
+    )
+    assigned = (
+        assign_to_centroids_arrow(cu0, centroids, id_col=id_col)
+        if assign_backend == "arrow"
+        else assign_to_centroids(cu0, centroids, id_col=id_col)
+    )
+    out = assigned.select(*corpus.columns, F.col("cid").alias("cell_id"))
+    n = n_files if n_files is not None else corpus.rdd.getNumPartitions()
+    (
+        out.repartitionByRange(max(1, n), "cell_id")
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # the model is O(K·dim) doubles by construction — one file
+    centroids.coalesce(1).write.mode("overwrite").parquet(path + "_model")
+    return {
+        "rows_loaded": corpus.count(),
+        "destination": path,
+        "mode": "overwrite",
+        "k_clusters": k_clusters,
+        "model_path": path + "_model",
+    }
+
+
+def ivf_probed_read(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe the layout: assign ``queries`` to their nprobe nearest cells
+    against the sidecar model (the same JVM quantized-distance contract as
+    every other assignment), then return the corpus scan filtered to the
+    probed cells — the IN-list reaches the parquet scan, so row groups
+    outside the probed cells are never read.
+
+    Returns ``(probed_corpus, q_cells)`` — the filtered scan and the
+    (query, cell) probe relation the caller joins on. The probe-cid collect
+    is bounded by |queries|·nprobe (the query relation is small by the same
+    contract as ivf_topk's window)."""
+    centroids = spark.read.parquet(path + "_model")
+    qu = with_micro_vectors(queries, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
+    q_cells = assign_to_centroids(
+        qu, centroids, id_col=query_id_col, nprobe=nprobe
+    ).select(
+        query_id_col, "cid",
+        F.col("v_int").alias("q_int"), F.col("vvi").alias("q_vvi"),
+    )
+    probe_cids = sorted({r["cid"] for r in q_cells.select("cid").distinct().collect()})
+    probed = spark.read.parquet(path).filter(F.col("cell_id").isin(probe_cids))
+    return probed, q_cells
+
+
+def ivf_probed_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    rank_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k over the persisted IVF layout: probed scan → exact
+    integer-ratio cosine within probed cells → per-query top-k. Same
+    scoring contract (and therefore the same rows) as ``ivf_topk`` with the
+    layout's geometry — the difference is WHAT GETS READ: nprobe/K of the
+    table instead of all of it, with no per-session re-train/re-assign."""
+    from pyspark.sql import Window
+
+    probed, q_cells = ivf_probed_read(
+        spark, path, queries,
+        nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col,
+    )
+    cu = with_micro_vectors(probed, vec_col).withColumn(
+        "vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int"))
+    )
+    c_cells = cu.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell_id").alias("cid"),
+        F.col("v_int").alias("n_int"), F.col("vvi").alias("n_vvi"),
     )
     scale = float(10**rank_digits)
     qcos = F.floor(

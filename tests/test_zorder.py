@@ -191,3 +191,77 @@ def test_zorder_prunes_on_both_dims_where_natural_cannot(spark, sf_oracle, tmp_p
         .count()
     )
     assert got == expected
+
+
+# --- IVF at rest: the inverted file as parquet layout ------------------------
+
+
+def _ivf_fixtures(spark, sf_oracle):
+    from stock_etl_pipeline_spark.operators import similarity
+
+    corpus = load_table(spark, sf_oracle, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity, corpus, queries
+
+
+def test_ivf_probed_topk_bit_equal_to_ivf_topk(spark, sf_oracle, tmp_path):
+    """The layout path must return the SAME rows as the in-memory ivf_topk
+    at the same geometry — the layout changes what gets read, not the
+    answer (both run the exact integer-ratio scoring contract and the same
+    quantized assignment)."""
+    similarity, corpus, queries = _ivf_fixtures(spark, sf_oracle)
+    path = str(tmp_path / "ivf_layout")
+    rep = similarity.ivf_clustered_write(
+        corpus, path, k_clusters=8, iters=2, n_files=8
+    )
+    assert rep["rows_loaded"] == corpus.count()
+    expected = similarity.ivf_topk(
+        corpus, queries, k_clusters=8, iters=2, nprobe=2, k=10
+    )
+    got = similarity.ivf_probed_topk(spark, path, queries, nprobe=2, k=10)
+    cols = ["query_id", "neighbor_id", "cosine", "rnk"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, expected.select(*cols).collect())
+    )
+
+
+def test_ivf_layout_prunes_and_pushes_cell_filter(spark, sf_oracle, tmp_path):
+    similarity, corpus, queries = _ivf_fixtures(spark, sf_oracle)
+    from stock_etl_pipeline_spark.plans import explain_formatted
+
+    path = str(tmp_path / "ivf_layout2")
+    similarity.ivf_clustered_write(corpus, path, k_clusters=8, iters=2, n_files=8)
+    probed, q_cells = similarity.ivf_probed_read(spark, path, queries, nprobe=2)
+    # the IN-list reaches the scan
+    p = explain_formatted(probed)
+    assert "PushedFilters" in p and "In(cell_id" in p
+    # footer stats: one cell's row groups are a strict subset of the layout
+    cells = [r["cid"] for r in q_cells.select("cid").distinct().collect()]
+    st = sinks.scan_pruning_stats(path, {"cell_id": (cells[0], cells[0])})
+    assert st["candidate_fraction"] < 0.5
+    # the probed scan returns exactly the members of the probed cells
+    full = spark.read.parquet(path)
+    expected_n = full.filter(F.col("cell_id").isin(cells)).count()
+    assert probed.count() == expected_n > 0
+
+
+def test_ivf_layout_assignments_reproducible(spark, sf_oracle, tmp_path):
+    """Stored cell ids equal a fresh assignment against the sidecar model
+    (everything round-trips: float32 embeddings, double centroids)."""
+    from stock_etl_pipeline_spark.operators.similarity import (
+        assign_to_centroids,
+        with_micro_vectors,
+    )
+
+    similarity, corpus, _ = _ivf_fixtures(spark, sf_oracle)
+    path = str(tmp_path / "ivf_layout3")
+    similarity.ivf_clustered_write(corpus, path, k_clusters=8, iters=2, n_files=4)
+    back = spark.read.parquet(path)
+    model = spark.read.parquet(path + "_model")
+    fresh = assign_to_centroids(
+        with_micro_vectors(back.drop("cell_id")), model, id_col="vec_id"
+    ).select("vec_id", F.col("cid").alias("fresh_cid"))
+    joined = back.join(fresh, "vec_id")
+    assert joined.filter(F.col("cell_id") != F.col("fresh_cid")).count() == 0
