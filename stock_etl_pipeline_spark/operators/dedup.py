@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -1659,6 +1659,139 @@ def simhash128_near_dup_pairs(
         )
     )
     return inter.unionByName(intra)
+
+
+# --- SimHash index at rest: incremental near-dup against a persisted index ---
+# The daily-increment workflow at 100 TB: a new batch must be near-dup-checked
+# against the whole corpus, and re-signing (or even re-READING) the corpus per
+# batch is the non-starter — the text is ~KBs/doc while a 128-bit signature +
+# its 4 band keys is ~40 bytes/doc. Persist the signatures once; every
+# increment then signs ONLY its own documents and makes one narrow pass over
+# the signature index (≈0.1% of the corpus bytes, zero text reads). SimHash
+# is the right family for this: the hamming metric is computed ENTIRELY from
+# the stored signatures, so the incremental flags are exactly the batch
+# pairs' — no estimate, no stored shingle sets (MinHash would need the sets
+# for exact verify). The batch-vs-stream siblings of this contract live in
+# streaming/pipeline.py; this is the batch-at-rest form.
+
+
+def simhash128_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+    signature_backend: str | None = None,
+    n_docs: int | None = None,
+) -> dict:
+    """Sign the corpus (same 128-bit signatures as the pair query, arrow/jvm
+    backend auto like every signature site) and persist (id, simhash128,
+    sb0..sb3) as the near-dup index. Rows are range-clustered on sb0 — a
+    mild locality win for band-0 probes; the index's contract is its SIZE,
+    not its layout (every increment scans it once)."""
+    backend = _resolve_auto_backend(_simhash_sig_backend(signature_backend), df, n_docs)
+    sig = (
+        simhash128_signatures_arrow(df, id_col, text_col, n_docs)
+        if backend == "arrow"
+        else simhash128_signatures(df, id_col, text_col)
+    )
+    if id_col != "doc_id":  # the index schema is fixed: doc_id, simhash128, sb0..sb3
+        sig = sig.withColumnRenamed(id_col, "doc_id")
+    n = n_files if n_files is not None else df.rdd.getNumPartitions()
+    (
+        sig.repartitionByRange(max(1, n), "sb0")
+        .sortWithinPartitions("sb0")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return {"destination": path, "mode": "overwrite", "backend": backend}
+
+
+def _sig128_bands(sig: DataFrame, id_alias: str, side: str) -> DataFrame:
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("band_id"), F.col(f"sb{k}").alias("band_key"))
+                for k in range(4)
+            ]
+        )
+    ).alias("bk")
+    return sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.col("simhash128").alias(f"sig_{side}"),
+        *[F.col(f"sb{k}").alias(f"{side}{k}") for k in range(4)],
+        bands,
+    ).select(
+        id_alias, f"sig_{side}", *[f"{side}{k}" for k in range(4)],
+        F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def simhash128_index_increment(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = True,
+    signature_backend: str | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the increment — (doc_a, doc_b, simhash_a,
+    simhash_b, hamming), the batch pair query's exact schema and exact
+    flags restricted to new×old ∪ new×new (pinned against
+    simhash128_near_dup_pairs over the unioned corpus). Document ids must
+    be unique across the corpus and all increments (the same contract
+    every keyed operator in this module carries).
+
+    One banded join: increment bands (4·|new| rows) against increment ∪
+    stored bands, pigeonhole-exact for hamming ≤ 3 like the batch form;
+    the pair distinct collapses band multiplicity and the two directions
+    a new-new pair is found from. ``append=True`` adds the increment's
+    signatures to the index so the next increment sees them.
+    """
+    assert max_hamming <= 3, "4-band pigeonhole exact only for hamming <= 3"
+    from ..caching import begin_pipeline, eager_cache
+
+    begin_pipeline()
+    backend = _resolve_auto_backend(
+        _simhash_sig_backend(signature_backend), new_docs, n_docs
+    )
+    sig_new = eager_cache(
+        simhash128_signatures_arrow(new_docs, id_col, text_col, n_docs)
+        if backend == "arrow"
+        else simhash128_signatures(new_docs, id_col, text_col)
+    )
+    if id_col != "doc_id":
+        sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
+    stored = spark.read.parquet(path)
+    a = _sig128_bands(sig_new, "id_a", "a")
+    b = _sig128_bands(stored.unionByName(sig_new), "id_b", "b")
+    ham = sum(
+        (F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)),
+        F.lit(0),
+    )
+    a_first = F.col("id_a") < F.col("id_b")
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(a_first, F.col("sig_a")).otherwise(F.col("sig_b")).alias("simhash_a"),
+            F.when(a_first, F.col("sig_b")).otherwise(F.col("sig_a")).alias("simhash_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+    if append:
+        sig_new.write.mode("append").parquet(path)
+    return pairs
 
 
 # --- duplicate-span analysis (exact substring-dedup shape) -------------------

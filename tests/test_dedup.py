@@ -1417,3 +1417,85 @@ def test_near_dup_keepers_checkpoint_free_equivalent(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_simhash128_index_increment_matches_batch(spark, tmp_path):
+    """Index-at-rest contract: increment flags == the batch pair query over
+    the unioned corpus, minus pairs internal to what was already indexed —
+    across TWO increments (the second must see the first via append), with
+    the corpus text never re-read (only the signature index is)."""
+    from stock_etl_pipeline_spark.operators.dedup import (
+        simhash128_index_increment,
+        simhash128_index_write,
+        simhash128_near_dup_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    other = "totally different words live in this entirely other document"
+    dC = spark.createDataFrame(
+        [(1, base), (2, base), (3, other), (4, "yet another unrelated text body")],
+        "doc_id long, text string",
+    )
+    dN1 = spark.createDataFrame(
+        [(10, base), (12, base), (13, base + " " + base + " extra")],
+        "doc_id long, text string",
+    )
+    dN2 = spark.createDataFrame(
+        [(20, base), (21, "fresh unrelated content entirely again")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "simidx")
+    rep = simhash128_index_write(dC, path, n_files=2)
+    assert rep["destination"] == path
+
+    def keys(df):
+        return {(r["doc_a"], r["doc_b"], r["hamming"]) for r in df.collect()}
+
+    old_ids = {1, 2, 3, 4}
+    flags1 = keys(simhash128_index_increment(spark, path, dN1))
+    batch_cn1 = keys(simhash128_near_dup_pairs(dC.unionByName(dN1)))
+    expected1 = {
+        p for p in batch_cn1 if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    assert flags1 == expected1
+    assert (1, 2) not in {(a, b) for a, b, _ in flags1}  # old-old excluded
+    assert {(a, b) for a, b, h in flags1 if h == 0} >= {(1, 10), (2, 12), (10, 12)}
+
+    # second increment: append made the first increment part of the index
+    flags2 = keys(simhash128_index_increment(spark, path, dN2))
+    batch_all = keys(
+        simhash128_near_dup_pairs(dC.unionByName(dN1).unionByName(dN2))
+    )
+    prev = old_ids | {10, 12, 13}
+    expected2 = {p for p in batch_all if not (p[0] in prev and p[1] in prev)}
+    assert flags2 == expected2
+    assert (10, 20) in {(a, b) for a, b, _ in flags2}
+
+
+def test_simhash128_index_increment_no_append_leaves_index(spark, tmp_path):
+    from stock_etl_pipeline_spark.operators.dedup import (
+        simhash128_index_increment,
+        simhash128_index_write,
+    )
+
+    dC = spark.createDataFrame(
+        [(1, "one corpus document here"), (2, "two corpus documents here")],
+        "doc_id long, text string",
+    )
+    dN = spark.createDataFrame(
+        [(9, "one corpus document here")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "simidx_na")
+    simhash128_index_write(dC, path, n_files=1)
+    before = spark.read.parquet(path).count()
+    out = simhash128_index_increment(spark, path, dN, append=False)
+    assert {(r["doc_a"], r["doc_b"]) for r in out.collect()} == {(1, 9)}
+    assert spark.read.parquet(path).count() == before
+    # index schema is fixed regardless of caller id_col naming
+    dC2 = dC.withColumnRenamed("doc_id", "my_id")
+    path2 = str(tmp_path / "simidx_named")
+    simhash128_index_write(dC2, path2, id_col="my_id", n_files=1)
+    assert "doc_id" in spark.read.parquet(path2).columns
