@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Index-at-rest increment lab (round 10).
+
+Measures the daily-increment near-dup workflow against its alternative:
+
+  full     re-run the batch pair query over corpus ∪ increment
+           (what a pipeline without a persisted index must do every day)
+  incr     simhash128_index_increment: sign ONLY the increment, one banded
+           join against the persisted signature index (append=False so
+           reps are independent)
+  index    the one-time simhash128_index_write cost (amortized across all
+           future increments; reported once, not part of the A/B)
+
+Corpus = the soak tier's documents (build with scripts/soak.py
+--build-only); increment = sf0.1 documents with ids offset into a disjoint
+range (1% of the 100x corpus — the daily-batch shape). Arms interleave
+within one warm session; pair counts are asserted consistent: incr flags ==
+full flags minus corpus-internal pairs (the exactness contract pinned at
+unit scale in tests/test_dedup.py, re-checked here at tier scale on rep 0).
+
+Usage: python scripts/incr_lab.py [--tier /root/repo/.soak/sf10] [--reps 2]
+Output: one JSON line per (rep, arm), then a min summary.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INCR_OFFSET = 10**12
+
+
+def main() -> int:
+    argv = sys.argv
+    tier = (
+        argv[argv.index("--tier") + 1]
+        if "--tier" in argv
+        else "/root/repo/.soak/sf10"
+    )
+    reps = int(argv[argv.index("--reps") + 1]) if "--reps" in argv else 2
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators.dedup import (
+        simhash128_index_increment,
+        simhash128_index_write,
+        simhash128_near_dup_pairs,
+    )
+    from stock_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="incr_lab")
+    corpus = load_table(spark, tier, "documents").select("doc_id", "text")
+    incr = (
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+        .select((F.col("doc_id") + INCR_OFFSET).alias("doc_id"), "text")
+    )
+    n_corpus, n_incr = corpus.count(), incr.count()
+    print(json.dumps({"corpus_docs": n_corpus, "incr_docs": n_incr}), flush=True)
+
+    idx = os.path.join(os.path.dirname(tier.rstrip("/")), "simhash128_index")
+    t0 = time.perf_counter()
+    simhash128_index_write(corpus, idx, n_files=32, n_docs=n_corpus)
+    t_index = time.perf_counter() - t0
+    print(json.dumps({"arm": "index_once", "sec": round(t_index, 2)}), flush=True)
+
+    results: dict[str, list[float]] = {"full": [], "incr": []}
+    union = corpus.unionByName(incr)
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_flags = simhash128_index_increment(
+            spark, idx, incr, append=False, n_docs=n_incr
+        ).count()
+        dt = time.perf_counter() - t0
+        results["incr"].append(dt)
+        print(json.dumps({"rep": rep, "arm": "incr", "sec": round(dt, 2),
+                          "pairs": n_flags}), flush=True)
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_full = simhash128_near_dup_pairs(union, n_docs=n_corpus + n_incr).count()
+        dt = time.perf_counter() - t0
+        results["full"].append(dt)
+        print(json.dumps({"rep": rep, "arm": "full", "sec": round(dt, 2),
+                          "pairs": n_full}), flush=True)
+
+        if rep == 0:
+            spark.catalog.clearCache()
+            n_internal = simhash128_near_dup_pairs(corpus, n_docs=n_corpus).count()
+            assert n_flags == n_full - n_internal, (
+                f"exactness violated: incr {n_flags} != "
+                f"full {n_full} - internal {n_internal}"
+            )
+            print(json.dumps({"check": "incr == full - internal",
+                              "internal_pairs": n_internal, "ok": True}), flush=True)
+
+    summary = {
+        "tier": tier,
+        "index_once_sec": round(t_index, 2),
+        "incr_min_sec": round(min(results["incr"]), 2),
+        "full_min_sec": round(min(results["full"]), 2),
+        "full_over_incr": round(min(results["full"]) / min(results["incr"]), 2),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
