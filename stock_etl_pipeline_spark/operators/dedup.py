@@ -1794,6 +1794,114 @@ def simhash128_index_increment(
     return pairs
 
 
+# --- exact-dedup digest index: the log-structured sibling --------------------
+# Same daily-increment economics as the SimHash index for EXACT dedup: the
+# corpus text is hashed once, and every increment joins its own digests
+# against the stored digest relation (16 bytes + keeper/count per DISTINCT
+# document). Append-only with merge-on-read: each increment appends one
+# delta row per distinct fingerprint it saw (min-id keeper + copy count),
+# readers aggregate min(keeper)/sum(n) per fingerprint — so keeper-min
+# semantics hold under ANY id order across increments (least(old_min,
+# new_min) IS the union min; no monotone-id contract needed), and the index
+# never rewrites on ingest. Compaction folds the log back to one row per
+# fingerprint with the same staged swap as sinks.compact_parquet.
+
+def _exact_fp(text_col: str) -> F.Column:
+    # whitespace-canonicalized md5 — byte-identical to doc_exact_dedup's
+    # fingerprint (workload/docs.py) and its DuckDB oracle
+    return F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def _exact_delta(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(_exact_fp(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+) -> dict:
+    """Hash the corpus once and persist the digest index: one row per
+    distinct fingerprint — (fingerprint, keeper_doc_id, n_copies)."""
+    delta = _exact_delta(df, id_col, text_col)
+    n = n_files if n_files is not None else df.rdd.getNumPartitions()
+    delta.repartition(max(1, n)).write.mode("overwrite").parquet(path)
+    return {"destination": path, "mode": "overwrite"}
+
+
+def exact_dedup_index_read(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read canonical view: min(keeper)/sum(n) over the delta log —
+    exactly doc_exact_dedup's relation for everything ingested so far."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.sum("n_copies").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_index_increment(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = True,
+) -> DataFrame:
+    """Per-document exact-dup verdicts for the increment — (doc_id,
+    fingerprint, keeper_doc_id, is_dup) where keeper is the min id across
+    EVERYTHING ingested so far plus this batch (pinned equal to the batch
+    hash-groupBy over the union). ``append=True`` logs this batch's delta
+    rows so the next increment sees it. The corpus text is never re-read —
+    only the digest log is."""
+    from pyspark.sql import Window
+
+    fp = new_docs.select(
+        F.col(id_col).alias("doc_id"), _exact_fp(text_col).alias("fingerprint")
+    )
+    new_min = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    scored = fp.withColumn("new_min", new_min)
+    stored = exact_dedup_index_read(spark, path).select(
+        "fingerprint", F.col("keeper_doc_id").alias("stored_keeper")
+    )
+    out = (
+        scored.join(stored, "fingerprint", "left")
+        .withColumn(
+            "keeper_doc_id",
+            F.least(F.coalesce("stored_keeper", "new_min"), F.col("new_min")),
+        )
+        .select(
+            "doc_id", "fingerprint", "keeper_doc_id",
+            (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup"),
+        )
+    )
+    if append:
+        _exact_delta(new_docs, id_col, text_col).write.mode("append").parquet(path)
+    return out
+
+
+def exact_dedup_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the delta log to one row per fingerprint (staged rewrite +
+    recoverable swap — the data always exists under some path)."""
+    from ..sinks import _swap_into_place
+
+    folded = exact_dedup_index_read(spark, path)
+    tmp = path.rstrip("/") + "__compacting"
+    folded.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(spark, tmp, path)
+    return {"destination": path, "rows": spark.read.parquet(path).count()}
+
+
 # --- duplicate-span analysis (exact substring-dedup shape) -------------------
 
 

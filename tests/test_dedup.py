@@ -1499,3 +1499,72 @@ def test_simhash128_index_increment_no_append_leaves_index(spark, tmp_path):
     path2 = str(tmp_path / "simidx_named")
     simhash128_index_write(dC2, path2, id_col="my_id", n_files=1)
     assert "doc_id" in spark.read.parquet(path2).columns
+
+
+def test_exact_dedup_index_increment_matches_batch(spark, tmp_path):
+    """Digest-index contract: after write(C) + increment(N1) + increment(N2),
+    the merge-on-read view equals the batch hash-groupBy over C∪N1∪N2, and
+    each increment's per-doc keeper is the union min REGARDLESS of id order
+    across batches (N2 contains an id smaller than an indexed keeper)."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.dedup import (
+        exact_dedup_index_compact,
+        exact_dedup_index_increment,
+        exact_dedup_index_read,
+        exact_dedup_index_write,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    dC = mk([(10, "alpha  beta"), (11, "ALPHA BETA"), (12, "something else")])
+    dN1 = mk([(20, "alpha\tbeta"), (21, "brand new text")])
+    # id 5 < every indexed id AND duplicates an indexed fingerprint
+    dN2 = mk([(5, "Alpha Beta"), (30, "brand new text")])
+    path = str(tmp_path / "fpidx")
+    exact_dedup_index_write(dC, path, n_files=1)
+
+    out1 = {
+        r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+        for r in exact_dedup_index_increment(spark, path, dN1).collect()
+    }
+    # 20 canonicalizes to the same fingerprint as 10/11 -> keeper 10
+    assert out1[20] == (10, True)
+    assert out1[21] == (21, False)
+
+    out2 = {
+        r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+        for r in exact_dedup_index_increment(spark, path, dN2).collect()
+    }
+    assert out2[5] == (5, False)  # new min of its group
+    assert out2[30] == (21, True)  # dup of the FIRST increment's doc
+
+    batch = {
+        r["fingerprint"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in dC.unionByName(dN1)
+        .unionByName(dN2)
+        .selectExpr(
+            "md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fingerprint",
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .collect()
+    }
+    view = {
+        r["fingerprint"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in exact_dedup_index_read(spark, path).collect()
+    }
+    assert view == batch
+
+    # compaction folds the log without changing the view
+    n_rows_before = spark.read.parquet(path).count()
+    rep = exact_dedup_index_compact(spark, path)
+    assert rep["rows"] == len(batch) <= n_rows_before
+    view2 = {
+        r["fingerprint"]: (r["keeper_doc_id"], r["n_copies"])
+        for r in exact_dedup_index_read(spark, path).collect()
+    }
+    assert view2 == batch
