@@ -108,6 +108,7 @@ def write_partitioned(
     *,
     partition_col: str = "date",
     cluster_col: str | None = "symbol",
+    zorder_cols: Sequence[str] | None = None,
     mode: str = WRITE_APPEND,
 ) -> dict:
     """K4/K8: warehouse layout — date-partitioned, symbol-clustered.
@@ -115,9 +116,19 @@ def write_partitioned(
     Works against any Hadoop-FS path (file://, s3a://, gs:// …): object-store
     writes are Spark-native, which subsumes the reference's separate GCS
     upload step (dags/utils/loaders.py:256-330).
+
+    ``zorder_cols`` replaces the single-column clustering with the z-curve
+    (partition coarse, z-order fine — the composition zorder_write's
+    docstring promises): rows sort by (partition, z) so every file within a
+    hive partition covers a small box of the clustering space. Curve cuts
+    are computed once globally — per-partition cuts would re-rank per date
+    for marginal gain at real partition counts.
     """
     out = df
-    if cluster_col is not None:
+    if zorder_cols is not None:
+        zdf, _ = _with_zvalue(df, zorder_cols)
+        out = zdf.sortWithinPartitions(partition_col, "__z").drop("__z")
+    elif cluster_col is not None:
         out = out.sortWithinPartitions(cluster_col)
     out.write.mode(mode).partitionBy(partition_col).parquet(path)
     return _report(df, path, mode)

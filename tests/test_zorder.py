@@ -265,3 +265,22 @@ def test_ivf_layout_assignments_reproducible(spark, sf_oracle, tmp_path):
     ).select("vec_id", F.col("cid").alias("fresh_cid"))
     joined = back.join(fresh, "vec_id")
     assert joined.filter(F.col("cell_id") != F.col("fresh_cid")).count() == 0
+
+
+def test_write_partitioned_with_zorder_cols(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1 + (i % 2)), i % 50, float((i * 37) % 100), f"s{i}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "date date, a int, b double, s string")
+    path = str(tmp_path / "part_z")
+    rep = sinks.write_partitioned(
+        df, path, partition_col="date", zorder_cols=["a", "b"], mode="overwrite"
+    )
+    assert rep["rows_loaded"] == 400
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert "__z" not in back.columns
+    assert back.select("date").distinct().count() == 2
