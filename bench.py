@@ -254,9 +254,12 @@ def main() -> int:
     # its head past the window → BENCH_r09.json parsed: null. So:
     # fingerprints go to a sidecar file AND a separate stdout line FIRST;
     # the final line stays compact (timings only, ~1.3 kB) and LAST.
+    from stock_etl_pipeline_spark.fingerprints import FP_VERSION
+
     fingerprints = {
         "metric": "code_fingerprints",
         "sf": sf,
+        "fp_version": FP_VERSION,
         "plan_hash": plan_hash,
         "kernel_hash": kernel_hash,
     }

@@ -55,7 +55,7 @@ ARROW_BAND = {
 DISAGREE_X = 1.3
 FLAG_X = 1.25
 
-_SCALARS = {"value", "sf", "sentinel_sec", "sentinel_arrow_sec"}
+_SCALARS = {"value", "sf", "sentinel_sec", "sentinel_arrow_sec", "fp_version"}
 _WRAPPER_SCALARS = {"n", "rc", "cpus"}
 
 
@@ -125,15 +125,18 @@ def load(path: str) -> dict:
     return d
 
 
-def _fp_maps(bench: dict, sidecar_path: str | None) -> tuple[dict, dict]:
+def _fp_maps(bench: dict, sidecar_path: str | None) -> tuple[dict, dict, int]:
+    """Fingerprint maps + scheme version (1 = pre-version artifacts)."""
     ph = dict(bench.get("plan_hash") or {})
     kh = dict(bench.get("kernel_hash") or {})
+    ver = bench.get("fp_version")
     if sidecar_path:
         with open(sidecar_path) as f:
             sc = json.load(f)
         ph.update(sc.get("plan_hash") or {})
         kh.update(sc.get("kernel_hash") or {})
-    return ph, kh
+        ver = sc.get("fp_version", ver)
+    return ph, kh, int(ver) if ver else 1
 
 
 def _pair_state(a, b):
@@ -163,10 +166,18 @@ def main() -> int:
         touched = set(opt("--touched").split(","))
         touched_src = "explicit"
     else:
-        ph_old, kh_old = _fp_maps(old, opt("--fp-old"))
-        ph_new, kh_new = _fp_maps(new, opt("--fp-new"))
+        ph_old, kh_old, ver_old = _fp_maps(old, opt("--fp-old"))
+        ph_new, kh_new, ver_new = _fp_maps(new, opt("--fp-new"))
         touched = set()
-        if (ph_old or kh_old) and (ph_new or kh_new):
+        if (ph_old or kh_old) and (ph_new or kh_new) and ver_old != ver_new:
+            # hashes from different hashing SCHEMES are incomparable —
+            # deriving touched across the boundary would mark everything
+            # and empty the ruler; fall back to the full-median basis.
+            touched_src = (
+                f"none (fingerprint schemes differ: v{ver_old} vs v{ver_new}"
+                " — incomparable; ruler basis includes ALL queries)"
+            )
+        elif (ph_old or kh_old) and (ph_new or kh_new):
             # per-query: touched if any fingerprint pair moved; unknown
             # (excluded from the ruler, reported) if NO pair is known on
             # both sides — a None/truncated hash is never assumed stable.

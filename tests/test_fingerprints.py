@@ -149,3 +149,45 @@ def test_bench_final_line_fits_tail_capture_window():
         f"final bench line would be {len(line)} chars — approaching the "
         "~2000-char tail window; move something to the fingerprints line"
     )
+
+
+def test_plan_fingerprint_session_history_independent(spark, sf_small):
+    """fp_version-2 regression (found round 10): with OPTIMIZED-plan
+    hashing, quality_suite's hash depended on what planned earlier in the
+    session — the CSE counter is session-global (_common_expr_N numbering)
+    and RewriteDistinctAggregates orders its Expand arms by exprId
+    allocation history. The ANALYZED-plan hash must not move when other
+    queries plan first."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    fresh = {
+        n: fingerprints.plan_fingerprint(reg[n].fn(spark, sf_small))
+        for n in ("quality_suite", "ingestion_stats")
+    }
+    # consume session-global optimizer state like a bench sweep does
+    for n in ("transform_metrics", "daily_metrics", "ingestion_stats"):
+        reg[n].fn(spark, sf_small).write.mode("overwrite").format("noop").save()
+    after = {
+        n: fingerprints.plan_fingerprint(reg[n].fn(spark, sf_small))
+        for n in ("quality_suite", "ingestion_stats")
+    }
+    assert fresh == after
+
+
+def test_kernel_fingerprint_covers_session_confs(monkeypatch):
+    """session.py is folded into every real-package closure (the analyzed
+    plan cannot see conf changes): a session.py byte change must move every
+    bench kernel hash."""
+    import stock_etl_pipeline_spark.session as sess
+
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    some = next(s.fn for n, s in sorted(reg.items()) if s.bench)
+    h0 = fingerprints.kernel_fingerprint(some)
+    monkeypatch.setitem(
+        fingerprints._SRC_HASH, sess.__name__, "0" * 32
+    )
+    h1 = fingerprints.kernel_fingerprint(some)
+    assert h0 != h1

@@ -189,3 +189,40 @@ def test_fp_sidecar_merge(tmp_path):
     out = _run(old, new, tmp_path, extra=("--fp-new", sc))
     assert out["touched"] == ["b"]
     assert out["unknown"] == []
+
+
+def test_fp_version_mismatch_falls_back_to_full_median(tmp_path):
+    """Hashes from different hashing schemes (fp_version 1 vs 2 — the
+    round-10 analyzed-plan switch) are incomparable: every hash differs, so
+    cross-version derivation would mark everything touched and empty the
+    ruler. The tool must instead fall back to the full-median basis and say
+    why."""
+    q_old = {"a": 1.0, "b": 1.0, "doc_minhash_lsh": 1.0}
+    q_new = {"a": 1.1, "b": 1.1, "doc_minhash_lsh": 1.1}
+    old = _bench(
+        q_old, 1.0, 1.0,
+        ph={"a": "1" * 12, "b": "2" * 12, "doc_minhash_lsh": "3" * 12},
+    )
+    new = _bench(
+        q_new, 1.1, 1.1,
+        ph={"a": "a" * 12, "b": "b" * 12, "doc_minhash_lsh": "c" * 12},
+        kh={"a": "d" * 12, "b": "e" * 12, "doc_minhash_lsh": "f" * 12},
+    )
+    new["fp_version"] = 2  # old side has none -> v1
+    out = _run(old, new, tmp_path)
+    assert out["touched"] == []
+    assert "schemes differ: v1 vs v2" in out["touched_src"]
+    # full basis: medians exist for both bands despite every hash moving
+    assert out["untouched_median"]["jvm"] == 1.1
+    assert out["untouched_median"]["arrow"] == 1.1
+
+
+def test_fp_version_match_still_derives(tmp_path):
+    q_old = {"a": 1.0, "b": 1.0}
+    q_new = {"a": 1.0, "b": 1.0}
+    old = _bench(q_old, 1.0, 1.0, ph={"a": "1" * 12, "b": "2" * 12})
+    new = _bench(q_new, 1.0, 1.0, ph={"a": "1" * 12, "b": "f" * 12})
+    old["fp_version"] = 2
+    new["fp_version"] = 2
+    out = _run(old, new, tmp_path)
+    assert out["touched"] == ["b"]
