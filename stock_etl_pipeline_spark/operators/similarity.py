@@ -1208,6 +1208,7 @@ def ivf_clustered_write(
     vec_col: str = "embedding",
     n_files: int | None = None,
     assign_backend: str = "jvm",
+    centroids: DataFrame | None = None,
 ) -> dict:
     """Train the exact k-means coarse quantizer, assign every corpus vector
     its cell, and write the corpus parquet range-partitioned + sorted on
@@ -1215,12 +1216,15 @@ def ivf_clustered_write(
     Original columns round-trip unchanged (float32 embeddings re-derive
     bit-identical micro-int vectors on read), so ``ivf_probed_topk`` over
     the layout is BIT-EQUAL to ``ivf_topk`` at the same geometry — pinned
-    in tests/test_zorder.py."""
+    in tests/test_zorder.py. Pass ``centroids`` (cid, c_dbl, cc) to skip
+    training and lay out under an existing model — the one-shot twin of
+    write + ``ivf_append`` chains."""
     cu0 = with_micro_vectors(corpus, vec_col)
-    centroids = kmeans_exact(
-        cu0, k_clusters=k_clusters, iters=iters, id_col=id_col,
-        assign_backend=assign_backend,
-    )
+    if centroids is None:
+        centroids = kmeans_exact(
+            cu0, k_clusters=k_clusters, iters=iters, id_col=id_col,
+            assign_backend=assign_backend,
+        )
     assigned = (
         assign_to_centroids_arrow(cu0, centroids, id_col=id_col)
         if assign_backend == "arrow"
@@ -1243,6 +1247,46 @@ def ivf_clustered_write(
         "k_clusters": k_clusters,
         "model_path": path + "_model",
     }
+
+
+def ivf_append(
+    spark: SparkSession,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int | None = None,
+    assign_backend: str = "jvm",
+) -> dict:
+    """Ingest an embedding increment into an existing IVF layout: assign the
+    new vectors against the FROZEN sidecar model (same quantized-distance
+    contract as the original write — the cells are a property of the model,
+    so appended files carry exactly the cell ids a one-shot write under
+    that model would) and append them range-clustered on cell_id.
+    ``ivf_probed_topk`` sees the increment immediately; per-file cell
+    ranges stay tight (the increment is range-written too), so pruning
+    degrades only with file COUNT until a periodic rewrite
+    (``ivf_clustered_write(..., centroids=model)``) compacts the layout.
+    Pinned: append == one-shot write under the same model, row for row."""
+    centroids = _materialize_model(
+        spark, spark.read.parquet(path + "_model"), ["cid", "c_dbl", "cc"]
+    )
+    cu0 = with_micro_vectors(new_vecs, vec_col)
+    assigned = (
+        assign_to_centroids_arrow(cu0, centroids, id_col=id_col)
+        if assign_backend == "arrow"
+        else assign_to_centroids(cu0, centroids, id_col=id_col)
+    )
+    out = assigned.select(*new_vecs.columns, F.col("cid").alias("cell_id"))
+    n = n_files if n_files is not None else new_vecs.rdd.getNumPartitions()
+    (
+        out.repartitionByRange(max(1, n), "cell_id")
+        .sortWithinPartitions("cell_id")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return {"rows_loaded": new_vecs.count(), "destination": path, "mode": "append"}
 
 
 def ivf_probed_read(

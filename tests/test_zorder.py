@@ -284,3 +284,36 @@ def test_write_partitioned_with_zorder_cols(spark, tmp_path):
     assert back.count() == 400
     assert "__z" not in back.columns
     assert back.select("date").distinct().count() == 2
+
+
+def test_ivf_append_equals_one_shot_write_under_same_model(spark, sf_oracle, tmp_path):
+    """Increment ingest: write(A) -> append(B) must equal the one-shot
+    write(A∪B) under the SAME frozen model — identical stored rows (cell
+    assignment is a property of the model) and identical probed top-k."""
+    similarity, corpus, queries = _ivf_fixtures(spark, sf_oracle)
+    part_a = corpus.filter(F.col("vec_id") % 5 != 0)
+    part_b = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    inc = str(tmp_path / "ivf_inc")
+    similarity.ivf_clustered_write(part_a, inc, k_clusters=8, iters=2, n_files=4)
+    rep = similarity.ivf_append(spark, inc, part_b, n_files=2)
+    assert rep["rows_loaded"] == part_b.count()
+
+    model = spark.read.parquet(inc + "_model")
+    ref = str(tmp_path / "ivf_ref")
+    similarity.ivf_clustered_write(
+        corpus, ref, n_files=4, centroids=similarity._materialize_model(
+            spark, model, ["cid", "c_dbl", "cc"]
+        )
+    )
+    rows = lambda p: sorted(
+        (r["vec_id"], r["cell_id"]) for r in spark.read.parquet(p).collect()
+    )
+    assert rows(inc) == rows(ref)
+
+    cols = ["query_id", "neighbor_id", "cosine", "rnk"]
+    got = similarity.ivf_probed_topk(spark, inc, queries, nprobe=2, k=10)
+    exp = similarity.ivf_probed_topk(spark, ref, queries, nprobe=2, k=10)
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, exp.select(*cols).collect())
+    )
