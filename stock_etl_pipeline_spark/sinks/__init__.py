@@ -386,13 +386,33 @@ def _list_files(spark: SparkSession, path: str):
 # exchange. Nothing driver-sized depends on the row count.
 
 
-def equi_depth_bucket_expr(col: str, boundaries: Sequence[float]):
-    """Bucket index of ``CAST(col AS DOUBLE)`` in the equi-depth histogram
-    ``boundaries`` (sorted internal quantile cuts): the count of cuts ≤ the
-    value, a bounded HOF fold over a literal array (JVM-side, no UDF).
-    NULLs land in bucket 0 (they sort first in the curve, mirroring
-    NULLS FIRST)."""
-    v = F.col(col).cast("double")
+def _rank_expr(df: DataFrame, col: str) -> F.Column:
+    """Order-preserving DOUBLE projection of a clustering column.
+
+    Numeric/timestamp/date columns cast directly. STRING columns (the
+    reference clusters on ``symbol``) map through their 7-byte
+    zero-padded UTF-8 prefix read as a big-endian integer: bytewise
+    prefix order is exactly Spark's string comparison order (UTF8String
+    compares bytewise), the zero-pad keeps short strings ordered before
+    their extensions ('b' > 'ab' survives), and 56 bits fits a double
+    exactly. Ties beyond 7 bytes collapse into one bucket — harmless for
+    pruning (equi-depth cuts merge duplicates)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "string":
+        return F.expr(
+            f"CAST(conv(hex(rpad(CAST(`{col}` AS BINARY), 7, X'00')), 16, 10)"
+            " AS DOUBLE)"
+        )
+    return F.col(col).cast("double")
+
+
+def equi_depth_bucket_expr(col, boundaries: Sequence[float]):
+    """Bucket index of a rank expression (a Column, or a column name cast
+    to DOUBLE) in the equi-depth histogram ``boundaries`` (sorted internal
+    quantile cuts): the count of cuts ≤ the value, a bounded HOF fold over
+    a literal array (JVM-side, no UDF). NULLs land in bucket 0 (they sort
+    first in the curve, mirroring NULLS FIRST)."""
+    v = F.col(col).cast("double") if isinstance(col, str) else col
     cuts = F.array(*[F.lit(float(b)) for b in boundaries])
     bucket = F.aggregate(
         cuts, F.lit(0), lambda acc, b: acc + F.when(v >= b, 1).otherwise(0)
@@ -428,13 +448,13 @@ def _with_zvalue(
     per-column equi-depth cuts too (driver-resident, ≤ 2^bits floats each)."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    ranked = df.select(*[_rank_expr(df, c).alias(c) for c in cols])
     cuts: dict[str, list[float]] = {}
-    for c, bs in zip(cols, casted.approxQuantile(cols, probs, relative_error)):
+    for c, bs in zip(cols, ranked.approxQuantile(cols, probs, relative_error)):
         # collapse duplicate cuts (heavy hitters occupy one bucket, the fold
         # stays monotone); keep sorted order
         cuts[c] = sorted(set(bs))
-    buckets = [equi_depth_bucket_expr(c, cuts[c]) for c in cols]
+    buckets = [equi_depth_bucket_expr(_rank_expr(df, c), cuts[c]) for c in cols]
     return df.withColumn("__z", zvalue_expr(buckets, bits)), cuts
 
 

@@ -317,3 +317,45 @@ def test_ivf_append_equals_one_shot_write_under_same_model(spark, sf_oracle, tmp
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, exp.select(*cols).collect())
     )
+
+
+def test_rank_expr_preserves_string_order(spark):
+    """The 7-byte padded prefix projection must order exactly like Spark's
+    string comparison — including short-vs-extension ('b' > 'ab'), empty
+    strings, and multibyte UTF-8."""
+    vals = ["", "a", "ab", "aba", "b", "s00", "s01", "s1", "zzzzzzzzz", "é", "日本"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        (r["s"], r["rank"])
+        for r in df.select("s", sinks._rank_expr(df, "s").alias("rank")).collect()
+    ]
+    by_s = dict(got)
+    spark_order = [
+        r["s"] for r in df.orderBy("s").collect()
+    ]
+    ranks = [by_s[s] for s in spark_order]
+    assert ranks == sorted(ranks), list(zip(spark_order, ranks))
+
+
+def test_zorder_write_on_string_column_prunes(spark, sf_oracle, tmp_path):
+    """The reference clusters on symbol (a string): zorder over
+    (string, numeric) must prune a string-range slice."""
+    ev = load_table(spark, sf_oracle, "events").select(
+        F.concat(F.lit("s"), F.lpad((F.col("user_id") % 150).cast("string"), 3, "0")).alias("sym"),
+        "value",
+    )
+    path = str(tmp_path / "zorder_str")
+    rep = sinks.zorder_write(ev, path, ["sym", "value"], n_files=32)
+    assert rep["rows_loaded"] == ev.count()
+    frac_s = sinks.scan_pruning_stats(path, {"sym": ("s050", "s059")})[
+        "candidate_fraction"
+    ]
+    lo_v, hi_v = ev.approxQuantile("value", [0.45, 0.5], 0.001)
+    frac_sv = sinks.scan_pruning_stats(
+        path, {"sym": ("s050", "s059"), "value": (lo_v, hi_v)}
+    )["candidate_fraction"]
+    assert frac_s <= 0.6
+    assert frac_sv <= frac_s
+    back = spark.read.parquet(path)
+    expected = ev.filter((F.col("sym") >= "s050") & (F.col("sym") <= "s059")).count()
+    assert back.filter((F.col("sym") >= "s050") & (F.col("sym") <= "s059")).count() == expected
