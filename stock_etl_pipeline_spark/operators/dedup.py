@@ -2412,3 +2412,229 @@ def minhash_signature_arrow(
             yield out
 
     return with_toks.mapInPandas(kernel, out_schema)
+
+
+# --- MinHash index at rest ---------------------------------------------------
+# The last dedup family to get an at-rest increment story (SimHash:
+# simhash128_index_*, exact: exact_dedup_index_*, ANN: similarity.ivf_*).
+# MinHash differs from SimHash in one structural way: hamming is computable
+# from the 16-byte signature alone, but EXACT Jaccard verification needs the
+# shingle hash SETS — so this index stores three column groups with three
+# read profiles, and parquet column pruning is what makes each stage pay
+# only for what it touches:
+#   doc_id + bk0..bk{b-1}   (~8 + 32b bytes/doc)  -> the banded candidate join
+#   minh_0..minh_{k-1}      (k x 8 bytes/doc)     -> the signature-estimate
+#                                                    prefilter
+#   n_sh + hs               (~8 bytes x shingles) -> exact verify, read last,
+#                                                    after two pruning stages
+# An increment therefore near-dup-checks a daily batch against the full
+# corpus with ZERO corpus text reads and zero re-shingling/re-signing; the
+# widest column (hs, ~compressed-corpus order) is only scanned by the final
+# verify join over estimate-surviving candidates.
+#
+# Geometry is FROZEN at write time in a `<path>_model` sidecar (like the IVF
+# centroid sidecar, similarity.py:1201): increments must sign with the SAME
+# hash family (num_hashes fixes _mix_constants), band split, estimate
+# threshold and shingle width, or flags would not be comparable to a batch
+# run. With a shingle_df_cap, the banned hot-shingle set (df > cap at write
+# time) persists as a `<path>_banned` RELATION (distributed anti-join on
+# read — the hot set is |shingles|/cap-bounded, not driver-bounded) and is
+# frozen like a production stop-list: shingles that only cross the cap after
+# later increments stay un-banned until a same-geometry rewrite, the
+# documented (and deterministic) drift of any incremental df statistic.
+
+def _bk_cols(bands: int, rows: int) -> list[Column]:
+    """Band keys as COLUMNS (md5 of the band's minhashes — identical bytes
+    to lsh_band_keys' exploded form) so the index scan can prune to them."""
+    return [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"minh_{b * rows + r}") for r in range(rows)])
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+
+
+def _bk_bands(sig: DataFrame, bands: int, id_alias: str) -> DataFrame:
+    """(id, band_id, band_key) from stored bk columns — the explode the
+    batch derives from minh columns, but reading only 32-byte keys."""
+    arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"bk{b}").alias("band_key"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col("doc_id").alias(id_alias), F.explode(arr).alias("bk")).select(
+        id_alias, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    num_hashes: int = 20,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    est_min_matches: int | None = None,
+    shingle_df_cap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+    signature_backend: str | None = None,
+    n_docs: int | None = None,
+) -> dict:
+    """Sign the corpus (signature bytes identical to minhash_lsh_pairs at
+    the same geometry — same b60 fold, same _mix_constants family) and
+    persist (doc_id, minh_*, bk*, n_sh, hs) as the near-dup index, plus the
+    frozen geometry in ``<path>_model`` and, when capped, the banned
+    hot-shingle relation in ``<path>_banned``. Rows are range-clustered on
+    bk0 (band-0 locality; the contract is the index's SIZE and column
+    pruning, not its row order). Increments append one row per doc — no
+    merge-on-read needed (keyed rows are immutable); compact files with
+    sinks.compact_parquet when the file count grows."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    if est_min_matches is None:
+        est_min_matches = num_hashes // 2
+    spark = df.sparkSession
+    capped = shingle_df_cap is not None
+    if capped:
+        # Frozen ban list: the batch pipeline's hot-key aggregate, persisted.
+        sh = word_shingles_b60(df, id_col, text_col, shingle_n)
+        hot = (
+            sh.groupBy("b60")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > shingle_df_cap)
+            .select("b60")
+        )
+        hot.write.mode("overwrite").parquet(path + "_banned")
+        sh = sh.join(spark.read.parquet(path + "_banned"), "b60", "left_anti")
+        sig = minhash_signature(
+            sh, num_hashes, id_col, with_count=True, with_hash_set=True,
+            base_col="b60",
+        )
+        backend = "relational"
+    else:
+        backend = _minhash_sig_backend(signature_backend)
+        if backend == "auto":
+            backend = "arrow"
+        if backend == "arrow":
+            sig = minhash_signature_arrow(
+                df, num_hashes, id_col, text_col, shingle_n,
+                with_count=True, with_hash_set=True, n_docs=n_docs,
+            )
+        else:
+            sig = minhash_signature(
+                _spread_single_partition(
+                    word_shingles(df, id_col, text_col, shingle_n), n_docs
+                ),
+                num_hashes, id_col, with_count=True, with_hash_set=True,
+            )
+    if id_col != "doc_id":  # fixed index schema, like simhash128_index_write
+        sig = sig.withColumnRenamed(id_col, "doc_id")
+    sig = sig.select("*", *_bk_cols(bands, rows))
+    n = n_files if n_files is not None else df.rdd.getNumPartitions()
+    (
+        sig.repartitionByRange(max(1, n), "bk0")
+        .sortWithinPartitions("bk0")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    model = spark.createDataFrame(
+        [
+            (
+                int(num_hashes), int(bands), float(threshold),
+                int(est_min_matches), int(shingle_n),
+                int(shingle_df_cap) if capped else None,
+            )
+        ],
+        "num_hashes int, bands int, threshold double, est_min_matches int, "
+        "shingle_n int, shingle_df_cap int",
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(path + "_model")
+    return {
+        "destination": path,
+        "mode": "overwrite",
+        "backend": backend,
+        "model_path": path + "_model",
+        "banned_path": path + "_banned" if capped else None,
+    }
+
+
+def minhash_index_increment(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    append: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signature_backend: str | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs INVOLVING the increment — (doc_a, doc_b, n_a,
+    n_b, inter, jaccard), minhash_lsh_pairs' exact schema and exact flags
+    restricted to new x old ∪ new x new (pinned against the batch query over
+    the unioned corpus at the frozen geometry). Document ids must be unique
+    across the corpus and all increments.
+
+    One banded join: increment bands (b·|new| rows) against increment ∪
+    stored bands; then the frozen-geometry signature-estimate prefilter and
+    the set-resident exact verify, both reading ONLY their column group
+    from the index. ``append=True`` adds the increment's signature rows so
+    the next increment sees them."""
+    from ..caching import begin_pipeline, eager_cache
+
+    begin_pipeline()
+    meta = spark.read.parquet(path + "_model").collect()[0]
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+    rows = num_hashes // bands
+    if meta["shingle_df_cap"] is not None:
+        sh = word_shingles_b60(new_docs, id_col, text_col, meta["shingle_n"])
+        sh = sh.join(spark.read.parquet(path + "_banned"), "b60", "left_anti")
+        sig_new = minhash_signature(
+            sh, num_hashes, id_col, with_count=True, with_hash_set=True,
+            base_col="b60",
+        )
+    else:
+        backend = _minhash_sig_backend(signature_backend)
+        if backend == "auto":
+            backend = "arrow"
+        if backend == "arrow":
+            sig_new = minhash_signature_arrow(
+                new_docs, num_hashes, id_col, text_col, meta["shingle_n"],
+                with_count=True, with_hash_set=True, n_docs=n_docs,
+            )
+        else:
+            sig_new = minhash_signature(
+                _spread_single_partition(
+                    word_shingles(new_docs, id_col, text_col, meta["shingle_n"]),
+                    n_docs,
+                ),
+                num_hashes, id_col, with_count=True, with_hash_set=True,
+            )
+    if id_col != "doc_id":
+        sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
+    sig_new = eager_cache(sig_new.select("*", *_bk_cols(bands, rows)))
+    stored = spark.read.parquet(path)
+    all_sig = stored.unionByName(sig_new)
+    cand = (
+        _bk_bands(sig_new, bands, "id_a")
+        .join(_bk_bands(all_sig, bands, "id_b"), ["band_id", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if meta["est_min_matches"]:
+        cand = signature_estimate_filter(
+            cand, all_sig,
+            num_hashes=num_hashes, min_matches=meta["est_min_matches"],
+        )
+    pairs = verified_jaccard_pairs_from_sets(cand, all_sig, meta["threshold"])
+    if append:
+        sig_new.write.mode("append").parquet(path)
+    return pairs

@@ -1568,3 +1568,154 @@ def test_exact_dedup_index_increment_matches_batch(spark, tmp_path):
         for r in exact_dedup_index_read(spark, path).collect()
     }
     assert view2 == batch
+
+
+def test_minhash_index_increment_matches_batch(spark, tmp_path):
+    """MinHash index-at-rest contract: increment flags (pairs + exact
+    Jaccard stats) == minhash_lsh_pairs over the unioned corpus at the
+    index's frozen geometry, minus pairs internal to what was already
+    indexed — across TWO increments (the second must see the first via
+    append), with the corpus text never re-read or re-signed."""
+    from stock_etl_pipeline_spark.operators.dedup import (
+        minhash_index_increment,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath ancient oak trees near the river"
+    )
+    v1 = base.replace("river", "canyon")  # near-dup of base
+    other = "completely unrelated prose about tax law and spreadsheet macros"
+    dC = spark.createDataFrame(
+        [(1, base), (2, v1), (3, other), (4, "short but distinct filler words here")],
+        "doc_id long, text string",
+    )
+    dN1 = spark.createDataFrame(
+        [(10, base), (11, base.replace("wizards", "dragons")), (12, other + " extended")],
+        "doc_id long, text string",
+    )
+    dN2 = spark.createDataFrame(
+        [(20, v1), (21, "fresh unrelated content entirely again today")],
+        "doc_id long, text string",
+    )
+    geom = dict(num_hashes=20, bands=4, threshold=0.7, shingle_n=3)
+    path = str(tmp_path / "mhidx")
+    rep = minhash_index_write(dC, path, n_files=2, **geom)
+    assert rep["destination"] == path and rep["banned_path"] is None
+
+    def keys(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"], r["inter"],
+             round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+
+    old_ids = {1, 2, 3, 4}
+    flags1 = keys(minhash_index_increment(spark, path, dN1))
+    batch1 = keys(minhash_lsh_pairs(dC.unionByName(dN1), **geom))
+    expected1 = {p for p in batch1 if not (p[0] in old_ids and p[1] in old_ids)}
+    assert flags1 == expected1
+    assert {(a, b) for a, b, *_ in flags1} >= {(1, 10), (2, 10)}
+    assert (1, 2) not in {(a, b) for a, b, *_ in flags1}  # old-old excluded
+
+    flags2 = keys(minhash_index_increment(spark, path, dN2))
+    batch_all = keys(
+        minhash_lsh_pairs(dC.unionByName(dN1).unionByName(dN2), **geom)
+    )
+    prev = old_ids | {10, 11, 12}
+    expected2 = {p for p in batch_all if not (p[0] in prev and p[1] in prev)}
+    assert flags2 == expected2
+    assert (10, 20) in {(a, b) for a, b, *_ in flags2}  # N2 sees N1 via append
+
+
+def test_minhash_index_capped_frozen_ban_list(spark, tmp_path):
+    """Capped-geometry index: the banned hot-shingle relation is FROZEN at
+    write time; on a corpus whose hot shingles already exceed the cap at
+    write time, increment flags equal the capped batch query over the
+    union. Also pins: no_append leaves the index untouched, and a renamed
+    id column lands as the fixed doc_id index schema."""
+    from stock_etl_pipeline_spark.operators.dedup import (
+        minhash_index_increment,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "subscribe to our newsletter for updates and follow us online"
+    bodies = [
+        "alpha omega theta delta gamma words compose one document body",
+        "alpha omega theta delta gamma words compose one document draft",  # near-dup of ^
+        "finance report quarterly numbers trend upward again this year",
+        "gardening tips for growing tomatoes in small city spaces",
+        "deep space probes send faint signals across the solar system",
+        "recipes for sourdough bread require patience and a starter",
+    ]
+    dC = spark.createDataFrame(
+        [(i, f"{boiler} {b}") for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    dN = spark.createDataFrame(
+        [
+            (10, f"{boiler} alpha omega theta delta gamma words compose one document body"),
+            (11, f"{boiler} totally new content with no relatives at all"),
+        ],
+        "doc_id long, text string",
+    )
+    geom = dict(num_hashes=20, bands=4, threshold=0.5, shingle_n=3)
+    path = str(tmp_path / "mhidx_cap")
+    rep = minhash_index_write(dC, path, n_files=1, shingle_df_cap=3, **geom)
+    assert rep["banned_path"] == path + "_banned"
+    assert spark.read.parquet(rep["banned_path"]).count() > 0  # boiler shingles
+
+    def pk(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    flags = pk(minhash_index_increment(spark, path, dN, append=False))
+    batch = pk(minhash_lsh_pairs(dC.unionByName(dN), shingle_df_cap=3, **geom))
+    old = set(range(6))
+    assert flags == {p for p in batch if not (p[0] in old and p[1] in old)}
+    # without the cap the boilerplate mass would glue 11 to everything;
+    # capped, 11 matches nothing and the exact-dup family still surfaces
+    # ((1, 10) sits on the LSH S-curve shoulder — found or not, parity
+    # with the batch query above is the contract)
+    assert (0, 10) in flags
+    assert not any(11 in p for p in flags)
+    before = spark.read.parquet(path).count()
+    assert before == 6  # append=False left the index as written
+
+    dC2 = dC.withColumnRenamed("doc_id", "my_id")
+    path2 = str(tmp_path / "mhidx_named")
+    minhash_index_write(dC2, path2, id_col="my_id", n_files=1, **geom)
+    cols = spark.read.parquet(path2).columns
+    assert "doc_id" in cols and "bk0" in cols and "hs" in cols
+
+
+def test_minhash_index_band_join_prunes_columns(spark, tmp_path):
+    """The index's economics rest on column pruning: the banded candidate
+    join must scan ONLY (doc_id, bk*) from the stored index — neither the
+    k minhash columns nor the wide hash-set column. Pinned via the
+    optimized plan's parquet ReadSchema."""
+    from stock_etl_pipeline_spark.operators.dedup import _bk_bands
+
+    from pyspark.sql import functions as F
+
+    sig = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        *[(F.col("id") * (j + 1)).alias(f"minh_{j}") for j in range(8)],
+        F.lit(3).cast("bigint").alias("n_sh"),
+        F.array(F.lit(1), F.lit(2)).cast("array<bigint>").alias("hs"),
+        *[F.md5(F.concat_ws("|", F.col("id") % 2)).alias(f"bk{b}") for b in range(2)],
+    )
+    path = str(tmp_path / "prune_idx")
+    sig.write.parquet(path)
+    stored = spark.read.parquet(path)
+    bands = _bk_bands(stored, 2, "id_b")
+    from stock_etl_pipeline_spark.plans import explain_formatted
+
+    explain = explain_formatted(bands)
+    read_schema = [l for l in explain.splitlines() if "ReadSchema" in l]
+    assert read_schema, explain
+    assert all("hs" not in l and "minh_" not in l and "n_sh" not in l for l in read_schema), (
+        read_schema
+    )
