@@ -18,7 +18,15 @@ within one warm session; pair counts are asserted consistent: incr flags ==
 full flags minus corpus-internal pairs (the exactness contract pinned at
 unit scale in tests/test_dedup.py, re-checked here at tier scale on rep 0).
 
+``--family minhash`` runs the same A/B for the MinHash index
+(minhash_index_write/increment at the corpus tier's LSH geometry with the
+df-64 cap): the full arm re-runs minhash_lsh_pairs over the union with the
+INDEX'S frozen ban list (banned_b60=<idx>_banned) so the exactness check
+is well-defined — frozen-list semantics are the index's contract, and the
+batch query accepts the same list precisely for this comparison.
+
 Usage: python scripts/incr_lab.py [--tier /root/repo/.soak/sf10] [--reps 2]
+                                  [--family simhash|minhash]
 Output: one JSON line per (rep, arm), then a min summary.
 """
 from __future__ import annotations
@@ -41,11 +49,18 @@ def main() -> int:
         else "/root/repo/.soak/sf10"
     )
     reps = int(argv[argv.index("--reps") + 1]) if "--reps" in argv else 2
+    family = (
+        argv[argv.index("--family") + 1] if "--family" in argv else "simhash"
+    )
 
     from pyspark.sql import functions as F
 
     from stock_etl_pipeline_spark.datasets import load_table
     from stock_etl_pipeline_spark.operators.dedup import (
+        lsh_tier_geometry,
+        minhash_index_increment,
+        minhash_index_write,
+        minhash_lsh_pairs,
         simhash128_index_increment,
         simhash128_index_write,
         simhash128_near_dup_pairs,
@@ -59,11 +74,35 @@ def main() -> int:
         .select((F.col("doc_id") + INCR_OFFSET).alias("doc_id"), "text")
     )
     n_corpus, n_incr = corpus.count(), incr.count()
-    print(json.dumps({"corpus_docs": n_corpus, "incr_docs": n_incr}), flush=True)
+    print(json.dumps({"family": family, "corpus_docs": n_corpus,
+                      "incr_docs": n_incr}), flush=True)
 
-    idx = os.path.join(os.path.dirname(tier.rstrip("/")), "simhash128_index")
+    idx = os.path.join(
+        os.path.dirname(tier.rstrip("/")), f"{family}_incr_index"
+    )
+    if family == "minhash":
+        k, b, est = lsh_tier_geometry(n_corpus)
+        geom = dict(num_hashes=k, bands=b, est_min_matches=est, threshold=0.7)
+        write = lambda: minhash_index_write(
+            corpus, idx, n_files=32, n_docs=n_corpus, shingle_df_cap=64, **geom
+        )
+        run_incr = lambda: minhash_index_increment(
+            spark, idx, incr, append=False, n_docs=n_incr
+        )
+        run_full = lambda rel, n: minhash_lsh_pairs(
+            rel, banned_b60=spark.read.parquet(idx + "_banned"), n_docs=n, **geom
+        )
+    else:
+        write = lambda: simhash128_index_write(
+            corpus, idx, n_files=32, n_docs=n_corpus
+        )
+        run_incr = lambda: simhash128_index_increment(
+            spark, idx, incr, append=False, n_docs=n_incr
+        )
+        run_full = lambda rel, n: simhash128_near_dup_pairs(rel, n_docs=n)
+
     t0 = time.perf_counter()
-    simhash128_index_write(corpus, idx, n_files=32, n_docs=n_corpus)
+    write()
     t_index = time.perf_counter() - t0
     print(json.dumps({"arm": "index_once", "sec": round(t_index, 2)}), flush=True)
 
@@ -72,9 +111,7 @@ def main() -> int:
     for rep in range(reps):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n_flags = simhash128_index_increment(
-            spark, idx, incr, append=False, n_docs=n_incr
-        ).count()
+        n_flags = run_incr().count()
         dt = time.perf_counter() - t0
         results["incr"].append(dt)
         print(json.dumps({"rep": rep, "arm": "incr", "sec": round(dt, 2),
@@ -82,7 +119,7 @@ def main() -> int:
 
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n_full = simhash128_near_dup_pairs(union, n_docs=n_corpus + n_incr).count()
+        n_full = run_full(union, n_corpus + n_incr).count()
         dt = time.perf_counter() - t0
         results["full"].append(dt)
         print(json.dumps({"rep": rep, "arm": "full", "sec": round(dt, 2),
@@ -90,7 +127,7 @@ def main() -> int:
 
         if rep == 0:
             spark.catalog.clearCache()
-            n_internal = simhash128_near_dup_pairs(corpus, n_docs=n_corpus).count()
+            n_internal = run_full(corpus, n_corpus).count()
             assert n_flags == n_full - n_internal, (
                 f"exactness violated: incr {n_flags} != "
                 f"full {n_full} - internal {n_internal}"
@@ -100,6 +137,7 @@ def main() -> int:
 
     summary = {
         "tier": tier,
+        "family": family,
         "index_once_sec": round(t_index, 2),
         "incr_min_sec": round(min(results["incr"]), 2),
         "full_min_sec": round(min(results["full"]), 2),

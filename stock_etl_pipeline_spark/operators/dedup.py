@@ -980,10 +980,19 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     est_min_matches: int | None = None,
     shingle_df_cap: int | None = None,
+    banned_b60: DataFrame | None = None,
     signature_backend: str | None = None,
     n_docs: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    ``banned_b60`` replaces the df-cap STATISTIC with a frozen stop-list: a
+    (b60) relation of banned shingle hashes anti-joined out before
+    signatures, with no df aggregate over this corpus. This is how a run is
+    made reproducible against an index written earlier (the
+    ``minhash_index_write`` ``<path>_banned`` sidecar) — the capped
+    pipeline's ban set depends on the corpus at hand, a frozen list does
+    not. Mutually exclusive with ``shingle_df_cap``.
 
     ``est_min_matches`` (default: num_hashes // 2) inserts the
     signature-estimate prefilter between banding and exact verification;
@@ -1016,10 +1025,14 @@ def minhash_lsh_pairs(
     # and collect_set-aggregates the hash sets — costs that grow with gram
     # mass — while simhash's relational cost is a small per-token vocab.
     # Interleaved A/B: wash at sf0.1, arrow 1.39x faster at the 100x tier.
+    assert shingle_df_cap is None or banned_b60 is None, (
+        "shingle_df_cap computes the ban set from THIS corpus; banned_b60 "
+        "freezes it — pass one or the other"
+    )
     mh_backend = _minhash_sig_backend(signature_backend)
     if mh_backend == "auto":
         mh_backend = "arrow"
-    if shingle_df_cap is None and mh_backend == "arrow":
+    if shingle_df_cap is None and banned_b60 is None and mh_backend == "arrow":
         # Uncapped path: the whole shingle→signature chain collapses to one
         # shuffle-free Arrow pass (minhash_signature_arrow). The capped path
         # below cannot — the df cap needs the global shingle-frequency
@@ -1044,7 +1057,11 @@ def minhash_lsh_pairs(
     # chain.
     df = _spread_single_partition(df, n_docs)
     base_col = None
-    if shingle_df_cap is not None:
+    if banned_b60 is not None:
+        sh = word_shingles_b60(df, id_col, text_col, shingle_n)
+        sh = sh.join(banned_b60.select("b60"), "b60", "left_anti")
+        base_col = "b60"
+    elif shingle_df_cap is not None:
         # Narrow-key capped chain: shingles fold to 60-bit BIGINTs BEFORE
         # the distinct (word_shingles_b60), so the distinct, the df
         # aggregate, the anti-join, and the signature chain all move 8-byte

@@ -1719,3 +1719,44 @@ def test_minhash_index_band_join_prunes_columns(spark, tmp_path):
     assert all("hs" not in l and "minh_" not in l and "n_sh" not in l for l in read_schema), (
         read_schema
     )
+
+
+def test_minhash_banned_b60_matches_cap(spark):
+    """A frozen stop-list computed at cap df>N must reproduce the capped
+    pipeline bit-for-bit when the corpus is the one the list was computed
+    from — the contract that makes index-vs-batch exactness checks (and
+    reproducible re-runs against an old index) well-defined."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        word_shingles_b60,
+    )
+
+    boiler = "click here to accept cookies and continue reading the page"
+    rows = [
+        (i, f"{boiler} document body number {i} with some distinct words {i}")
+        for i in range(6)
+    ] + [(10, f"{boiler} document body number 0 with some distinct words 0 extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    geom = dict(num_hashes=20, bands=4, threshold=0.5)
+    banned = (
+        word_shingles_b60(df, "doc_id", "text", 3)
+        .groupBy("b60").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 3).select("b60")
+    )
+
+    def rows_of(out):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"], r["inter"],
+             round(r["jaccard"], 9))
+            for r in out.collect()
+        }
+
+    capped = rows_of(minhash_lsh_pairs(df, shingle_df_cap=3, **geom))
+    frozen = rows_of(minhash_lsh_pairs(df, banned_b60=banned, **geom))
+    assert capped == frozen and capped  # non-empty: (0, 10) survives the cap
+    import pytest
+
+    with pytest.raises(AssertionError):
+        minhash_lsh_pairs(df, shingle_df_cap=3, banned_b60=banned, **geom)
