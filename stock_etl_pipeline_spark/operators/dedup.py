@@ -1785,14 +1785,31 @@ def simhash128_index_increment(
     if id_col != "doc_id":
         sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
     stored = spark.read.parquet(path)
+    pairs = simhash128_flags_from_signatures(
+        sig_new, stored.unionByName(sig_new), max_hamming=max_hamming
+    )
+    if append:
+        sig_new.write.mode("append").parquet(path)
+    return pairs
+
+
+def simhash128_flags_from_signatures(
+    sig_new: DataFrame, sig_all: DataFrame, *, max_hamming: int = 3
+) -> DataFrame:
+    """The increment's flag core over signature relations (doc_id,
+    simhash128, sb0..sb3): banded join of ``sig_new``'s bands against
+    ``sig_all``'s, pigeonhole-exact for hamming ≤ 3. Shared by the batch
+    index increment and streaming index maintenance — the caller decides
+    what "all" means (stored ∪ new, a replay-filtered tree, ...)."""
+    assert max_hamming <= 3, "4-band pigeonhole exact only for hamming <= 3"
     a = _sig128_bands(sig_new, "id_a", "a")
-    b = _sig128_bands(stored.unionByName(sig_new), "id_b", "b")
+    b = _sig128_bands(sig_all, "id_b", "b")
     ham = sum(
         (F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(4)),
         F.lit(0),
     )
     a_first = F.col("id_a") < F.col("id_b")
-    pairs = (
+    return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("id_a") != F.col("id_b"))
         .withColumn("hamming", ham.cast("int"))
@@ -1806,9 +1823,6 @@ def simhash128_index_increment(
         )
         .distinct()
     )
-    if append:
-        sig_new.write.mode("append").parquet(path)
-    return pairs
 
 
 # --- exact-dedup digest index: the log-structured sibling --------------------
@@ -2635,10 +2649,32 @@ def minhash_index_increment(
         sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
     sig_new = eager_cache(sig_new.select("*", *_bk_cols(bands, rows)))
     stored = spark.read.parquet(path)
-    all_sig = stored.unionByName(sig_new)
+    pairs = minhash_flags_from_signatures(
+        sig_new, stored.unionByName(sig_new),
+        num_hashes=num_hashes, bands=bands,
+        est_min_matches=meta["est_min_matches"], threshold=meta["threshold"],
+    )
+    if append:
+        sig_new.write.mode("append").parquet(path)
+    return pairs
+
+
+def minhash_flags_from_signatures(
+    sig_new: DataFrame,
+    sig_all: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    est_min_matches: int,
+    threshold: float,
+) -> DataFrame:
+    """The MinHash increment's flag core over signature relations carrying
+    bk* band-key columns plus minh_*/n_sh/hs: banded candidates (new ×
+    all), the signature-estimate prefilter, the set-resident exact verify.
+    Shared by the batch index increment and streaming index maintenance."""
     cand = (
         _bk_bands(sig_new, bands, "id_a")
-        .join(_bk_bands(all_sig, bands, "id_b"), ["band_id", "band_key"])
+        .join(_bk_bands(sig_all, bands, "id_b"), ["band_id", "band_key"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
@@ -2646,12 +2682,8 @@ def minhash_index_increment(
         )
         .distinct()
     )
-    if meta["est_min_matches"]:
+    if est_min_matches:
         cand = signature_estimate_filter(
-            cand, all_sig,
-            num_hashes=num_hashes, min_matches=meta["est_min_matches"],
+            cand, sig_all, num_hashes=num_hashes, min_matches=est_min_matches
         )
-    pairs = verified_jaccard_pairs_from_sets(cand, all_sig, meta["threshold"])
-    if append:
-        sig_new.write.mode("append").parquet(path)
-    return pairs
+    return verified_jaccard_pairs_from_sets(cand, sig_all, threshold)

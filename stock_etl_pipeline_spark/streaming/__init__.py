@@ -9,6 +9,8 @@ from .metrics import (
 from .pipeline import (
     EVENTS_STREAM_SCHEMA,
     dedup_events_within_watermark,
+    index_maintenance_batch,
+    stream_index_maintenance,
     interval_join_streams,
     read_events_stream,
     run_to_memory,
@@ -26,6 +28,8 @@ from .pipeline import (
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "dedup_events_within_watermark",
+    "index_maintenance_batch",
+    "stream_index_maintenance",
     "freshness_report",
     "lateness_listener",
     "observe_freshness",

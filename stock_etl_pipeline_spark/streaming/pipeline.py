@@ -1001,3 +1001,159 @@ def streaming_semantic_groups(
         )
 
     return flagged.groupBy("cid").applyInPandas(cell_groups, schema)
+
+
+# --- streaming maintenance of the at-rest dedup indexes ----------------------
+# The batch increments (dedup.simhash128_index_increment / minhash / exact)
+# assume one writer appending flat files; a streaming writer needs REPLAY
+# idempotence — after a crash, foreachBatch re-runs the last uncommitted
+# batch, and a blind append would double the batch's signature rows (future
+# increments would then emit duplicate flag rows against the doubled docs).
+# The fix is layout, not a ledger: the stream OWNS its index tree and every
+# batch writes to its own hive partition `ingest_batch=<id>` with overwrite —
+# a replay overwrites the same directory instead of appending, and the flag
+# computation excludes the batch's own partition from the stored read
+# (partition-pruned, so the exclusion costs nothing). Every write this
+# operator does is therefore a deterministic function of (stream content,
+# batch id): replays are byte-idempotent with no commit protocol.
+#
+# Flag semantics across the stream's lifetime: a near-dup pair is flagged in
+# exactly ONE batch — the one where the LATER member arrives (new×old) or
+# both arrive (new×new). The union of all batches' flag partitions therefore
+# equals the batch pair query over everything ingested — pinned in
+# tests/test_streaming.py for all three families.
+
+_IDX_GEOM_DEFAULTS = dict(
+    num_hashes=20, bands=4, threshold=0.7, shingle_n=3, est_min_matches=10
+)
+
+
+def _read_tree_except(spark, path: str, batch_id: int):
+    """The index tree minus this batch's own partition (replay exclusion);
+    None when the tree does not exist yet (first batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        t = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException:
+        return None
+    return t.filter(F.col("ingest_batch") != batch_id).drop("ingest_batch")
+
+
+def index_maintenance_batch(
+    index_path: str,
+    flags_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    family: str = "simhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **geometry,
+) -> None:
+    """Process ONE micro-batch: compute this batch's near-dup flags against
+    the index tree (minus any replay remnant of itself), then overwrite the
+    batch's flag and signature partitions. Public so tests (and backfills)
+    can drive and REPLAY batches deterministically; stream_index_maintenance
+    wraps it in foreachBatch.
+
+    ``family``: 'simhash' (128-bit, hamming ≤ 3), 'minhash' (frozen
+    ``geometry`` — num_hashes/bands/threshold/shingle_n/est_min_matches,
+    defaults matching minhash_index_write; fixed for the stream's lifetime
+    by the caller), or 'exact' (canonicalized md5 digests; per-doc verdicts,
+    keeper = min id ingested up to and including this batch).
+    """
+    from ..operators import dedup as D
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    stored = _read_tree_except(spark, index_path, batch_id)
+    if family == "simhash":
+        sig_new = D.simhash128_signatures(batch_df, id_col, text_col)
+        if id_col != "doc_id":
+            sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
+        sig_all = stored.unionByName(sig_new) if stored is not None else sig_new
+        flags = D.simhash128_flags_from_signatures(sig_new, sig_all)
+        to_store = sig_new
+    elif family == "minhash":
+        geom = {**_IDX_GEOM_DEFAULTS, **geometry}
+        rows = geom["num_hashes"] // geom["bands"]
+        assert geom["num_hashes"] % geom["bands"] == 0
+        sig_new = D.minhash_signature(
+            D.word_shingles(batch_df, id_col, text_col, geom["shingle_n"]),
+            geom["num_hashes"], id_col, with_count=True, with_hash_set=True,
+        )
+        if id_col != "doc_id":
+            sig_new = sig_new.withColumnRenamed(id_col, "doc_id")
+        sig_new = sig_new.select("*", *D._bk_cols(geom["bands"], rows))
+        sig_all = stored.unionByName(sig_new) if stored is not None else sig_new
+        flags = D.minhash_flags_from_signatures(
+            sig_new, sig_all,
+            num_hashes=geom["num_hashes"], bands=geom["bands"],
+            est_min_matches=geom["est_min_matches"],
+            threshold=geom["threshold"],
+        )
+        to_store = sig_new
+    elif family == "exact":
+        from pyspark.sql import Window
+
+        fp = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            D._exact_fp(text_col).alias("fingerprint"),
+        )
+        scored = fp.withColumn(
+            "new_min", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        if stored is not None:
+            prior = stored.groupBy("fingerprint").agg(
+                F.min("keeper_doc_id").alias("stored_keeper")
+            )
+            scored = scored.join(prior, "fingerprint", "left")
+        else:
+            scored = scored.withColumn("stored_keeper", F.lit(None).cast("long"))
+        flags = scored.select(
+            "doc_id", "fingerprint",
+            F.least(F.coalesce("stored_keeper", "new_min"), F.col("new_min")).alias(
+                "keeper_doc_id"
+            ),
+        ).withColumn("is_dup", F.col("doc_id") != F.col("keeper_doc_id"))
+        to_store = D._exact_delta(batch_df, id_col, text_col)
+    else:
+        raise ValueError(f"unknown index family {family!r}")
+    # flags BEFORE signatures: if the write below dies mid-way, the replay
+    # recomputes both from the same inputs and overwrites both partitions.
+    flags.write.mode("overwrite").parquet(f"{flags_path}/ingest_batch={batch_id}")
+    to_store.write.mode("overwrite").parquet(
+        f"{index_path}/ingest_batch={batch_id}"
+    )
+
+
+def stream_index_maintenance(
+    stream: DataFrame,
+    index_path: str,
+    flags_path: str,
+    checkpoint_dir: str,
+    *,
+    family: str = "simhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **geometry,
+):
+    """Continuous ingest keeping a dedup index fresh: each micro-batch is
+    near-dup-checked against everything ingested before it (one narrow
+    index scan — never the corpus text) and its signatures join the index
+    for the batches after it. Returns the un-started writer (like
+    stream_merge_upsert); ``availableNow`` drains the backlog and stops."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        index_maintenance_batch(
+            index_path, flags_path, batch_df, batch_id,
+            family=family, id_col=id_col, text_col=text_col, **geometry,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -713,3 +713,130 @@ def test_tuned_stream_confs_sets_and_restores_scope(spark):
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", before_nodata
         )
+
+
+# --- streaming maintenance of the at-rest dedup indexes ----------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_index_maintenance_simhash_flags_every_pair_once(spark, tmp_path):
+    """End-to-end over a 3-file stream (one file per micro-batch): the union
+    of all batches' flag partitions equals the batch pair query over the
+    full corpus — every near-dup pair flagged exactly once, in the batch
+    where its later member arrived."""
+    from pyspark.sql import types as T
+
+    from stock_etl_pipeline_spark.operators.dedup import simhash128_near_dup_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    batches = [
+        [(1, base), (2, base + " tail"), (3, "unrelated words about gardening here")],
+        [(10, base), (11, "other content entirely about motorsport races")],
+        [(20, base + " tail"), (21, "unrelated words about gardening here")],
+    ]
+    src = str(tmp_path / "docs_src")
+    for rows in batches:
+        _docs_df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx, flags = str(tmp_path / "sim_idx"), str(tmp_path / "sim_flags")
+    q = streaming.stream_index_maintenance(
+        stream, idx, flags, str(tmp_path / "ckpt_sim"), family="simhash"
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    corpus = _docs_df(spark, [r for b in batches for r in b])
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash128_near_dup_pairs(corpus).collect()
+    }
+    assert got == want and got  # non-empty: the base family pairs up
+    # index tree holds one signature row per ingested doc, batch-partitioned
+    tree = spark.read.parquet(idx)
+    assert tree.count() == 7
+    assert sorted(tree.select("ingest_batch").distinct().toPandas()["ingest_batch"]) == [0, 1, 2]
+
+
+def test_index_maintenance_replay_idempotent_minhash(spark, tmp_path):
+    """Driving batches directly: flags across batches equal the batch LSH
+    query over the union, and REPLAYING a batch (same id) leaves both the
+    index tree and the flag tree value-identical — the crash-recovery
+    contract foreachBatch relies on."""
+    from stock_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from stock_etl_pipeline_spark.streaming import index_maintenance_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath ancient oak trees near the river"
+    )
+    b0 = [(1, base), (2, base.replace("river", "canyon")), (3, "unrelated text about economics")]
+    b1 = [(10, base), (11, "fresh content with no relatives anywhere")]
+    idx, flags = str(tmp_path / "mh_idx"), str(tmp_path / "mh_flags")
+    index_maintenance_batch(idx, flags, _docs_df(spark, b0), 0, family="minhash")
+    index_maintenance_batch(idx, flags, _docs_df(spark, b1), 1, family="minhash")
+
+    def tree_values(path):
+        return sorted(map(repr, spark.read.parquet(path).collect()))
+
+    flags_before, idx_before = tree_values(flags), tree_values(idx)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"], r["inter"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(flags).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_a"], r["n_b"], r["inter"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            _docs_df(spark, b0 + b1), num_hashes=20, bands=4, threshold=0.7,
+            est_min_matches=10,
+        ).collect()
+    }
+    assert got == want and got
+
+    # replay the LAST batch (what a crash before checkpoint commit causes)
+    index_maintenance_batch(idx, flags, _docs_df(spark, b1), 1, family="minhash")
+    assert tree_values(flags) == flags_before
+    assert tree_values(idx) == idx_before
+
+
+def test_index_maintenance_exact_keeper_semantics(spark, tmp_path):
+    """Exact family: per-batch verdicts match the prefix union's hash-groupBy
+    (keeper = min id ingested so far), including a later batch whose id
+    undercuts an indexed keeper — and replay leaves the trees unchanged."""
+    from stock_etl_pipeline_spark.streaming import index_maintenance_batch
+
+    b0 = [(10, "alpha  beta"), (11, "ALPHA BETA"), (12, "something else")]
+    b1 = [(5, "Alpha\tBeta"), (30, "something  ELSE"), (31, "novel text")]
+    idx, flags = str(tmp_path / "ex_idx"), str(tmp_path / "ex_flags")
+    index_maintenance_batch(idx, flags, _docs_df(spark, b0), 0, family="exact")
+    index_maintenance_batch(idx, flags, _docs_df(spark, b1), 1, family="exact")
+
+    out = {
+        r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    # batch 0: 10 keeps (min of {10, 11}); 11 dups it; 12 keeps
+    assert out[10] == (10, False) and out[11] == (10, True) and out[12] == (12, False)
+    # batch 1: 5 undercuts indexed keeper 10 -> keeps itself (verdicts are
+    # as-of ingest; batch-0 verdicts are not rewritten); 30 dups 12
+    assert out[5] == (5, False) and out[30] == (12, True) and out[31] == (31, False)
+
+    before = sorted(map(repr, spark.read.parquet(idx).collect()))
+    index_maintenance_batch(idx, flags, _docs_df(spark, b1), 1, family="exact")
+    assert sorted(map(repr, spark.read.parquet(idx).collect())) == before
