@@ -178,3 +178,109 @@ def pack_sequences(
             .alias("end_seq"),
         )
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    count_col: str = "n_tokens",
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: keep
+    documents in (quality DESC, id ASC) order while the running inclusive
+    token total stays ≤ ``budget`` — exactly
+    ``SUM(count) OVER (ORDER BY quality DESC, id) <= budget``, the standard
+    "fill the training mix with the best N tokens" operation.
+
+    The naive form is a GLOBAL ordered window — one task sorts the corpus.
+    This implementation keeps the exact same selected SET at any
+    partitioning while touching only 1/``buckets`` of the data with an
+    ordered window:
+
+    1. one narrow aggregate finds the quality range, a second sums token
+       mass per quality bucket (``buckets`` rows to the driver — bounded
+       by the parameter, not the data);
+    2. buckets whose descending cumulative mass fits the budget are kept
+       WHOLESALE (a filter — no sort, no window, no shuffle of their rows);
+    3. only the single straddling bucket pays the ordered prefix-sum, with
+       the better-buckets' mass as a constant offset.
+
+    The bucket→prefix equivalence needs token counts to be non-negative
+    (the running sum is then monotone, so inclusion is a prefix of the
+    global order and bucket boundaries cannot cut it incorrectly) and
+    counts are summed as BIGINTs (no float drift between the bucket-offset
+    and windowed arms). Quality may be any orderable numeric; ties resolve
+    by id on both arms. At 100 TB raise ``buckets`` so the straddling
+    bucket's rows fit one task's sort — the wholesale-kept mass never gets
+    sorted at all.
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("__n", F.col(count_col).cast("long"))
+    rng = d.agg(
+        F.min(quality_col).alias("mn"), F.max(quality_col).alias("mx")
+    ).first()
+    if rng["mn"] is None:
+        return df.limit(0)
+    mn, mx = float(rng["mn"]), float(rng["mx"])
+    if mx > mn:
+        width = (mx - mn) / buckets
+        bucket = F.least(
+            F.floor((F.col(quality_col) - F.lit(mn)) / F.lit(width)),
+            F.lit(buckets - 1),
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("__b", bucket)
+    mass = {
+        r["__b"]: r["m"]
+        for r in d.groupBy("__b").agg(F.sum("__n").alias("m")).collect()
+    }
+    cum = 0
+    full: list[int] = []
+    b_star = None
+    for bb in sorted(mass, reverse=True):
+        if cum + mass[bb] <= budget:
+            full.append(bb)
+            cum += mass[bb]
+        else:
+            b_star = bb
+            break
+    keep = d.filter(F.col("__b").isin(full)) if full else d.limit(0)
+    if b_star is not None:
+        w = (
+            Window.orderBy(F.col(quality_col).desc(), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        straddle = (
+            d.filter(F.col("__b") == b_star)
+            .withColumn("__cum", F.sum("__n").over(w))
+            .filter(F.col("__cum") + F.lit(cum) <= F.lit(budget))
+            .drop("__cum")
+        )
+        keep = keep.unionByName(straddle)
+    return keep.drop("__n", "__b")
+
+
+def sql_sample_to_token_budget(
+    table: str,
+    budget: int,
+    *,
+    count_expr: str = "n_tokens",
+    quality_expr: str = "quality_score",
+    id_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    """The naive-global-window twin (the SEMANTICS, for engines/oracles
+    where a single ordered window is fine)."""
+    return f"""
+SELECT {select} FROM (
+  SELECT *, SUM({count_expr}) OVER (
+    ORDER BY {quality_expr} DESC, {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+  FROM {table}
+) WHERE __cum <= {budget}
+""".strip()

@@ -1106,3 +1106,53 @@ def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split_block.unionByName(pack_block)
+
+
+# --- token-budget corpus selection ------------------------------------------
+
+_BUDGET_TOKENS = 12_000  # ~45% of the sf0.01 corpus's token mass
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+    {sql_pround(_SQL_QUALITY, 6)} AS quality_score
+  FROM documents
+)
+{sampling.sql_sample_to_token_budget(
+    "scored", _BUDGET_TOKENS,
+    select="doc_id, n_tokens, quality_score",
+)}
+""".strip()
+
+
+@spec_tests_only(
+    "doc_token_budget_sample",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("sampling", "tokens", "quality"),
+)
+def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a token budget ("fill the
+    training mix with the best 12k tokens"): score each doc with
+    doc_text_stats' token count + composite quality, then
+    sampling.sample_to_token_budget — bucketed two-phase selection whose
+    kept SET equals the oracle's global ordered cumsum while only the
+    straddling quality bucket pays an ordered window (the wholesale-kept
+    mass is a filter). Tests-only tier: full oracle parity via
+    tests/test_oracle_parity.py; the registry's 50 driver slots stay with
+    the scale-shaped dedup/ANN families."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = pround(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.6
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.4,
+        6,
+    )
+    scored = d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    return sampling.sample_to_token_budget(scored, _BUDGET_TOKENS)

@@ -213,3 +213,58 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences(df, seq_len=0)
+
+
+def test_sample_to_token_budget_matches_naive_window(spark):
+    """The bucketed two-phase selection must equal the naive global ordered
+    cumsum (the defining semantics) for budgets hitting every regime —
+    empty, boundary inside a bucket, exact boundary, everything — including
+    zero-token docs and quality ties, and at a coarse bucket count that
+    forces all three of full/straddling/excluded bucket classes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.sampling import sample_to_token_budget
+
+    rows = []
+    for i in range(200):
+        q = ((i * 37) % 101) / 100.0          # ties: 101 levels over 200 docs
+        n = (i * 13) % 50                      # includes zero-token docs
+        rows.append((i, n, q))
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality_score double")
+
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.withColumn("cum", F.sum("n_tokens").over(w))
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    boundary_cum = naive.filter(F.col("doc_id") == 57).collect()[0]["cum"]
+
+    for budget in [0, 1, 137, 1000, boundary_cum, total, total + 10]:
+        want = {
+            r["doc_id"] for r in naive.filter(F.col("cum") <= budget).collect()
+        }
+        for buckets in (4, 1024):
+            got = {
+                r["doc_id"]
+                for r in sample_to_token_budget(
+                    df, budget, buckets=buckets
+                ).collect()
+            }
+            assert got == want, (budget, buckets, len(got), len(want))
+
+
+def test_sample_to_token_budget_degenerate_quality(spark):
+    """All-equal quality collapses to one bucket (width-0 guard): selection
+    is then purely by id order; empty input returns empty."""
+    from stock_etl_pipeline_spark.operators.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10, 0.5) for i in range(10)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    got = sorted(
+        r["doc_id"] for r in sample_to_token_budget(df, 35).collect()
+    )
+    assert got == [0, 1, 2]  # 30 <= 35 < 40, id order
+    assert sample_to_token_budget(df.limit(0), 100).count() == 0
