@@ -284,3 +284,72 @@ SELECT {select} FROM (
   FROM {table}
 ) WHERE __cum <= {budget}
 """.strip()
+
+
+def sample_to_token_budget_by(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    strata_col: str,
+    count_col: str = "n_tokens",
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-stratum token budgets — the mix-ratio form of
+    :func:`sample_to_token_budget` ("40 % web, 30 % code, ..." expressed as
+    absolute token budgets per language/source): within each stratum keep
+    documents in (quality DESC, id ASC) order while the stratum's running
+    token total fits ITS budget. Strata not listed get ``default_budget``
+    (0 = dropped).
+
+    Unlike the global form, the naive window is already scale-shaped here:
+    PARTITION BY stratum spreads the sort across strata, so this runs the
+    one-pass partitioned cumsum directly — the bucketed two-phase dance
+    only pays off when a single ordered partition must hold the whole
+    corpus. A single elephant stratum at 100 TB is the signal to run the
+    global form per stratum instead.
+    """
+    from pyspark.sql import Window
+
+    budget_map = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn(
+            "__budget",
+            F.coalesce(budget_map[F.col(strata_col)], F.lit(int(default_budget))),
+        )
+        .withColumn("__cum", F.sum(F.col(count_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__budget", "__cum")
+    )
+
+
+def sql_sample_to_token_budget_by(
+    table: str,
+    budgets: dict[str, int],
+    *,
+    strata_col: str,
+    count_expr: str = "n_tokens",
+    quality_expr: str = "quality_score",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+    select: str = "*",
+) -> str:
+    whens = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v)}" for k, v in budgets.items()
+    )
+    case = f"CASE {whens} ELSE {int(default_budget)} END"
+    return f"""
+SELECT {select} FROM (
+  SELECT *, SUM({count_expr}) OVER (
+    PARTITION BY {strata_col}
+    ORDER BY {quality_expr} DESC, {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+  FROM {table}
+) WHERE __cum <= ({case})
+""".strip()

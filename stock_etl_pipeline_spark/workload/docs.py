@@ -1156,3 +1156,49 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality_score"),
     )
     return sampling.sample_to_token_budget(scored, _BUDGET_TOKENS)
+
+
+_MIX_BUDGETS = {"en": 6_000, "de": 2_000, "fr": 1_500, "es": 1_500}  # zh -> default 0
+
+_TOKEN_MIX_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+    {sql_pround(_SQL_QUALITY, 6)} AS quality_score
+  FROM documents
+)
+{sampling.sql_sample_to_token_budget_by(
+    "scored", _MIX_BUDGETS, strata_col="lang",
+    select="doc_id, lang, n_tokens, quality_score",
+)}
+""".strip()
+
+
+@spec_tests_only(
+    "doc_token_mix_sample",
+    oracle=_TOKEN_MIX_ORACLE,
+    tags=("sampling", "tokens", "mix"),
+)
+def q_doc_token_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budgets — the mix-ratio selection a pretraining
+    corpus plan specifies ("6k en tokens, 2k de, ..."): quality-first fill
+    within each language via the PARTITIONED ordered cumsum (strata spread
+    the sort; unlisted languages default to budget 0 and drop out)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = pround(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.6
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.4,
+        6,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    return sampling.sample_to_token_budget_by(
+        scored, _MIX_BUDGETS, strata_col="lang"
+    )

@@ -268,3 +268,28 @@ def test_sample_to_token_budget_degenerate_quality(spark):
     )
     assert got == [0, 1, 2]  # 30 <= 35 < 40, id order
     assert sample_to_token_budget(df.limit(0), 100).count() == 0
+
+
+def test_sample_to_token_budget_by_strata(spark):
+    """Per-stratum budgets select independently (each stratum's prefix by
+    quality then id), and unlisted strata drop via default_budget=0."""
+    from stock_etl_pipeline_spark.operators.sampling import (
+        sample_to_token_budget_by,
+    )
+
+    rows = [
+        (1, "en", 10, 0.9), (2, "en", 10, 0.8), (3, "en", 10, 0.7),
+        (4, "de", 10, 0.1), (5, "de", 10, 0.9),
+        (6, "zh", 1, 0.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, quality_score double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget_by(
+            df, {"en": 20, "de": 10}, strata_col="lang"
+        ).collect()
+    )
+    # en: 1, 2 fit 20; de: 5 (best quality) fits 10, 4 would exceed; zh dropped
+    assert got == [1, 2, 5]
