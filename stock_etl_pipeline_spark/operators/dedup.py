@@ -2687,3 +2687,64 @@ def minhash_flags_from_signatures(
             cand, sig_all, num_hashes=num_hashes, min_matches=est_min_matches
         )
     return verified_jaccard_pairs_from_sets(cand, sig_all, threshold)
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-contamination report — the decontamination
+    pass a training corpus runs against its eval sets (word n-gram overlap,
+    the GPT-3/PaLM-style discipline; ``n`` = 8 by default, smaller for
+    stricter recall): (id, n_grams, n_overlap, overlap_frac,
+    is_contaminated), one row per training doc including gram-less shorts
+    (n_grams = 0, frac NULL, never contaminated).
+
+    Scale shape: the BENCHMARK side is bounded by construction (eval sets
+    are thousands of documents, not corpora) — its distinct 60-bit gram-hash
+    set broadcasts, so the training corpus is one narrow scan + explode with
+    NO shuffle of text or gram strings (the b60 fold from word_shingles_b60
+    keeps every key 8 bytes); the per-doc aggregate partial-combines
+    map-side. Contamination is membership against the UNION of benchmark
+    grams — which benchmark doc matched doesn't change the keep/drop
+    verdict, so no train×bench pair relation ever materializes.
+    """
+    tg = word_shingles_b60(train, id_col, text_col, n)
+    bg = (
+        word_shingles_b60(bench, bench_id_col, bench_text_col, n)
+        .select("b60")
+        .distinct()
+    )
+    hits = (
+        tg.join(F.broadcast(bg.withColumn("__hit", F.lit(1))), "b60", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+    )
+    from ..functions import pround
+
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            pround(
+                F.col("n_overlap").cast("double") / F.nullif(F.col("n_grams"), F.lit(0)),
+                6,
+            ).alias("overlap_frac"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("is_contaminated"),
+        )
+    )

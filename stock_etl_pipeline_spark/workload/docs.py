@@ -1202,3 +1202,51 @@ def q_doc_token_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_to_token_budget_by(
         scored, _MIX_BUDGETS, strata_col="lang"
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+_B60_5GRAM = (
+    "(('0x' || substring(md5(concat(w[i+0], ' ', w[i+1], ' ', w[i+2], ' ', "
+    "w[i+3], ' ', w[i+4])), 1, 15))::BIGINT)"
+)
+
+_CONTAMINATION_ORACLE = f"""
+WITH
+train AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 3),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 = 3),
+tw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM train),
+tp AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM tw),
+tsh AS (SELECT DISTINCT doc_id, {_B60_5GRAM} AS b60 FROM tp),
+bw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM bench),
+bp AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM bw),
+bsh AS (SELECT DISTINCT {_B60_5GRAM} AS b60 FROM bp),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN b60 IN (SELECT b60 FROM bsh) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM tsh GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+  {sql_pround("CAST(n_overlap AS DOUBLE) / NULLIF(n_grams, 0)", 6)} AS overlap_frac,
+  (coalesce(n_overlap, 0) >= 1) AS is_contaminated
+FROM train t LEFT JOIN agg USING (doc_id)
+""".strip()
+
+
+@spec_tests_only(
+    "doc_benchmark_contamination",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("decontamination", "ngram"),
+)
+def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: hold out a deterministic slice of
+    documents as the "eval set" (doc_id % 89 == 3) and flag every training
+    doc sharing a word 5-gram with it — dedup.ngram_contamination, the
+    broadcast-membership pass (benchmark gram set is bounded by
+    construction; the training side never shuffles text)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 89 == 3)
+    train = d.filter(F.col("doc_id") % 89 != 3)
+    return dedup.ngram_contamination(train, bench, n=5, min_overlap=1)

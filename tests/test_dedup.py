@@ -1760,3 +1760,34 @@ def test_minhash_banned_b60_matches_cap(spark):
 
     with pytest.raises(AssertionError):
         minhash_lsh_pairs(df, shingle_df_cap=3, banned_b60=banned, **geom)
+
+
+def test_ngram_contamination_flags_and_plan(spark):
+    """Contamination verdicts: a train doc embedding a benchmark sentence
+    verbatim is flagged; clean and gram-less docs are not; overlap counts
+    are exact distinct-gram intersections; the benchmark gram set joins
+    as a BROADCAST (bounded-by-construction side, pinned in the plan)."""
+    from stock_etl_pipeline_spark.operators.dedup import ngram_contamination
+    from stock_etl_pipeline_spark.plans import explain_formatted
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about ancient rome empire history")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then the secret benchmark question about ancient rome empire history and more"),
+            (2, "completely unrelated training document with plenty of words inside"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(train, bench, n=5, min_overlap=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["is_contaminated"] and rows[1]["n_overlap"] == 5
+    # bench has 9 words -> 5 five-grams, all inside doc 1's text
+    assert not rows[2]["is_contaminated"] and rows[2]["n_overlap"] == 0
+    assert rows[3]["n_grams"] == 0 and rows[3]["overlap_frac"] is None
+    assert not rows[3]["is_contaminated"]
+    assert 0 < rows[1]["overlap_frac"] < 1
+    assert "BroadcastHashJoin" in explain_formatted(out)
