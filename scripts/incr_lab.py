@@ -57,6 +57,9 @@ def main() -> int:
 
     from stock_etl_pipeline_spark.datasets import load_table
     from stock_etl_pipeline_spark.operators.dedup import (
+        _exact_fp,
+        exact_dedup_index_increment,
+        exact_dedup_index_write,
         lsh_tier_geometry,
         minhash_index_increment,
         minhash_index_write,
@@ -92,6 +95,29 @@ def main() -> int:
         run_full = lambda rel, n: minhash_lsh_pairs(
             rel, banned_b60=spark.read.parquet(idx + "_banned"), n_docs=n, **geom
         )
+    elif family == "exact":
+        write = lambda: exact_dedup_index_write(corpus, idx, n_files=32)
+        run_incr = lambda: exact_dedup_index_increment(
+            spark, idx, incr, append=False
+        )
+
+        # per-doc verdicts for the increment recomputed from scratch over
+        # the union — what a no-index pipeline must do daily
+        def run_full(rel, n):
+            canon = rel.unionByName(incr).select(
+                "doc_id", _exact_fp("text").alias("fingerprint")
+            )
+            keep = canon.groupBy("fingerprint").agg(
+                F.min("doc_id").alias("keeper_doc_id")
+            )
+            return (
+                canon.join(keep, "fingerprint")
+                .join(incr.select("doc_id"), "doc_id")
+                .select(
+                    "doc_id", "fingerprint", "keeper_doc_id",
+                    (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup"),
+                )
+            )
     else:
         write = lambda: simhash128_index_write(
             corpus, idx, n_files=32, n_docs=n_corpus
@@ -108,6 +134,7 @@ def main() -> int:
 
     results: dict[str, list[float]] = {"full": [], "incr": []}
     union = corpus.unionByName(incr)
+    full_rel = corpus if family == "exact" else union  # exact unions internally
     for rep in range(reps):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -119,7 +146,7 @@ def main() -> int:
 
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n_full = run_full(union, n_corpus + n_incr).count()
+        n_full = run_full(full_rel, n_corpus + n_incr).count()
         dt = time.perf_counter() - t0
         results["full"].append(dt)
         print(json.dumps({"rep": rep, "arm": "full", "sec": round(dt, 2),
@@ -127,13 +154,21 @@ def main() -> int:
 
         if rep == 0:
             spark.catalog.clearCache()
-            n_internal = run_full(corpus, n_corpus).count()
-            assert n_flags == n_full - n_internal, (
-                f"exactness violated: incr {n_flags} != "
-                f"full {n_full} - internal {n_internal}"
-            )
-            print(json.dumps({"check": "incr == full - internal",
-                              "internal_pairs": n_internal, "ok": True}), flush=True)
+            if family == "exact":
+                got = sorted(map(repr, run_incr().collect()))
+                want = sorted(map(repr, run_full(full_rel, 0).collect()))
+                assert got == want, "exactness violated: verdict mismatch"
+                print(json.dumps({"check": "incr verdicts == full recompute",
+                                  "rows": len(got), "ok": True}), flush=True)
+            else:
+                n_internal = run_full(corpus, n_corpus).count()
+                assert n_flags == n_full - n_internal, (
+                    f"exactness violated: incr {n_flags} != "
+                    f"full {n_full} - internal {n_internal}"
+                )
+                print(json.dumps({"check": "incr == full - internal",
+                                  "internal_pairs": n_internal, "ok": True}),
+                      flush=True)
 
     summary = {
         "tier": tier,
