@@ -3278,3 +3278,58 @@ def semantic_dedup(
     return labeled.join(reps, "group_id").select(
         id_col, "cid", "group_id", "keeper_id"
     )
+
+
+def label_prototypicality(
+    df: DataFrame,
+    *,
+    dim: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector prototypicality against its OWN label's centroid — the
+    data-pruning signal (Sorscher et al.: drop the least prototypical
+    examples first when shrinking a corpus; keep them when diversifying):
+    (id, label, n_label, proto_cosine, is_prototypical = cosine ≥ tau).
+
+    Determinism discipline: the centroid is computed in the exact
+    integer-cosine representation (``with_int_vector`` micro-units) — the
+    per-dim sums are exact BIGINTs (order-independent), the centroid is
+    their floor-mean back in micro-units (one double division + floor on
+    exact inputs — bit-identical everywhere; |sum| < 2^53 is the same
+    contract the representation already carries), and the cosine is the
+    exact-int ratio, so the τ verdict cannot flip across engines,
+    partitionings, or fold orders — a float centroid would make boundary
+    verdicts an artifact of summation order.
+
+    Scale shape: one aggregate (``dim`` map-side-combined BIGINT sums per
+    label — the shuffle carries dim longs per label per partition, never
+    vectors), one join back on label (AQE broadcasts the centroid relation
+    when small; no hint — label cardinality is data, not construction).
+    """
+    e = with_int_vector(df, vec_col)
+    sums = e.groupBy(label_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("v_int", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    c_int = F.array(
+        *[
+            F.expr(f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)")
+            for i in range(dim)
+        ]
+    ).alias("c_int")
+    cents = sums.select(label_col, "n", c_int).withColumn(
+        "cvi", F.expr(_vvi_guarded("c_int"))
+    )
+    cos = int_cosine("v_int", "vvi", "c_int", "cvi")
+    from ..functions import pround
+
+    return e.join(cents, label_col).select(
+        id_col,
+        label_col,
+        F.col("n").alias("n_label"),
+        pround(cos, 6).alias("proto_cosine"),
+        (cos >= F.lit(float(tau))).alias("is_prototypical"),
+    )

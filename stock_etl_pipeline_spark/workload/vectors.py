@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..datasets import load_table
 from ..functions import pround, sql_pround
 from ..operators import dedup, similarity
-from . import spec
+from . import spec, spec_tests_only
 
 _N_QUERIES = 5
 _TOP_K = 10
@@ -870,4 +870,57 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_IVF_ITERS,
         keep="far_from_centroid",
         **_sem_tier(e.count()),
+    )
+
+
+# --- prototypicality pruning -------------------------------------------------
+
+_PROTO_DIM = 64
+_PROTO_TAU = 0.2
+
+_proto_sums = ",\n    ".join(
+    f"CAST(sum(v_int[{i + 1}]) AS BIGINT) AS s{i}" for i in range(_PROTO_DIM)
+)
+_proto_cint = ", ".join(
+    f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)" for i in range(_PROTO_DIM)
+)
+_PROTO_COS = similarity.sql_int_cosine("m.v_int", "m.vvi", "c2.c_int", "c2.cvi")
+
+_PROTOTYPICALITY_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, label, {_VI_SQL} AS v_int, {_VVI_SQL} AS vvi FROM embeddings
+),
+s AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+    {_proto_sums}
+  FROM m GROUP BY label
+),
+c AS (SELECT label, n, [{_proto_cint}] AS c_int FROM s),
+c2 AS (
+  SELECT label, n, c_int,
+    CAST(list_dot_product(c_int, c_int) AS BIGINT) AS cvi
+  FROM c
+)
+SELECT m.vec_id, m.label, c2.n AS n_label,
+  {sql_pround(_PROTO_COS, 6)} AS proto_cosine,
+  ({_PROTO_COS} >= {_PROTO_TAU}) AS is_prototypical
+FROM m JOIN c2 ON m.label = c2.label
+""".strip()
+
+
+@spec_tests_only(
+    "embedding_prototypicality",
+    oracle=_PROTOTYPICALITY_ORACLE,
+    tags=("pruning", "embedding", "centroid"),
+)
+def q_embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning signal: cosine of each vector to its OWN label's
+    centroid, thresholded at τ — similarity.label_prototypicality. The
+    centroid lives in the exact integer representation (per-dim BIGINT
+    sums, floor-mean micro-units), so the τ verdict is engine- and
+    fold-order-independent; a float centroid would make boundary verdicts
+    an artifact of summation order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_prototypicality(
+        e, dim=_PROTO_DIM, tau=_PROTO_TAU
     )

@@ -491,3 +491,35 @@ def test_local_assignment_matches_join(spark):
         (r["vec_id"], r["cid"], repr(r["cdist"])) for r in local.collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_label_prototypicality_partitioning_invariant(spark):
+    """The exact-integer centroid makes proto_cosine and the tau verdict
+    identical under any partitioning/fold order — the float-centroid
+    failure mode this operator exists to avoid. Also pins: floor-mean
+    centroid (not exact mean), n_label counts, and that every row of the
+    input appears exactly once."""
+    import random
+
+    from stock_etl_pipeline_spark.operators.similarity import label_prototypicality
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def run(d):
+        return {
+            r["vec_id"]: (r["n_label"], r["proto_cosine"], r["is_prototypical"])
+            for r in label_prototypicality(d, dim=8, tau=0.3).collect()
+        }
+
+    base = run(df)
+    assert len(base) == 90
+    assert {v[0] for v in base.values()} == {30}
+    assert any(v[2] for v in base.values()) and not all(v[2] for v in base.values())
+    assert run(df.repartition(13)) == base
+    assert run(df.coalesce(1)) == base
