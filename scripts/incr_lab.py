@@ -71,6 +71,8 @@ def main() -> int:
     from stock_etl_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="incr_lab")
+    if family == "ivf":
+        return _ivf_flow(spark, tier, reps)
     corpus = load_table(spark, tier, "documents").select("doc_id", "text")
     incr = (
         load_table(spark, "/root/testdata/sf0.1", "documents")
@@ -173,6 +175,93 @@ def main() -> int:
     summary = {
         "tier": tier,
         "family": family,
+        "index_once_sec": round(t_index, 2),
+        "incr_min_sec": round(min(results["incr"]), 2),
+        "full_min_sec": round(min(results["full"]), 2),
+        "full_over_incr": round(min(results["full"]) / min(results["incr"]), 2),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+def _ivf_flow(spark, tier: str, reps: int) -> int:
+    """IVF family: ivf_append (assign the increment against the FROZEN
+    sidecar model + range-clustered file append) vs the no-index
+    alternative (full retrain + rewrite over corpus ∪ increment). Each rep
+    appends into a FRESH copy of the base layout (append mutates it);
+    rep-0 exactness: the appended tree's per-cell (count, id-sum) equals a
+    one-shot clustered write over the union under the SAME model — the
+    tier-scale form of the row-for-row pin in tests/test_zorder.py."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators.similarity import (
+        ivf_append,
+        ivf_clustered_write,
+    )
+
+    corpus = load_table(spark, tier, "embeddings")
+    incr = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        (F.col("vec_id") + INCR_OFFSET).alias("vec_id"), "embedding", "label"
+    )
+    n_corpus, n_incr = corpus.count(), incr.count()
+    print(json.dumps({"family": "ivf", "corpus_docs": n_corpus,
+                      "incr_docs": n_incr}), flush=True)
+    base = os.path.join(os.path.dirname(tier.rstrip("/")), "ivf_incr_index")
+    t0 = time.perf_counter()
+    ivf_clustered_write(corpus, base, k_clusters=64, n_files=32)
+    t_index = time.perf_counter() - t0
+    print(json.dumps({"arm": "index_once", "sec": round(t_index, 2)}), flush=True)
+
+    results = {"full": [], "incr": []}
+    union = corpus.unionByName(incr)
+    for rep in range(reps):
+        work = base + f"_rep{rep}"
+        for suffix in ("", "_model"):
+            shutil.rmtree(work + suffix, ignore_errors=True)
+            shutil.copytree(base + suffix, work + suffix)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ivf_append(spark, work, incr)
+        dt = time.perf_counter() - t0
+        results["incr"].append(dt)
+        print(json.dumps({"rep": rep, "arm": "incr", "sec": round(dt, 2)}),
+              flush=True)
+
+        spark.catalog.clearCache()
+        full_path = base + "_fullrebuild"
+        t0 = time.perf_counter()
+        ivf_clustered_write(union, full_path, k_clusters=64, n_files=32)
+        dt = time.perf_counter() - t0
+        results["full"].append(dt)
+        print(json.dumps({"rep": rep, "arm": "full", "sec": round(dt, 2)}),
+              flush=True)
+
+        if rep == 0:
+            model = spark.read.parquet(base + "_model")
+            check_path = base + "_samemodel_check"
+            ivf_clustered_write(
+                union, check_path, k_clusters=64, n_files=32, centroids=model
+            )
+
+            def cells(p):
+                return {
+                    (r["cell_id"], r["n"], r["ids"])
+                    for r in spark.read.parquet(p)
+                    .groupBy("cell_id")
+                    .agg(F.count("*").alias("n"), F.sum("vec_id").alias("ids"))
+                    .collect()
+                }
+
+            assert cells(work) == cells(check_path), "append != same-model write"
+            print(json.dumps({"check": "append == same-model one-shot write",
+                              "ok": True}), flush=True)
+
+    summary = {
+        "tier": tier,
+        "family": "ivf",
         "index_once_sec": round(t_index, 2),
         "incr_min_sec": round(min(results["incr"]), 2),
         "full_min_sec": round(min(results["full"]), 2),
