@@ -840,3 +840,45 @@ def test_index_maintenance_exact_keeper_semantics(spark, tmp_path):
     before = sorted(map(repr, spark.read.parquet(idx).collect()))
     index_maintenance_batch(idx, flags, _docs_df(spark, b1), 1, family="exact")
     assert sorted(map(repr, spark.read.parquet(idx).collect())) == before
+
+
+def test_stream_index_maintenance_minhash_geometry_plumbing(spark, tmp_path):
+    """End-to-end through the writer for the minhash family with
+    NON-default frozen geometry: kwargs must reach every micro-batch's
+    signature/band/verify stages, and the flags union must equal the batch
+    LSH query at that same geometry."""
+    from pyspark.sql import types as T
+
+    from stock_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    base = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    batches = [
+        [(1, base), (2, "unrelated filler content with many different words here")],
+        [(10, base.replace("twenty", "thirty")), (11, base)],
+    ]
+    src = str(tmp_path / "docs_src_mh")
+    for rows in batches:
+        _docs_df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    idx, flags = str(tmp_path / "mh_idx2"), str(tmp_path / "mh_flags2")
+    geom = dict(num_hashes=16, bands=4, threshold=0.6, est_min_matches=8)
+    q = streaming.stream_index_maintenance(
+        stream, idx, flags, str(tmp_path / "ckpt_mh"), family="minhash", **geom
+    ).start()
+    q.awaitTermination(120)
+
+    def pk(df):
+        return {(r["doc_a"], r["doc_b"], r["inter"]) for r in df.collect()}
+
+    got = pk(spark.read.parquet(flags))
+    corpus = _docs_df(spark, [r for b in batches for r in b])
+    want = pk(minhash_lsh_pairs(corpus, shingle_n=3, **geom))
+    assert got == want and got
