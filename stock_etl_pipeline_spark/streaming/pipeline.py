@@ -1022,13 +1022,25 @@ def streaming_semantic_groups(
 # both arrive (new×new). The union of all batches' flag partitions therefore
 # equals the batch pair query over everything ingested — pinned in
 # tests/test_streaming.py for all three families.
+#
+# EPOCH namespace: Spark numbers micro-batches PER CHECKPOINT, starting at
+# 0 — so `ingest_batch` alone is only unique within one checkpoint's
+# lifetime, and a successor stream (new checkpoint, e.g. after a source
+# re-point) would silently OVERWRITE the first stream's ingest_batch=0.
+# Partitions are therefore epoch=<id>/ingest_batch=<n>, with the epoch
+# derived from the checkpoint directory: same checkpoint → same epoch →
+# restarts continue and replays stay idempotent; a different checkpoint →
+# a fresh epoch → its batches land beside (never over) prior ingests.
+# (A new checkpoint over an already-ingested source re-ingests it — the
+# same property as any from-scratch restart into an append sink; the
+# epoch makes it visible in the tree instead of corrupting it.)
 
 _IDX_GEOM_DEFAULTS = dict(
     num_hashes=20, bands=4, threshold=0.7, shingle_n=3, est_min_matches=10
 )
 
 
-def _read_tree_except(spark, path: str, batch_id: int):
+def _read_tree_except(spark, path: str, epoch: str, batch_id: int):
     """The index tree minus this batch's own partition (replay exclusion);
     None when the tree does not exist yet (first batch)."""
     from pyspark.errors import AnalysisException
@@ -1037,7 +1049,9 @@ def _read_tree_except(spark, path: str, batch_id: int):
         t = spark.read.option("basePath", path).parquet(path)
     except AnalysisException:
         return None
-    return t.filter(F.col("ingest_batch") != batch_id).drop("ingest_batch")
+    return t.filter(
+        ~((F.col("epoch") == epoch) & (F.col("ingest_batch") == batch_id))
+    ).drop("epoch", "ingest_batch")
 
 
 def index_maintenance_batch(
@@ -1049,13 +1063,16 @@ def index_maintenance_batch(
     family: str = "simhash",
     id_col: str = "doc_id",
     text_col: str = "text",
+    epoch: str = "manual",
     **geometry,
 ) -> None:
     """Process ONE micro-batch: compute this batch's near-dup flags against
     the index tree (minus any replay remnant of itself), then overwrite the
-    batch's flag and signature partitions. Public so tests (and backfills)
-    can drive and REPLAY batches deterministically; stream_index_maintenance
-    wraps it in foreachBatch.
+    batch's flag and signature partitions (epoch=<epoch>/ingest_batch=<id>
+    — see the epoch-namespace note above; batch ids are only unique within
+    one checkpoint's lifetime). Public so tests (and backfills) can drive
+    and REPLAY batches deterministically; stream_index_maintenance wraps it
+    in foreachBatch with the checkpoint-derived epoch.
 
     ``family``: 'simhash' (128-bit, hamming ≤ 3), 'minhash' (frozen
     ``geometry`` — num_hashes/bands/threshold/shingle_n/est_min_matches,
@@ -1068,7 +1085,7 @@ def index_maintenance_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    stored = _read_tree_except(spark, index_path, batch_id)
+    stored = _read_tree_except(spark, index_path, epoch, batch_id)
     if family == "simhash":
         sig_new = D.simhash128_signatures(batch_df, id_col, text_col)
         if id_col != "doc_id":
@@ -1123,10 +1140,9 @@ def index_maintenance_batch(
         raise ValueError(f"unknown index family {family!r}")
     # flags BEFORE signatures: if the write below dies mid-way, the replay
     # recomputes both from the same inputs and overwrites both partitions.
-    flags.write.mode("overwrite").parquet(f"{flags_path}/ingest_batch={batch_id}")
-    to_store.write.mode("overwrite").parquet(
-        f"{index_path}/ingest_batch={batch_id}"
-    )
+    part = f"epoch={epoch}/ingest_batch={batch_id}"
+    flags.write.mode("overwrite").parquet(f"{flags_path}/{part}")
+    to_store.write.mode("overwrite").parquet(f"{index_path}/{part}")
 
 
 def stream_index_maintenance(
@@ -1144,12 +1160,21 @@ def stream_index_maintenance(
     near-dup-checked against everything ingested before it (one narrow
     index scan — never the corpus text) and its signatures join the index
     for the batches after it. Returns the un-started writer (like
-    stream_merge_upsert); ``availableNow`` drains the backlog and stops."""
+    stream_merge_upsert); ``availableNow`` drains the backlog and stops.
+
+    The epoch is the md5 of the checkpoint directory: restarting the SAME
+    checkpoint continues its epoch (replays stay idempotent); a successor
+    stream with a NEW checkpoint gets a fresh epoch and cannot overwrite a
+    prior stream's batches (batch ids restart at 0 per checkpoint)."""
+    import hashlib
+
+    epoch = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         index_maintenance_batch(
             index_path, flags_path, batch_df, batch_id,
-            family=family, id_col=id_col, text_col=text_col, **geometry,
+            family=family, id_col=id_col, text_col=text_col, epoch=epoch,
+            **geometry,
         )
 
     return (

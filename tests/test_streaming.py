@@ -882,3 +882,28 @@ def test_stream_index_maintenance_minhash_geometry_plumbing(spark, tmp_path):
     corpus = _docs_df(spark, [r for b in batches for r in b])
     want = pk(minhash_lsh_pairs(corpus, shingle_n=3, **geom))
     assert got == want and got
+
+
+def test_index_maintenance_epoch_namespace(spark, tmp_path):
+    """Batch ids restart at 0 per checkpoint: a successor stream (new
+    epoch) writing batch 0 must land BESIDE the first epoch's batch 0 —
+    not over it — and must near-dup-check against everything the first
+    epoch ingested."""
+    from stock_etl_pipeline_spark.streaming import index_maintenance_batch
+
+    idx, flags = str(tmp_path / "ep_idx"), str(tmp_path / "ep_flags")
+    b_e1 = [(1, "alpha beta gamma delta epsilon zeta"), (2, "other words here")]
+    b_e2 = [(10, "alpha beta gamma delta epsilon zeta")]  # dup of doc 1
+    index_maintenance_batch(idx, flags, _docs_df(spark, b_e1), 0,
+                            family="exact", epoch="aaa")
+    index_maintenance_batch(idx, flags, _docs_df(spark, b_e2), 0,
+                            family="exact", epoch="bbb")
+
+    tree = spark.read.parquet(idx)
+    assert tree.count() == 3  # 2 fingerprints from e1 + 1 delta from e2
+    assert {(r["epoch"], r["ingest_batch"]) for r in
+            tree.select("epoch", "ingest_batch").distinct().collect()} == {
+        ("aaa", 0), ("bbb", 0)}
+    out = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+           for r in spark.read.parquet(flags).collect()}
+    assert out[10] == (1, True)  # the new epoch saw the old epoch's keeper
