@@ -2748,3 +2748,37 @@ def ngram_contamination(
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("is_contaminated"),
         )
     )
+
+
+def minhash_index_rewrite(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int | None = None,
+    signature_backend: str | None = None,
+    n_docs: int | None = None,
+) -> dict:
+    """Same-geometry rebuild of a MinHash index — the repair verb for
+    stop-list drift: the frozen ``<path>_banned`` set only knows shingles
+    that were hot at WRITE time, so after enough increments the real df of
+    some boilerplate crosses the cap unbanned. Re-signing the (current)
+    corpus under the geometry frozen in ``<path>_model`` recomputes the
+    ban set from today's df statistic while keeping every knob that makes
+    flags comparable (hash family, band split, estimate threshold,
+    shingle width) — increments before and after the rewrite speak the
+    same geometry. ``df`` must be the full corpus the index should cover;
+    the index stores signatures, not text, so a rebuild is the one
+    operation that re-reads the corpus."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(path + "_model").collect()[0]
+    return minhash_index_write(
+        df, path,
+        num_hashes=meta["num_hashes"], bands=meta["bands"],
+        threshold=meta["threshold"], shingle_n=meta["shingle_n"],
+        est_min_matches=meta["est_min_matches"],
+        shingle_df_cap=meta["shingle_df_cap"],
+        id_col=id_col, text_col=text_col, n_files=n_files,
+        signature_backend=signature_backend, n_docs=n_docs,
+    )

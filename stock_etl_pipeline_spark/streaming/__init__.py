@@ -10,6 +10,7 @@ from .pipeline import (
     EVENTS_STREAM_SCHEMA,
     dedup_events_within_watermark,
     index_maintenance_batch,
+    index_tree_compact,
     stream_index_maintenance,
     interval_join_streams,
     read_events_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "dedup_events_within_watermark",
     "index_maintenance_batch",
+    "index_tree_compact",
     "stream_index_maintenance",
     "freshness_report",
     "lateness_listener",

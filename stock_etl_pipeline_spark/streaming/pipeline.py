@@ -1182,3 +1182,35 @@ def stream_index_maintenance(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def index_tree_compact(
+    spark: SparkSession, path: str, *, n_files: int = 8
+) -> dict:
+    """Fold a maintenance tree's accumulated epoch/batch partitions into
+    ONE partition (epoch=compacted0/ingest_batch=0). Streaming ingest
+    accretes a directory per micro-batch — at a partition-per-batch for
+    months, the listing and footer fan-out tax every increment's stored
+    read. Run ONLY when no live checkpoint is writing the tree: the
+    replay contract protects live epochs by partition identity, and
+    compaction rewrites identities. Signature/delta rows are a bag for
+    every reader (signature families union them; the exact family
+    merge-on-reads), so folding preserves all query results. Uses the
+    sinks staged-swap dance — the tree always exists under some path."""
+    from ..sinks import _swap_into_place
+
+    t = spark.read.option("basePath", path).parquet(path)
+    n_parts = t.select("epoch", "ingest_batch").distinct().count()
+    rows = t.drop("epoch", "ingest_batch")
+    staging = path.rstrip("/") + "__staging"
+    (
+        rows.repartition(max(1, n_files))
+        .write.mode("overwrite")
+        .parquet(f"{staging}/epoch=compacted0/ingest_batch=0")
+    )
+    _swap_into_place(spark, staging, path)
+    return {
+        "destination": path,
+        "partitions_folded": n_parts,
+        "rows": spark.read.parquet(path).count(),
+    }

@@ -1791,3 +1791,58 @@ def test_ngram_contamination_flags_and_plan(spark):
     assert not rows[3]["is_contaminated"]
     assert 0 < rows[1]["overlap_frac"] < 1
     assert "BroadcastHashJoin" in explain_formatted(out)
+
+
+def test_minhash_index_rewrite_repairs_stoplist_drift(spark, tmp_path):
+    """After increments push a NEW boilerplate phrase past the df cap, the
+    frozen ban list doesn't know it (documented drift); a same-geometry
+    rewrite over the current corpus recomputes the ban set under the
+    sidecar's frozen geometry, and post-rewrite increments match the
+    capped batch query over the rewritten corpus again."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.dedup import (
+        minhash_index_increment,
+        minhash_index_rewrite,
+        minhash_index_write,
+        minhash_lsh_pairs,
+    )
+
+    old_boiler = "subscribe to our newsletter for updates and follow us online"
+    new_boiler = "all rights reserved by the publisher under license terms"
+    bodies = [f"unique content number {i} about topic {i} entirely" for i in range(6)]
+    dC = spark.createDataFrame(
+        [(i, f"{old_boiler} {b}") for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    geom = dict(num_hashes=20, bands=4, threshold=0.5, shingle_n=3)
+    path = str(tmp_path / "mh_rewrite")
+    minhash_index_write(dC, path, n_files=1, shingle_df_cap=3, **geom)
+    banned0 = spark.read.parquet(path + "_banned").count()
+
+    # increments carrying the NEW boilerplate (df crosses 3 only now)
+    dN = spark.createDataFrame(
+        [(10 + i, f"{new_boiler} fresh body {i} with words {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    minhash_index_increment(spark, path, dN, append=True)
+    assert spark.read.parquet(path + "_banned").count() == banned0  # frozen
+
+    full = dC.unionByName(dN)
+    rep = minhash_index_rewrite(full, path, n_files=1)
+    assert rep["banned_path"] == path + "_banned"
+    assert spark.read.parquet(path + "_banned").count() > banned0  # new boiler banned
+    meta = spark.read.parquet(path + "_model").collect()[0]
+    assert meta["num_hashes"] == 20 and meta["shingle_df_cap"] == 3  # geometry kept
+
+    dN2 = spark.createDataFrame(
+        [(20, f"{new_boiler} unique content number 0 about topic 0 entirely")],
+        "doc_id long, text string",
+    )
+    def pk(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    flags = pk(minhash_index_increment(spark, path, dN2, append=False))
+    batch = pk(minhash_lsh_pairs(full.unionByName(dN2), shingle_df_cap=3, **geom))
+    prev = set(range(6)) | set(range(10, 15))
+    assert flags == {p for p in batch if not (p[0] in prev and p[1] in prev)}
+    assert (0, 20) in flags  # body match survives; new boiler can't glue doc 20

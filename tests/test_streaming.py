@@ -907,3 +907,36 @@ def test_index_maintenance_epoch_namespace(spark, tmp_path):
     out = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
            for r in spark.read.parquet(flags).collect()}
     assert out[10] == (1, True)  # the new epoch saw the old epoch's keeper
+
+
+def test_index_tree_compact_preserves_results(spark, tmp_path):
+    """Folding epochs/batches into one partition preserves every reader's
+    view (the tree is a bag of signature/delta rows), and maintenance
+    continues cleanly against the compacted tree under a fresh epoch."""
+    from stock_etl_pipeline_spark.streaming import (
+        index_maintenance_batch,
+        index_tree_compact,
+    )
+
+    idx, flags = str(tmp_path / "cp_idx"), str(tmp_path / "cp_flags")
+    index_maintenance_batch(idx, flags, _docs_df(spark, [(1, "a b c"), (2, "x y z")]),
+                            0, family="exact", epoch="aaa")
+    index_maintenance_batch(idx, flags, _docs_df(spark, [(3, "A  B C")]),
+                            1, family="exact", epoch="aaa")
+    before = sorted(map(repr, spark.read.parquet(idx)
+                        .drop("epoch", "ingest_batch").collect()))
+    rep = index_tree_compact(spark, idx, n_files=1)
+    assert rep["partitions_folded"] == 2 and rep["rows"] == len(before)
+    after_tree = spark.read.parquet(idx)
+    assert {(r["epoch"], r["ingest_batch"]) for r in
+            after_tree.select("epoch", "ingest_batch").distinct().collect()} == {
+        ("compacted0", 0)}
+    assert sorted(map(repr, after_tree.drop("epoch", "ingest_batch").collect())) == before
+
+    # maintenance continues: new doc 0 undercuts keeper 1 for its own group,
+    # dup of compacted doc 1's fingerprint is still detected
+    index_maintenance_batch(idx, flags, _docs_df(spark, [(9, "a  b c")]),
+                            0, family="exact", epoch="bbb")
+    out = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+           for r in spark.read.parquet(flags).collect()}
+    assert out[9] == (1, True)
