@@ -1250,3 +1250,90 @@ def q_doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = d.filter(F.col("doc_id") % 89 == 3)
     train = d.filter(F.col("doc_id") % 89 != 3)
     return dedup.ngram_contamination(train, bench, n=5, min_overlap=1)
+
+
+# --- end-to-end corpus construction -----------------------------------------
+
+_CC_BUDGET = 6_000
+
+_CORPUS_CONSTRUCTION_ORACLE = f"""
+WITH
+train AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 3),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 89 = 3),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' '))) AS fingerprint
+  FROM train
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+kept AS (SELECT t.doc_id, t.text FROM train t JOIN keepers USING (doc_id)),
+tw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM kept),
+tp AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM tw),
+tsh AS (SELECT DISTINCT doc_id, {_B60_5GRAM} AS b60 FROM tp),
+bw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM bench),
+bp AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM bw),
+bsh AS (SELECT DISTINCT {_B60_5GRAM} AS b60 FROM bp),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM tsh WHERE b60 IN (SELECT b60 FROM bsh)
+),
+clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+scored AS (
+  SELECT doc_id,
+    CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens,
+    {sql_pround(_SQL_QUALITY, 6)} AS quality_score
+  FROM clean
+)
+{sampling.sql_sample_to_token_budget(
+    "scored", _CC_BUDGET,
+    select="doc_id, n_tokens, quality_score",
+)}
+""".strip()
+
+
+@spec_tests_only(
+    "doc_corpus_construction",
+    oracle=_CORPUS_CONSTRUCTION_ORACLE,
+    tags=("pipeline", "dedup", "decontamination", "sampling"),
+)
+def q_doc_corpus_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-construction pipeline in one call — what a user of
+    this engine runs to turn a raw crawl into a training mix:
+
+      1. hold out the eval slice (doc_id % 89 == 3) as the benchmark set;
+      2. exact-dedup the train side (min-id keeper per canonicalized md5
+         fingerprint — doc_exact_dedup's discipline);
+      3. drop every keeper sharing a word 5-gram with the benchmark
+         (dedup.ngram_contamination, broadcast gram membership);
+      4. score survivors (doc_text_stats' token count + quality) and fill
+         a 6k-token budget quality-first (sample_to_token_budget).
+
+    Every stage is the already-pinned operator; this spec pins their
+    COMPOSITION against a single chained-CTE DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 89 == 3)
+    train = d.filter(F.col("doc_id") % 89 != 3)
+    fp = train.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    kept = train.join(keepers.select("doc_id"), "doc_id")
+    flags = dedup.ngram_contamination(kept, bench, n=5, min_overlap=1)
+    clean = kept.join(
+        flags.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
+    )
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = pround(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.6
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.4,
+        6,
+    )
+    scored = clean.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    return sampling.sample_to_token_budget(scored, _CC_BUDGET)
