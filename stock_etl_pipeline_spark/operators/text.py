@@ -209,3 +209,145 @@ def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "redacted_len", F.length(redact_pii(text_col)).cast("long")
     )
+
+
+# --- character-bigram LM quality scoring (CCNet-style) -----------------------
+
+LM_SCALE = 1_000_000
+
+
+def _char_bigrams(text_col: str) -> str:
+    """Spark SQL: all consecutive lowercase char pairs of ``text_col`` —
+    substring-based so the DuckDB twin is a literal re-spelling (splitting
+    on an empty regex differs between engines; substring does not)."""
+    # IF guard, not greatest(): Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0] (DuckDB's generate_series(1, 0) is empty) — a 1-char doc must
+    # yield no bigrams in BOTH engines.
+    return (
+        f"IF(length({text_col}) >= 2, "
+        f"transform(sequence(1, length({text_col}) - 1), "
+        f"i -> substring(lower({text_col}), i, 2)), array())"
+    )
+
+
+def char_bigram_lm_score(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Reference-corpus language-model quality score (the CCNet move:
+    score candidate text under a model fit on a trusted corpus; low score
+    = out-of-domain or garbage): a character-bigram model with add-one
+    smoothing, scored as the MEAN SCALED conditional probability
+
+        p_scaled(b) = floor(LM_SCALE · (cnt(b) + 1) / (cnt(first(b)) + V))
+
+    over the doc's bigrams — (id, n_bigrams, lm_score). Integer counts,
+    one integer division per DISTINCT (doc, bigram-position) pair and an
+    integer sum make the score exact in any engine/fold order — a log-prob
+    mean would hang the verdict on libm's last ulp. Monotone in the usual
+    average-likelihood ranking, which is all a quality FILTER consumes.
+
+    Scale shape: the model is two aggregates over the reference corpus
+    (bigram counts + start-char counts; vocabulary ≤ charset², reference
+    bounded by the caller's choice of trusted slice) joined to the
+    candidate bigram stream — AQE broadcasts the model when small, and
+    nothing wider than a 2-char key ever shuffles. V (distinct chars) is
+    one bounded collect.
+    """
+    big = F.explode(F.expr(_char_bigrams(ref_text_col))).alias("bg")
+    ref_bigrams = ref.select(big)
+    model = ref_bigrams.groupBy("bg").agg(F.count("*").alias("cnt_b"))
+    starts = (
+        ref_bigrams.select(F.substring("bg", 1, 1).alias("c0"))
+        .groupBy("c0")
+        .agg(F.count("*").alias("cnt_f"))
+    )
+    v = (
+        ref.select(
+            F.explode(
+                F.expr(
+                    f"IF(length({ref_text_col}) >= 1, "
+                    f"transform(sequence(1, length({ref_text_col})), "
+                    f"i -> substring(lower({ref_text_col}), i, 1)), array())"
+                )
+            ).alias("c")
+        )
+        .agg(F.countDistinct("c"))
+        .collect()[0][0]
+        or 1
+    )
+    doc_bg = df.select(
+        F.col(id_col), F.explode(F.expr(_char_bigrams(text_col))).alias("bg")
+    ).withColumn("c0", F.substring("bg", 1, 1))
+    scored = (
+        doc_bg.join(model, "bg", "left")
+        .join(starts, "c0", "left")
+        .select(
+            id_col,
+            F.floor(
+                F.lit(LM_SCALE)
+                * (F.coalesce("cnt_b", F.lit(0)) + 1).cast("double")
+                / (F.coalesce("cnt_f", F.lit(0)) + F.lit(int(v))).cast("double")
+            ).alias("p_scaled"),
+        )
+    )
+    from ..functions import pround
+
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        pround(F.sum("p_scaled") / F.count("*"), 4).alias("lm_score"),
+    )
+
+
+def sql_char_bigram_lm_score(
+    doc_table: str,
+    ref_table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`char_bigram_lm_score` as a chained-CTE query
+    (ends in a SELECT; embed after a WITH that defines the two tables)."""
+    from ..functions import sql_pround
+
+    def bigrams(tbl, tcol):
+        return (
+            f"SELECT unnest(list_transform(generate_series(1, "
+            f"greatest(length({tcol}) - 1, 0)), "
+            f"i -> substring(lower({tcol}), i, 2))) AS bg FROM {tbl}"
+        )
+
+    return f"""
+rbg AS ({bigrams(ref_table, ref_text_col)}),
+model AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt_b FROM rbg GROUP BY bg),
+starts AS (SELECT substring(bg, 1, 1) AS c0, CAST(count(*) AS BIGINT) AS cnt_f
+           FROM rbg GROUP BY 1),
+vocab AS (
+  SELECT greatest(CAST(count(DISTINCT c) AS BIGINT), 1) AS v FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(length({ref_text_col}), 0)),
+      i -> substring(lower({ref_text_col}), i, 1))) AS c FROM {ref_table})
+),
+dbg AS (
+  SELECT {id_col},
+    unnest(list_transform(generate_series(1, greatest(length({text_col}) - 1, 0)),
+      i -> substring(lower({text_col}), i, 2))) AS bg
+  FROM {doc_table}
+),
+pscore AS (
+  SELECT {id_col},
+    floor({LM_SCALE} * CAST(coalesce(cnt_b, 0) + 1 AS DOUBLE)
+          / CAST(coalesce(cnt_f, 0) + v AS DOUBLE)) AS p_scaled
+  FROM dbg
+  LEFT JOIN model USING (bg)
+  LEFT JOIN starts ON substring(dbg.bg, 1, 1) = starts.c0
+  CROSS JOIN vocab
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+  {sql_pround("CAST(sum(p_scaled) AS DOUBLE) / count(*)", 4)} AS lm_score
+FROM pscore GROUP BY {id_col}
+""".strip()

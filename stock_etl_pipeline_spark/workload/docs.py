@@ -1337,3 +1337,31 @@ def q_doc_corpus_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality_score"),
     )
     return sampling.sample_to_token_budget(scored, _CC_BUDGET)
+
+
+# --- LM-based quality scoring ------------------------------------------------
+
+_LM_QUALITY_ORACLE = f"""
+WITH
+ref_en AS (SELECT text FROM documents WHERE lang = 'en'),
+docs_all AS (SELECT doc_id, text FROM documents),
+{textops.sql_char_bigram_lm_score("docs_all", "ref_en")}
+""".strip()
+
+
+@spec_tests_only(
+    "doc_lm_quality",
+    oracle=_LM_QUALITY_ORACLE,
+    tags=("quality", "lm", "text"),
+)
+def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit a character-bigram model on the
+    trusted slice (lang = 'en') and score EVERY document's mean scaled
+    conditional probability under it (textops.char_bigram_lm_score) — the
+    'score candidate text under a reference-corpus model' move, with
+    integer-exact probabilities so the ranking is engine- and
+    fold-order-independent (a log-prob mean would hang on libm ulps).
+    In-domain docs score high; other languages and garbage score low."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("lang") == "en").select("text")
+    return textops.char_bigram_lm_score(d.select("doc_id", "text"), ref)

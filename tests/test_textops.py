@@ -199,3 +199,38 @@ def test_tfidf_rank_is_partitioning_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b and len(a) > 0
+
+
+def test_char_bigram_lm_score_signal_and_determinism(spark):
+    """The reference-model score separates in-domain from out-of-domain
+    text (that's the CCNet move), 1-char/empty docs yield no bigrams
+    (Spark's sequence(1,0) descending-range trap is guarded), and scores
+    are partitioning-invariant (integer probabilities, exact sums)."""
+    from stock_etl_pipeline_spark.operators.text import char_bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog again and again",),
+         ("plain english sentences about ordinary things and places",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the brown dog jumps over things"),      # in-domain
+            (2, "zzqx qxzz xqzq zqxq qqxx zzzz"),        # garbage
+            (3, "x"),                                      # no bigrams
+            (4, ""),                                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_bigram_lm_score(docs, ref).collect()}
+    assert set(out) == {1, 2}  # 3 and 4 have no bigrams -> unscoreable
+    # clear separation, not a cliff: add-one smoothing hands unseen
+    # contexts 1/V mass, sizeable under a 2-sentence test reference
+    assert out[1]["lm_score"] > out[2]["lm_score"] * 1.5
+    assert out[1]["n_bigrams"] == 30
+
+    again = {
+        r["doc_id"]: r["lm_score"]
+        for r in char_bigram_lm_score(docs.repartition(7), ref.repartition(3)).collect()
+    }
+    assert again == {k: v["lm_score"] for k, v in out.items()}
