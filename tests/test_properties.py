@@ -726,3 +726,53 @@ def test_fragment_edges_closure_matches_components(graph):
         for u, lab in zip(uids, ulabels):
             got[int(u)] = int(lab)
     assert got == truth
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),      # doc id pool (dups pruned)
+            st.integers(min_value=0, max_value=30),       # token count (incl. 0)
+            st.integers(min_value=0, max_value=20),       # quality grid (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    budget=st.integers(min_value=0, max_value=600),
+    buckets=st.sampled_from([1, 2, 7, 64]),
+)
+def test_token_budget_matches_naive_cumsum(spark, rows, budget, buckets):
+    """Property form of the sample_to_token_budget pin: for ANY corpus,
+    budget, and bucket count (including buckets=1, the degenerate
+    all-straddle case), the kept set equals the naive global ordered
+    cumsum — zero-token docs, ties, and bucket-boundary budgets included."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.operators.sampling import sample_to_token_budget
+
+    seen = set()
+    data = []
+    for i, n, q in rows:
+        if i in seen:
+            continue
+        seen.add(i)
+        data.append((i, n, q / 20.0))
+    df = spark.createDataFrame(
+        data, "doc_id long, n_tokens long, quality_score double"
+    )
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in sample_to_token_budget(df, budget, buckets=buckets).collect()
+    }
+    assert got == want
