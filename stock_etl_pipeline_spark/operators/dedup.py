@@ -2532,7 +2532,12 @@ def minhash_index_write(
     capped = shingle_df_cap is not None
     if capped:
         # Frozen ban list: the batch pipeline's hot-key aggregate, persisted.
-        sh = word_shingles_b60(df, id_col, text_col, shingle_n)
+        # Spread first (ADVICE r10): a one-split corpus would otherwise run
+        # the explode+md5 chain on one core — the pathology
+        # minhash_lsh_pairs's relational chain guards against.
+        sh = word_shingles_b60(
+            _spread_single_partition(df, n_docs), id_col, text_col, shingle_n
+        )
         hot = (
             sh.groupBy("b60")
             .agg(F.count("*").alias("df"))
@@ -2622,7 +2627,10 @@ def minhash_index_increment(
     num_hashes, bands = meta["num_hashes"], meta["bands"]
     rows = num_hashes // bands
     if meta["shingle_df_cap"] is not None:
-        sh = word_shingles_b60(new_docs, id_col, text_col, meta["shingle_n"])
+        sh = word_shingles_b60(
+            _spread_single_partition(new_docs, n_docs),
+            id_col, text_col, meta["shingle_n"],
+        )
         sh = sh.join(spark.read.parquet(path + "_banned"), "b60", "left_anti")
         sig_new = minhash_signature(
             sh, num_hashes, id_col, with_count=True, with_hash_set=True,

@@ -216,27 +216,40 @@ def sample_to_token_budget(
     by id on both arms. At 100 TB raise ``buckets`` so the straddling
     bucket's rows fit one task's sort — the wholesale-kept mass never gets
     sorted at all.
+
+    NULL contract (matches the SQL twin exactly): a NULL ``count_col``
+    contributes 0 tokens (the twin wraps the window sum in COALESCE so a
+    leading all-NULL prefix keeps its rows instead of producing a NULL
+    cumsum), and NULL ``quality_col`` sorts AFTER every real quality —
+    both Spark's and DuckDB's ``DESC`` default is NULLS LAST — so
+    NULL-quality docs are kept only with leftover budget. Here those rows
+    land in a sentinel bucket below bucket 0 and the straddle window pins
+    ``desc_nulls_last`` explicitly.
     """
     from pyspark.sql import Window
 
-    d = df.withColumn("__n", F.col(count_col).cast("long"))
+    d = df.withColumn("__n", F.coalesce(F.col(count_col).cast("long"), F.lit(0)))
     rng = d.agg(
         F.min(quality_col).alias("mn"), F.max(quality_col).alias("mx")
     ).first()
-    if rng["mn"] is None:
-        return df.limit(0)
-    mn, mx = float(rng["mn"]), float(rng["mx"])
-    if mx > mn:
+    if rng is not None and rng["mn"] is not None and float(rng["mx"]) > float(
+        rng["mn"]
+    ):
+        mn, mx = float(rng["mn"]), float(rng["mx"])
         width = (mx - mn) / buckets
         bucket = F.least(
             F.floor((F.col(quality_col) - F.lit(mn)) / F.lit(width)),
             F.lit(buckets - 1),
         ).cast("int")
     else:
+        # single distinct quality, or all-NULL quality (rng["mn"] None)
         bucket = F.lit(0)
-    d = d.withColumn("__b", bucket)
+    # NULL quality → sentinel bucket below every real one (sorts last)
+    d = d.withColumn(
+        "__b", F.when(F.col(quality_col).isNull(), F.lit(-1)).otherwise(bucket)
+    )
     mass = {
-        r["__b"]: r["m"]
+        r["__b"]: int(r["m"] or 0)
         for r in d.groupBy("__b").agg(F.sum("__n").alias("m")).collect()
     }
     cum = 0
@@ -252,7 +265,7 @@ def sample_to_token_budget(
     keep = d.filter(F.col("__b").isin(full)) if full else d.limit(0)
     if b_star is not None:
         w = (
-            Window.orderBy(F.col(quality_col).desc(), F.col(id_col))
+            Window.orderBy(F.col(quality_col).desc_nulls_last(), F.col(id_col))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         straddle = (
@@ -275,10 +288,12 @@ def sql_sample_to_token_budget(
     select: str = "*",
 ) -> str:
     """The naive-global-window twin (the SEMANTICS, for engines/oracles
-    where a single ordered window is fine)."""
+    where a single ordered window is fine). COALESCE keeps the NULL-count
+    contract: a leading all-NULL prefix must yield cumsum 0 (rows kept),
+    not a NULL cumsum (rows silently dropped by ``NULL <= budget``)."""
     return f"""
 SELECT {select} FROM (
-  SELECT *, SUM({count_expr}) OVER (
+  SELECT *, SUM(COALESCE({count_expr}, 0)) OVER (
     ORDER BY {quality_expr} DESC, {id_col}
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
   FROM {table}
@@ -316,14 +331,17 @@ def sample_to_token_budget_by(
         *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
     )
     w = Window.partitionBy(strata_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col)
+        F.col(quality_col).desc_nulls_last(), F.col(id_col)
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         df.withColumn(
             "__budget",
             F.coalesce(budget_map[F.col(strata_col)], F.lit(int(default_budget))),
         )
-        .withColumn("__cum", F.sum(F.col(count_col).cast("long")).over(w))
+        .withColumn(
+            "__cum",
+            F.sum(F.coalesce(F.col(count_col).cast("long"), F.lit(0))).over(w),
+        )
         .filter(F.col("__cum") <= F.col("__budget"))
         .drop("__budget", "__cum")
     )
@@ -346,7 +364,7 @@ def sql_sample_to_token_budget_by(
     case = f"CASE {whens} ELSE {int(default_budget)} END"
     return f"""
 SELECT {select} FROM (
-  SELECT *, SUM({count_expr}) OVER (
+  SELECT *, SUM(COALESCE({count_expr}, 0)) OVER (
     PARTITION BY {strata_col}
     ORDER BY {quality_expr} DESC, {id_col}
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum

@@ -257,6 +257,12 @@ def char_bigram_lm_score(
     candidate bigram stream — AQE broadcasts the model when small, and
     nothing wider than a 2-char key ever shuffles. V (distinct chars) is
     one bounded collect.
+
+    EVERY input doc gets a row: docs with < 2 characters have no bigrams
+    and emit (n_bigrams=0, lm_score NULL) — same discipline as
+    ngram_contamination — so a downstream quality filter joining on
+    lm_score makes an explicit keep/drop decision on short docs instead of
+    silently losing them (ADVICE r10).
     """
     big = F.explode(F.expr(_char_bigrams(ref_text_col))).alias("bg")
     ref_bigrams = ref.select(big)
@@ -297,9 +303,18 @@ def char_bigram_lm_score(
     )
     from ..functions import pround
 
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         pround(F.sum("p_scaled") / F.count("*"), 4).alias("lm_score"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "lm_score",
+        )
     )
 
 
@@ -346,8 +361,12 @@ pscore AS (
   LEFT JOIN model USING (bg)
   LEFT JOIN starts ON substring(dbg.bg, 1, 1) = starts.c0
   CROSS JOIN vocab
+),
+lm_agg AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+    {sql_pround("CAST(sum(p_scaled) AS DOUBLE) / count(*)", 4)} AS lm_score
+  FROM pscore GROUP BY {id_col}
 )
-SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
-  {sql_pround("CAST(sum(p_scaled) AS DOUBLE) / count(*)", 4)} AS lm_score
-FROM pscore GROUP BY {id_col}
+SELECT {id_col}, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, lm_score
+FROM {doc_table} LEFT JOIN lm_agg USING ({id_col})
 """.strip()

@@ -1040,6 +1040,24 @@ _IDX_GEOM_DEFAULTS = dict(
 )
 
 
+def _checkpoint_epoch(checkpoint_dir: str) -> str:
+    """Epoch id for a checkpoint: 'e' + md5(realpath)[:12]. Realpath so a
+    respelled-but-identical checkpoint (relative vs absolute, trailing
+    slash, symlink) keeps its epoch across restarts — Spark resumes the
+    same batch ids, so a respelling-fresh epoch would defeat replay
+    self-exclusion; letter prefix so the partition value always
+    type-infers as a string."""
+    import hashlib
+    import os
+
+    return (
+        "e"
+        + hashlib.md5(
+            os.path.realpath(checkpoint_dir).encode("utf-8")
+        ).hexdigest()[:12]
+    )
+
+
 def _read_tree_except(spark, path: str, epoch: str, batch_id: int):
     """The index tree minus this batch's own partition (replay exclusion);
     None when the tree does not exist yet (first batch)."""
@@ -1049,8 +1067,13 @@ def _read_tree_except(spark, path: str, epoch: str, batch_id: int):
         t = spark.read.option("basePath", path).parquet(path)
     except AnalysisException:
         return None
+    # cast: legacy all-digit epoch partitions type-infer as numeric; the
+    # string compare must still hit them (new epochs are 'e'-prefixed)
     return t.filter(
-        ~((F.col("epoch") == epoch) & (F.col("ingest_batch") == batch_id))
+        ~(
+            (F.col("epoch").cast("string") == epoch)
+            & (F.col("ingest_batch") == batch_id)
+        )
     ).drop("epoch", "ingest_batch")
 
 
@@ -1162,13 +1185,19 @@ def stream_index_maintenance(
     for the batches after it. Returns the un-started writer (like
     stream_merge_upsert); ``availableNow`` drains the backlog and stops.
 
-    The epoch is the md5 of the checkpoint directory: restarting the SAME
-    checkpoint continues its epoch (replays stay idempotent); a successor
-    stream with a NEW checkpoint gets a fresh epoch and cannot overwrite a
-    prior stream's batches (batch ids restart at 0 per checkpoint)."""
-    import hashlib
-
-    epoch = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    The epoch is the md5 of the checkpoint directory — REALPATH'd first,
+    so restarting the SAME checkpoint continues its epoch (replays stay
+    idempotent) even when the path is respelled (relative vs absolute,
+    trailing slash, symlink): Spark resumes the same batch ids either
+    way, and a respelling-derived fresh epoch would let the replayed
+    uncommitted batch's old-epoch remnant survive self-exclusion and
+    double its docs in the tree (ADVICE r10). A successor stream with a
+    NEW checkpoint gets a fresh epoch and cannot overwrite a prior
+    stream's batches (batch ids restart at 0 per checkpoint). The 'e'
+    prefix keeps the partition value unambiguously a STRING — a 12-hex
+    epoch that happens to be all digits would partition-type-infer as
+    numeric and weaken _read_tree_except's equality filter."""
+    epoch = _checkpoint_epoch(checkpoint_dir)
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         index_maintenance_batch(
@@ -1185,7 +1214,12 @@ def stream_index_maintenance(
 
 
 def index_tree_compact(
-    spark: SparkSession, path: str, *, n_files: int = 8
+    spark: SparkSession,
+    path: str,
+    *,
+    n_files: int = 8,
+    quiesce_seconds: float = 600.0,
+    force: bool = False,
 ) -> dict:
     """Fold a maintenance tree's accumulated epoch/batch partitions into
     ONE partition (epoch=compacted0/ingest_batch=0). Streaming ingest
@@ -1196,8 +1230,41 @@ def index_tree_compact(
     compaction rewrites identities. Signature/delta rows are a bag for
     every reader (signature families union them; the exact family
     merge-on-reads), so folding preserves all query results. Uses the
-    sinks staged-swap dance — the tree always exists under some path."""
+    sinks staged-swap dance — the tree always exists under some path.
+
+    Guard (VERDICT r10): "run only when quiet" used to be a docstring
+    contract; now it is enforced best-effort — the call REFUSES when the
+    tree's newest write is younger than ``quiesce_seconds`` (a live
+    stream's last micro-batch landing within the window is exactly the
+    mis-timing that would drop a concurrently-written partition from the
+    fold). Operators who have positively stopped the stream override with
+    ``force=True`` (or quiesce_seconds=0). Local-fs mtimes only — on an
+    object store the listing has no reliable mtime contract, so the guard
+    degrades to force-required there (mtime None → refuse unless forced).
+    """
+    import os
+    import time
+
     from ..sinks import _swap_into_place
+
+    if not force and quiesce_seconds > 0:
+        newest: float | None = None
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    m = os.path.getmtime(os.path.join(root, fn))
+                except OSError:
+                    continue
+                newest = m if newest is None else max(newest, m)
+        age = None if newest is None else time.time() - newest
+        if age is None or age < quiesce_seconds:
+            raise RuntimeError(
+                f"index_tree_compact: tree {path!r} was written "
+                f"{'<unknown>' if age is None else round(age, 1)}s ago "
+                f"(< quiesce_seconds={quiesce_seconds}); a live checkpoint "
+                f"may still be ingesting. Stop the stream and re-run, or "
+                f"pass force=True after verifying no writer is active."
+            )
 
     t = spark.read.option("basePath", path).parquet(path)
     n_parts = t.select("epoch", "ingest_batch").distinct().count()

@@ -270,6 +270,62 @@ def test_sample_to_token_budget_degenerate_quality(spark):
     assert sample_to_token_budget(df.limit(0), 100).count() == 0
 
 
+def test_sample_to_token_budget_null_contract(spark, tmp_path):
+    """NULL quality sorts last (kept only with leftover budget) and NULL
+    counts contribute 0 tokens — and the DuckDB naive-window twin agrees
+    row-for-row (ADVICE r10: NULL quality used to crash the bucket walk
+    with a None sort key; an all-NULL-count bucket crashed the cum add).
+    """
+    import duckdb
+
+    from stock_etl_pipeline_spark.operators import sampling
+    from stock_etl_pipeline_spark.operators.sampling import sample_to_token_budget
+
+    rows = [
+        (1, 10, 0.9),
+        (2, None, 0.8),    # NULL count: free (0 tokens)
+        (3, 10, None),     # NULL quality: sorts after every real quality
+        (4, 10, 0.7),
+        (5, None, None),   # both NULL
+        (6, 15, 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    p = str(tmp_path / "nulls.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    for budget in [0, 5, 10, 20, 30, 35, 40, 100]:
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                sampling.sql_sample_to_token_budget(
+                    "docs", budget, select="doc_id"
+                )
+            ).fetchall()
+        )
+        for buckets in (2, 1024):
+            got = sorted(
+                r["doc_id"]
+                for r in sample_to_token_budget(
+                    df, budget, buckets=buckets
+                ).collect()
+            )
+            assert got == want, (budget, buckets, got, want)
+    # all-NULL quality must not return empty: ids in id order under budget
+    df2 = spark.createDataFrame(
+        [(i, 10, None) for i in range(5)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    got = sorted(
+        r["doc_id"] for r in sample_to_token_budget(df2, 25).collect()
+    )
+    assert got == [0, 1]
+
+
 def test_sample_to_token_budget_by_strata(spark):
     """Per-stratum budgets select independently (each stratum's prefix by
     quality then id), and unlisted strata drop via default_budget=0."""

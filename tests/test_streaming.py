@@ -909,6 +909,33 @@ def test_index_maintenance_epoch_namespace(spark, tmp_path):
     assert out[10] == (1, True)  # the new epoch saw the old epoch's keeper
 
 
+def test_checkpoint_epoch_respelling_stable(tmp_path):
+    """Respelled paths to the SAME checkpoint must share an epoch (replay
+    self-exclusion depends on it — ADVICE r10), the value must start with
+    a letter (string partition inference), and different checkpoints must
+    not collide."""
+    import os
+
+    from stock_etl_pipeline_spark.streaming.pipeline import _checkpoint_epoch
+
+    cp = tmp_path / "cp"
+    cp.mkdir()
+    link = tmp_path / "cp_link"
+    os.symlink(cp, link)
+    spellings = [str(cp), str(cp) + "/", str(cp) + "/.", str(link)]
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        spellings.append("cp")  # relative spelling
+        epochs = {_checkpoint_epoch(s) for s in spellings}
+    finally:
+        os.chdir(cwd)
+    assert len(epochs) == 1, epochs
+    e = epochs.pop()
+    assert e[0] == "e" and len(e) == 13
+    assert _checkpoint_epoch(str(tmp_path / "other")) != e
+
+
 def test_index_tree_compact_preserves_results(spark, tmp_path):
     """Folding epochs/batches into one partition preserves every reader's
     view (the tree is a bag of signature/delta rows), and maintenance
@@ -925,7 +952,12 @@ def test_index_tree_compact_preserves_results(spark, tmp_path):
                             1, family="exact", epoch="aaa")
     before = sorted(map(repr, spark.read.parquet(idx)
                         .drop("epoch", "ingest_batch").collect()))
-    rep = index_tree_compact(spark, idx, n_files=1)
+    import pytest
+
+    # the quiesce guard sees writes moments old and refuses without force
+    with pytest.raises(RuntimeError, match="quiesce"):
+        index_tree_compact(spark, idx, n_files=1)
+    rep = index_tree_compact(spark, idx, n_files=1, force=True)
     assert rep["partitions_folded"] == 2 and rep["rows"] == len(before)
     after_tree = spark.read.parquet(idx)
     assert {(r["epoch"], r["ingest_batch"]) for r in

@@ -203,8 +203,9 @@ def test_tfidf_rank_is_partitioning_invariant(spark):
 
 def test_char_bigram_lm_score_signal_and_determinism(spark):
     """The reference-model score separates in-domain from out-of-domain
-    text (that's the CCNet move), 1-char/empty docs yield no bigrams
-    (Spark's sequence(1,0) descending-range trap is guarded), and scores
+    text (that's the CCNet move), 1-char/empty docs emit explicit
+    (n_bigrams=0, lm_score NULL) rows instead of vanishing (ADVICE r10;
+    Spark's sequence(1,0) descending-range trap is guarded), and scores
     are partitioning-invariant (integer probabilities, exact sums)."""
     from stock_etl_pipeline_spark.operators.text import char_bigram_lm_score
 
@@ -223,7 +224,10 @@ def test_char_bigram_lm_score_signal_and_determinism(spark):
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in char_bigram_lm_score(docs, ref).collect()}
-    assert set(out) == {1, 2}  # 3 and 4 have no bigrams -> unscoreable
+    assert set(out) == {1, 2, 3, 4}  # short docs present, not dropped
+    for short in (3, 4):
+        assert out[short]["n_bigrams"] == 0
+        assert out[short]["lm_score"] is None
     # clear separation, not a cliff: add-one smoothing hands unseen
     # contexts 1/V mass, sizeable under a 2-sentence test reference
     assert out[1]["lm_score"] > out[2]["lm_score"] * 1.5
