@@ -1291,10 +1291,11 @@ scored AS (
 """.strip()
 
 
-@spec_tests_only(
+@spec(
     "doc_corpus_construction",
     oracle=_CORPUS_CONSTRUCTION_ORACLE,
     tags=("pipeline", "dedup", "decontamination", "sampling"),
+    bench=True,
 )
 def q_doc_corpus_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-construction pipeline in one call — what a user of

@@ -25,32 +25,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..datasets import AS_OF_DATE, load_table, oracle_with_prices
 from ..functions import sql_exact_avg, sql_pround
-from . import spec
+from . import spec, spec_tests_only
 
 def _run_sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(text)
 
 
-def _sql_spec(name: str, body: str, tags: tuple[str, ...]):
+def _sql_spec(
+    name: str, body: str, tags: tuple[str, ...], tests_only: bool = False
+):
     """Register a query whose Spark implementation and DuckDB oracle are the
     SAME SQL text."""
     text = oracle_with_prices(body)
+    deco = spec_tests_only(name, oracle=text, tags=tags) if tests_only else spec(
+        name, oracle=text, tags=tags
+    )
 
-    @spec(name, oracle=text, tags=tags)
+    @deco
     def runner(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
         return _run_sql(spark, sf_dir, _text)
 
     return runner
 
 
-# The reference has five SQL templates (queries.py:22-163). Two are kept as
-# registered sql_* queries — the representative view-DDL + spark.sql entries
-# (cross-source HAVING/theta filter; windowed moving averages with the IN-list
-# symbol subset). The other three templates' semantics are driver-checked via
-# their DataFrame twins (daily_metrics, profile_suite, ingestion_stats) — the
-# registry stays within the driver's 50-row CORRECTNESS window this way, with
-# no operator losing coverage.
+# The reference has five SQL templates (queries.py:22-163). One is kept as a
+# registered sql_* query — the representative view-DDL + spark.sql entry
+# (cross-source HAVING/theta filter). The windowed moving-averages template
+# holds the tests-only tier (full oracle parity via test_oracle_parity.py):
+# its window math is driver-checked THREE other ways (moving_averages,
+# window_suite DataFrame twins + the shared-text parity here), and its
+# freed driver slot went to doc_corpus_construction — the composed
+# LLM-corpus pipeline, previously builder-verified only (VERDICT r10
+# item 2). The other three templates' semantics are driver-checked via
+# their DataFrame twins (daily_metrics, profile_suite, ingestion_stats).
 
 # 1. Cross-source comparison (reference queries.py:37-73; HAVING + theta
 # filter on the computed spread, 2% threshold).
@@ -101,5 +109,6 @@ SELECT symbol, date, close_u / CAST(1000000.0 AS DOUBLE) AS close_price,
 FROM daily
 """.strip(),
     tags=("sql_api", "W1", "P17"),
+    tests_only=True,
 )
 
