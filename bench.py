@@ -218,6 +218,7 @@ def main() -> int:
     # query TOUCHED when either moved — see fingerprints.py.
     from stock_etl_pipeline_spark.fingerprints import (
         kernel_fingerprint,
+        kernel_fingerprint_v2,
         plan_fingerprint,
     )
 
@@ -228,6 +229,7 @@ def main() -> int:
     # that is plan construction for these operators and costs seconds.
     plan_hash = {}
     kernel_hash = {}
+    kernel_hash_compat = {}
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     try:
         for name, s in bench_specs.items():
@@ -238,6 +240,10 @@ def main() -> int:
                 kernel_hash[name] = kernel_fingerprint(s.fn)
             except Exception:
                 kernel_hash[name] = None
+            try:
+                kernel_hash_compat[name] = kernel_fingerprint_v2(s.fn)
+            except Exception:
+                kernel_hash_compat[name] = None
             try:
                 spark.catalog.clearCache()
                 plan_hash[name] = plan_fingerprint(s.fn(spark, sf_dir))
@@ -254,7 +260,10 @@ def main() -> int:
     # its head past the window → BENCH_r09.json parsed: null. So:
     # fingerprints go to a sidecar file AND a separate stdout line FIRST;
     # the final line stays compact (timings only, ~1.3 kB) and LAST.
-    from stock_etl_pipeline_spark.fingerprints import FP_VERSION
+    from stock_etl_pipeline_spark.fingerprints import (
+        FP_COMPAT_VERSION,
+        FP_VERSION,
+    )
 
     fingerprints = {
         "metric": "code_fingerprints",
@@ -262,6 +271,15 @@ def main() -> int:
         "fp_version": FP_VERSION,
         "plan_hash": plan_hash,
         "kernel_hash": kernel_hash,
+        # previous-scheme kernel map: the FIRST round after a version bump
+        # compares old-scheme to old-scheme through this (round_compare
+        # looks it up when the two sides' fp_versions differ) instead of
+        # dropping the touched-derivation entirely. Remove after one round.
+        "compat": {
+            "fp_version": FP_COMPAT_VERSION,
+            "kernel_hash": kernel_hash_compat,
+            "plan_hash": plan_hash,
+        },
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PLANHASH.json"
@@ -271,7 +289,10 @@ def main() -> int:
             json.dump(fingerprints, f)
     except OSError:
         pass  # read-only checkout: the stdout line below still carries them
-    print(json.dumps(fingerprints))
+    # stdout line WITHOUT the compat block: the driver's ~2000-char tail
+    # capture keeps the END of this line, and compat-after-kernel_hash
+    # would displace the primary kernel map from the surviving window
+    print(json.dumps({k: v for k, v in fingerprints.items() if k != "compat"}))
     print(
         json.dumps(
             {

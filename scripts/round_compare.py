@@ -125,18 +125,24 @@ def load(path: str) -> dict:
     return d
 
 
-def _fp_maps(bench: dict, sidecar_path: str | None) -> tuple[dict, dict, int]:
-    """Fingerprint maps + scheme version (1 = pre-version artifacts)."""
+def _fp_maps(
+    bench: dict, sidecar_path: str | None
+) -> tuple[dict, dict, int, dict]:
+    """Fingerprint maps + scheme version (1 = pre-version artifacts) + the
+    compat block (previous-scheme hashes bench.py emits into the sidecar
+    for one round after an FP_VERSION bump)."""
     ph = dict(bench.get("plan_hash") or {})
     kh = dict(bench.get("kernel_hash") or {})
     ver = bench.get("fp_version")
+    compat = dict(bench.get("compat") or {})
     if sidecar_path:
         with open(sidecar_path) as f:
             sc = json.load(f)
         ph.update(sc.get("plan_hash") or {})
         kh.update(sc.get("kernel_hash") or {})
         ver = sc.get("fp_version", ver)
-    return ph, kh, int(ver) if ver else 1
+        compat = dict(sc.get("compat") or compat)
+    return ph, kh, int(ver) if ver else 1, compat
 
 
 def _pair_state(a, b):
@@ -166,8 +172,23 @@ def main() -> int:
         touched = set(opt("--touched").split(","))
         touched_src = "explicit"
     else:
-        ph_old, kh_old, ver_old = _fp_maps(old, opt("--fp-old"))
-        ph_new, kh_new, ver_new = _fp_maps(new, opt("--fp-new"))
+        ph_old, kh_old, ver_old, compat_old = _fp_maps(old, opt("--fp-old"))
+        ph_new, kh_new, ver_new, compat_new = _fp_maps(new, opt("--fp-new"))
+        compat_note = ""
+        if ver_old != ver_new:
+            # the round after an FP_VERSION bump: the bumped side's compat
+            # block carries the OLD scheme's hashes — compare old-scheme to
+            # old-scheme through it instead of dropping the derivation
+            if int(compat_new.get("fp_version") or 0) == ver_old:
+                kh_new = dict(compat_new.get("kernel_hash") or {})
+                ph_new = dict(compat_new.get("plan_hash") or ph_new)
+                ver_new = ver_old
+                compat_note = f" (new side via compat v{ver_old} map)"
+            elif int(compat_old.get("fp_version") or 0) == ver_new:
+                kh_old = dict(compat_old.get("kernel_hash") or {})
+                ph_old = dict(compat_old.get("plan_hash") or ph_old)
+                ver_old = ver_new
+                compat_note = f" (old side via compat v{ver_new} map)"
         touched = set()
         if (ph_old or kh_old) and (ph_new or kh_new) and ver_old != ver_new:
             # hashes from different hashing SCHEMES are incomparable —
@@ -188,7 +209,7 @@ def main() -> int:
                     touched.add(q)
                 elif s_plan is None and s_kern is None:
                     unknown.add(q)
-            touched_src = "plan+kernel-hash"
+            touched_src = "plan+kernel-hash" + compat_note
             if unknown:
                 touched_src += (
                     f" ({len(unknown)} unknown excluded from ruler: "

@@ -23,16 +23,29 @@ auto-derive the UNTOUCHED query set for the median ruler — BASELINE.md):
   version (fixed) or session confs; conf coverage comes from the
   kernel hash folding session.py into every closure.
 
-- ``kernel_fingerprint(fn)`` — md5 over the SOURCE BYTES of the module
-  defining ``fn`` plus every in-package module reachable from it through
-  module-level globals (functions/classes imported from siblings pull in
-  their defining modules, transitively). Moves on ANY byte edit to any
-  module the query's code can reach — deliberately over-approximate:
-  marking extra queries "touched" only shrinks the untouched-median ruler
-  basis (safe); missing a touch would silently bias it (unsafe).
+- ``kernel_fingerprint(fn)`` — fp_version 3: md5 over the PER-FUNCTION
+  source closure of ``fn`` — the source segments of every in-package
+  function/class actually reachable from it (through global references,
+  module-attribute calls, dispatch containers, closure cells) plus the
+  assignment source of every module-level constant it reads. Moves when
+  any function the query can CALL is edited; stays put when an unrelated
+  function in the same module changes. fp_version 2 hashed the whole
+  module-source closure instead (``kernel_fingerprint_v2``, kept for the
+  cross-version compat map) — and since ``operators/dedup.py`` gets
+  edited nearly every round, the module scheme marked the entire doc
+  family touched every round, permanently halving the untouched-median
+  ruler basis (VERDICT r10 item 3).
+
+  The v3 resolver stays deliberately FAIL-SAFE: anything it cannot
+  resolve precisely (dynamic getattr, unresolvable names, unparseable
+  sources, module objects flowing as values) degrades to the WHOLE
+  defining module's source hash for that entity — over-approximation
+  marks extra queries touched (shrinks the ruler basis, safe); a missed
+  touch would silently bias the ruler (unsafe).
 
 Together: a query is UNTOUCHED for the ruler only when BOTH hashes are
-stable, which closes the kernel-body blind spot without parsing Python.
+stable, which closes the kernel-body blind spot without losing
+per-function granularity.
 """
 
 from __future__ import annotations
@@ -49,9 +62,14 @@ _PKG = __name__.rsplit(".", 1)[0]  # "stock_etl_pipeline_spark"
 
 # Bump when the HASHING SCHEME changes (not when code changes): hashes from
 # different versions are incomparable, and round_compare must not derive a
-# touched set across a version boundary. 2 = analyzed-plan hashing +
-# session.py in every kernel closure (round 10).
-FP_VERSION = 2
+# touched set across a version boundary — bench.py therefore also emits a
+# FP_COMPAT_VERSION map (the previous scheme) into the PLANHASH.json
+# sidecar so the FIRST round after a bump still compares old-scheme to
+# old-scheme instead of losing the ruler basis. 2 = analyzed-plan hashing +
+# module-source-closure kernels (round 10). 3 = per-function source
+# closures (round 11; plan hashing unchanged).
+FP_VERSION = 3
+FP_COMPAT_VERSION = 2
 
 # module source hashes memoized per process (files do not change mid-run)
 _SRC_HASH: dict[str, str] = {}
@@ -159,14 +177,17 @@ def _static_imports(mod, pkg_prefix: str):
     return mods
 
 
-def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
-    """md5 over the sorted (module, src_md5) closure of ``fn``'s module.
+def kernel_fingerprint_v2(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
+    """fp_version-2 kernel hash: md5 over the sorted (module, src_md5)
+    MODULE closure of ``fn``'s module. Kept (a) as the fail-safe the v3
+    resolver degrades to and (b) for the cross-version compat map bench.py
+    emits in the round after a version bump.
 
     For the real package, ``session.py`` is folded into EVERY closure:
     queries never import it (callers own the session), but its confs shape
-    every query's runtime — and with analyzed-plan hashing (fp_version 2)
-    the plan hash cannot see conf changes either. A session.py edit
-    marking every query touched is the correct over-approximation."""
+    every query's runtime — and with analyzed-plan hashing the plan hash
+    cannot see conf changes either. A session.py edit marking every query
+    touched is the correct over-approximation."""
     mod = inspect.getmodule(fn)
     if mod is None:
         return None
@@ -180,6 +201,413 @@ def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
         h = _module_src_hash(sess)
         if h is not None:
             closure[sess.__name__] = h
+    acc = hashlib.md5()
+    for name in sorted(closure):
+        acc.update(name.encode())
+        acc.update(closure[name].encode())
+    return acc.hexdigest()[:12]
+
+
+# --- fp_version 3: per-function source closures ------------------------------
+#
+# Entity keys in a closure:
+#   fn:<module>.<qualname>    — md5 of the function's source segment
+#   cls:<module>.<qualname>   — md5 of the class's source segment
+#   const:<module>.<name>     — md5 of the module-level assignment source
+#   mod:<module>              — whole-module source md5 (fail-safe degrade)
+#
+# Per-function hashes are LOCATION-independent (source segment bytes, not
+# line numbers): inserting an unrelated function above an existing one in
+# the same module does not flip any query that uses only the existing one.
+
+# module -> {name: assignment-source md5} for top-level assignments
+_MOD_ASSIGN: dict[str, dict[str, str]] = {}
+# module -> {local_name: origin_module_name} from top-level `from X import n`
+_MOD_IMPORT_ORIGIN: dict[str, dict[str, str]] = {}
+
+
+def clear_fingerprint_caches() -> None:
+    """Drop every file-content-derived memo (module source hashes and
+    per-module assignment/import tables) — tests that rewrite package
+    files on disk call this between edits. Function source segments are
+    re-read on every walk (inspect.findsource checkcaches linecache), so
+    they need no explicit invalidation."""
+    _SRC_HASH.clear()
+    _MOD_ASSIGN.clear()
+    _MOD_IMPORT_ORIGIN.clear()
+
+
+def _entity_src_hash(obj) -> str | None:
+    """md5 of a function/class source segment (dedented), None if the
+    source cannot be recovered (dynamically built code)."""
+    try:
+        src = inspect.getsource(obj)
+    except (OSError, TypeError):
+        return None
+    import textwrap
+
+    return hashlib.md5(textwrap.dedent(src).encode()).hexdigest()
+
+
+def _module_tables(mod) -> tuple[dict[str, str], dict[str, str]]:
+    """(assignment-source hashes, import origins) for a module, memoized.
+    Assignment hashes cover top-level Assign/AnnAssign targets — editing a
+    module constant's DEFINITION flips them, runtime mutation does not
+    (hashing live reprs of mutable caches would be nondeterministic)."""
+    name = getattr(mod, "__name__", "")
+    if name in _MOD_ASSIGN:
+        return _MOD_ASSIGN[name], _MOD_IMPORT_ORIGIN[name]
+    assigns: dict[str, str] = {}
+    origins: dict[str, str] = {}
+    f = getattr(mod, "__file__", None)
+    if f and f.endswith(".py"):
+        try:
+            with open(f) as fh:
+                src = fh.read()
+            tree = ast.parse(src)
+        except (OSError, SyntaxError):
+            tree = None
+        if tree is not None:
+            parts = name.split(".")
+            for node in tree.body:
+                if isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
+                    seg = ast.get_source_segment(src, node) or ""
+                    h = hashlib.md5(seg.encode()).hexdigest()
+                    targets = (
+                        node.targets
+                        if isinstance(node, ast.Assign)
+                        else [node.target]
+                    )
+                    for t in targets:
+                        if isinstance(t, ast.Name):
+                            # AugAssign folds into any prior hash so both
+                            # definitions feed the constant's identity
+                            prev = assigns.get(t.id, "")
+                            assigns[t.id] = hashlib.md5(
+                                (prev + h).encode()
+                            ).hexdigest()
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level:
+                        anchor = ".".join(parts[: len(parts) - node.level])
+                        base = anchor + (
+                            "." + node.module if node.module else ""
+                        )
+                    else:
+                        base = node.module or ""
+                    for a in node.names:
+                        origins[a.asname or a.name] = base
+    _MOD_ASSIGN[name] = assigns
+    _MOD_IMPORT_ORIGIN[name] = origins
+    return assigns, origins
+
+
+def _code_global_names(code) -> set[str]:
+    """Names a code object (and every nested code object) loads/stores as
+    GLOBALS — scope-exact, unlike co_names (which mixes in attribute
+    names)."""
+    import dis
+
+    out: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        for ins in dis.get_instructions(c):
+            if ins.opname in (
+                "LOAD_GLOBAL",
+                "STORE_GLOBAL",
+                "DELETE_GLOBAL",
+                "LOAD_NAME",
+            ):
+                out.add(ins.argval)
+        for const in c.co_consts:
+            if inspect.iscode(const):
+                stack.append(const)
+    return out
+
+
+def _fn_ast_refs(
+    fn,
+) -> (
+    tuple[set[str], dict[str, set[str]], set[str], list[tuple[str, list[str]]]]
+    | None
+):
+    """(decorator/default-scope names, attribute pairs base->attrs, bases
+    that also occur BARE, body-import targets) from the function's source
+    AST. Body imports are (absolute_module, [names]) — ``from ..quality
+    import quality_metrics_agg`` inside a query fn binds a LOCAL, invisible
+    to the LOAD_GLOBAL walk, so they must be resolved explicitly (the v2
+    scheme's _static_imports lesson). None when the source cannot be
+    parsed (caller degrades to module hash)."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return None
+    pairs: dict[str, set[str]] = {}
+    attr_base_ids: set[int] = set()
+    bare: set[str] = set()
+    outer_names: set[str] = set()
+    # decorators / defaults / annotations of the top-level def evaluate in
+    # the ENCLOSING scope at def time — not in the function's bytecode
+    top = tree.body[0] if tree.body else None
+    if isinstance(top, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        outer_nodes: list[ast.AST] = list(top.decorator_list)
+        a = top.args
+        outer_nodes += [d for d in a.defaults if d is not None]
+        outer_nodes += [d for d in a.kw_defaults if d is not None]
+        for n in outer_nodes:
+            for sub in ast.walk(n):
+                if isinstance(sub, ast.Name):
+                    outer_names.add(sub.id)
+    # body imports resolve against the DEFINING module's package position
+    mod = inspect.getmodule(fn)
+    mod_name = getattr(mod, "__name__", "")
+    parts = mod_name.split(".")
+    if getattr(mod, "__path__", None) is None:
+        parts = parts[:-1]  # plain module: relative level 1 = its package
+    imports: list[tuple[str, list[str]]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+            pairs.setdefault(node.value.id, set()).add(node.attr)
+            attr_base_ids.add(id(node.value))
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                imports.append((a.name, []))
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                anchor = ".".join(parts[: len(parts) - (node.level - 1)])
+                base = anchor + ("." + node.module if node.module else "")
+            else:
+                base = node.module or ""
+            imports.append((base, [a.name for a in node.names]))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and id(node) not in attr_base_ids:
+            bare.add(node.id)
+    return outer_names, pairs, bare, imports
+
+
+def _is_safe_const(v) -> bool:
+    if v is None or isinstance(v, (str, bytes, int, float, bool, complex)):
+        return True
+    if isinstance(v, (tuple, frozenset)):
+        return all(_is_safe_const(x) for x in v)
+    return False
+
+
+def _container_callables(v, depth: int = 0):
+    """In-package functions/classes reachable SHALLOWLY inside a constant
+    container (dispatch dicts like {'arrow': fn_a}); bounded depth."""
+    if depth > 2:
+        return
+    if isinstance(v, dict):
+        for x in v.values():
+            yield from _container_callables(x, depth + 1)
+    elif isinstance(v, (list, tuple, set, frozenset)):
+        for x in v:
+            yield from _container_callables(x, depth + 1)
+    elif inspect.isfunction(v) or inspect.isclass(v):
+        yield v
+
+
+def function_closure(fn: Callable, pkg_prefix: str = _PKG) -> dict[str, str]:
+    """``{entity_key: hash}`` for everything in-package reachable from
+    ``fn``: the function itself, every in-package function/class it can
+    call (global refs, module-attribute refs, dispatch containers, closure
+    cells, decorator/default expressions), and the assignment sources of
+    module-level constants it reads. Degrades to ``mod:<name>`` whole-module
+    entries whenever resolution is imprecise."""
+    out: dict[str, str] = {}
+    seen: set[int] = set()
+    work: list = [fn]
+
+    def add_module(mod) -> None:
+        name = getattr(mod, "__name__", "")
+        if not name.startswith(pkg_prefix):
+            return
+        h = _module_src_hash(mod)
+        if h is not None:
+            out.setdefault("mod:" + name, h)
+
+    def add_value(v, owner_mod) -> None:
+        """Route a resolved value: callable/class → walk; module → whole
+        hash; plain value → handled by caller (constants need the NAME)."""
+        if inspect.isfunction(v) or inspect.ismethod(v):
+            work.append(inspect.unwrap(v))
+        elif inspect.isclass(v):
+            m = inspect.getmodule(v)
+            if m is not None and getattr(m, "__name__", "").startswith(
+                pkg_prefix
+            ):
+                key = f"cls:{m.__name__}.{v.__qualname__}"
+                if key not in out:
+                    h = _entity_src_hash(v)
+                    if h is None:
+                        add_module(m)
+                    else:
+                        out[key] = h
+                        for mv in vars(v).values():
+                            if inspect.isfunction(mv):
+                                work.append(mv)
+                            elif isinstance(mv, (staticmethod, classmethod)):
+                                work.append(mv.__func__)
+                            elif isinstance(mv, property) and mv.fget:
+                                work.append(mv.fget)
+        elif inspect.ismodule(v):
+            add_module(v)
+        else:
+            for c in _container_callables(v):
+                add_value(c, owner_mod)
+
+    def add_const(name: str, v, mod) -> None:
+        """A plain-valued global: hash its top-level assignment source in
+        its defining module (one import hop followed); degrade to repr for
+        safe immutables, then to the whole module."""
+        for _hop in range(3):
+            assigns, origins = _module_tables(mod)
+            if name in assigns:
+                out.setdefault(
+                    f"const:{mod.__name__}.{name}", assigns[name]
+                )
+                add_value(v, mod)  # dispatch containers inside the constant
+                return
+            origin = origins.get(name)
+            nxt = sys.modules.get(origin) if origin else None
+            if nxt is None or not getattr(nxt, "__name__", "").startswith(
+                pkg_prefix
+            ):
+                break
+            mod = nxt
+        if _is_safe_const(v):
+            out.setdefault(
+                f"const:{mod.__name__}.{name}",
+                hashlib.md5(repr(v).encode()).hexdigest(),
+            )
+        else:
+            add_module(mod)
+
+    while work:
+        f = work.pop()
+        f = inspect.unwrap(f)
+        if not inspect.isfunction(f):
+            continue
+        if id(f) in seen:
+            continue
+        seen.add(id(f))
+        mod = inspect.getmodule(f)
+        mod_name = getattr(mod, "__name__", "")
+        if mod is None or not mod_name.startswith(pkg_prefix):
+            continue
+        if not f.__code__.co_filename.endswith(".py"):
+            # exec-generated (dataclass __init__/__eq__/...): behavior is a
+            # pure function of the class SOURCE, already hashed as cls:<...>
+            continue
+        key = f"fn:{mod_name}.{f.__qualname__}"
+        h = _entity_src_hash(f)
+        refs = _fn_ast_refs(f)
+        if h is None or refs is None:
+            add_module(mod)  # cannot parse → whole module, stop here
+            continue
+        out[key] = h
+        outer_names, pairs, bare, body_imports = refs
+        for base, names in body_imports:
+            if not base.startswith(pkg_prefix):
+                continue
+            try:
+                im = sys.modules.get(base) or importlib.import_module(base)
+            except Exception:
+                add_module(mod)  # unresolvable body import → degrade
+                continue
+            if not names:
+                add_module(im)  # plain `import pkg.mod` → whole module
+                continue
+            for n in names:
+                if n == "*":
+                    add_module(im)
+                    continue
+                try:
+                    av = getattr(im, n)
+                except AttributeError:
+                    add_module(im)
+                    continue
+                if (
+                    inspect.isfunction(av)
+                    or inspect.isclass(av)
+                    or inspect.ismodule(av)
+                ):
+                    add_value(av, im)
+                else:
+                    add_const(n, av, im)
+        gnames = _code_global_names(f.__code__) | outer_names
+        # closure cells (decorator-captured state, nested defs)
+        if f.__closure__:
+            for cell in f.__closure__:
+                try:
+                    cv = cell.cell_contents
+                except ValueError:
+                    continue
+                add_value(cv, mod)
+        g = f.__globals__
+        import builtins
+
+        for name in sorted(gnames):
+            if name.startswith("__"):
+                continue
+            if name not in g:
+                if not hasattr(builtins, name):
+                    add_module(mod)  # unresolvable non-builtin → degrade
+                continue
+            v = g[name]
+            if inspect.ismodule(v):
+                vname = getattr(v, "__name__", "")
+                if not vname.startswith(pkg_prefix):
+                    continue
+                attrs = pairs.get(name, set())
+                if name in bare or not attrs:
+                    add_module(v)  # module flows as a value → whole hash
+                    continue
+                for attr in sorted(attrs):
+                    try:
+                        av = getattr(v, attr)
+                    except AttributeError:
+                        add_module(v)
+                        continue
+                    if (
+                        inspect.isfunction(av)
+                        or inspect.isclass(av)
+                        or inspect.ismodule(av)
+                    ):
+                        add_value(av, v)
+                    else:
+                        add_const(attr, av, v)
+            elif inspect.isfunction(v) or inspect.isclass(v):
+                add_value(v, mod)
+            else:
+                # non-module, non-callable global: a constant — hash its
+                # assignment source (or degrade inside add_const)
+                add_const(name, v, mod)
+    return out
+
+
+def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
+    """fp_version-3 kernel hash: md5 over the sorted per-function source
+    closure of ``fn`` (see :func:`function_closure`), with ``session.py``
+    folded into every real-package closure exactly as in v2 — confs shape
+    every query's runtime and the analyzed-plan hash cannot see them."""
+    closure = dict(function_closure(fn, pkg_prefix))
+    if not closure:
+        return None
+    if pkg_prefix == _PKG:
+        sess = sys.modules.get(f"{_PKG}.session") or importlib.import_module(
+            f"{_PKG}.session"
+        )
+        h = _module_src_hash(sess)
+        if h is not None:
+            closure["mod:" + sess.__name__] = h
     acc = hashlib.md5()
     for name in sorted(closure):
         acc.update(name.encode())

@@ -62,17 +62,124 @@ def test_kernel_edit_moves_fingerprint_unrelated_does_not(tmp_path):
         # kernel-BODY edit in the reachable sibling (no reload needed:
         # the fingerprint reads file bytes, not loaded code objects)
         (pkg / "helper.py").write_text("def kern(x):\n    return x + 2\n")
-        fingerprints._SRC_HASH.clear()
+        fingerprints.clear_fingerprint_caches()
         h1 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp_pkg")
         assert h1 != h0
 
         # an edit to a module the query CANNOT reach leaves it stable
         (pkg / "other.py").write_text("UNRELATED = 2\n")
-        fingerprints._SRC_HASH.clear()
+        fingerprints.clear_fingerprint_caches()
         h2 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp_pkg")
         assert h2 == h1
     finally:
         _cleanup(tmp_path)
+
+
+def test_kernel_hash_per_function_granularity(tmp_path):
+    """fp_version 3 (VERDICT r10 item 3): editing ONE function in a shared
+    module flips only the queries whose closure contains it — the v2
+    module-closure scheme marked every query in the module family touched
+    on any edit, and since operators/dedup.py is edited nearly every
+    round, the doc family would never be 'untouched' again. Also pins the
+    constant path (editing a module-level constant flips its readers) and
+    location-independence (appending an unrelated function flips nobody).
+    """
+    pkg = tmp_path / "fp3_pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    helper = textwrap.dedent(
+        """
+        THRESH = 10
+
+        def kern_a(x):
+            return x + THRESH
+
+        def kern_b(x):
+            return x * 2
+        """
+    )
+    (pkg / "helper.py").write_text(helper)
+    (pkg / "query.py").write_text(
+        textwrap.dedent(
+            """
+            from fp3_pkg.helper import kern_a, kern_b
+
+            def qa(spark, sf_dir):
+                return kern_a(0)
+
+            def qb(spark, sf_dir):
+                return kern_b(0)
+            """
+        )
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        qmod = importlib.import_module("fp3_pkg.query")
+        fp = lambda f: fingerprints.kernel_fingerprint(f, pkg_prefix="fp3_pkg")
+        a0, b0 = fp(qmod.qa), fp(qmod.qb)
+        assert a0 is not None and b0 is not None and a0 != b0
+
+        # edit kern_b's BODY only (kern_a's segment and line positions are
+        # untouched): qb flips, qa must not
+        (pkg / "helper.py").write_text(helper.replace("x * 2", "x * 3"))
+        fingerprints.clear_fingerprint_caches()
+        a1, b1 = fp(qmod.qa), fp(qmod.qb)
+        assert b1 != b0, "edited kern_b must flip qb"
+        assert a1 == a0, "kern_a untouched — qa must be stable"
+
+        # edit the CONSTANT kern_a reads: qa flips now, qb stays
+        (pkg / "helper.py").write_text(
+            helper.replace("x * 2", "x * 3").replace("THRESH = 10", "THRESH = 11")
+        )
+        fingerprints.clear_fingerprint_caches()
+        a2, b2 = fp(qmod.qa), fp(qmod.qb)
+        assert a2 != a1, "edited THRESH must flip qa (kern_a reads it)"
+        assert b2 == b1, "qb does not read THRESH — stable"
+
+        # append an unrelated function at the END (no positions shift):
+        # nobody flips — per-function hashes are location-independent
+        (pkg / "helper.py").write_text(
+            helper.replace("x * 2", "x * 3").replace("THRESH = 10", "THRESH = 11")
+            + "\ndef kern_c(x):\n    return x - 1\n"
+        )
+        fingerprints.clear_fingerprint_caches()
+        assert fp(qmod.qa) == a2 and fp(qmod.qb) == b2
+    finally:
+        sys.path.remove(str(tmp_path))
+        for name in [n for n in sys.modules if n.startswith("fp3_pkg")]:
+            del sys.modules[name]
+
+
+def test_kernel_hash_granularity_on_real_dedup_module(monkeypatch):
+    """The dedup.py case the VERDICT names: a simulated edit of ONE
+    function (operators.dedup.minhash_signature, via the source-hash
+    seam) flips the minhash queries whose closure contains it and leaves
+    doc_exact_dedup / embedding_topk / moving_averages untouched — under
+    v2 every doc query shared one module-closure hash and any dedup.py
+    edit flipped them all."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    probe = ("doc_minhash_lsh", "doc_exact_dedup", "embedding_topk",
+             "moving_averages")
+    before = {n: fingerprints.kernel_fingerprint(reg[n].fn) for n in probe}
+
+    orig = fingerprints._entity_src_hash
+
+    def edited(obj):
+        h = orig(obj)
+        if (
+            getattr(obj, "__qualname__", "") == "minhash_signature"
+            and "operators.dedup" in getattr(obj, "__module__", "")
+        ):
+            return "f" * 32  # simulate a body edit of this one function
+        return h
+
+    monkeypatch.setattr(fingerprints, "_entity_src_hash", edited)
+    after = {n: fingerprints.kernel_fingerprint(reg[n].fn) for n in probe}
+    assert after["doc_minhash_lsh"] != before["doc_minhash_lsh"]
+    for stable in ("doc_exact_dedup", "embedding_topk", "moving_averages"):
+        assert after[stable] == before[stable], stable
 
 
 def test_bench_queries_all_fingerprintable():

@@ -191,6 +191,30 @@ def test_fp_sidecar_merge(tmp_path):
     assert out["unknown"] == []
 
 
+def test_fp_version_mismatch_uses_compat_map(tmp_path):
+    """The round AFTER an FP_VERSION bump (v2 -> v3, round 11): the new
+    side's sidecar carries a compat block with the OLD scheme's kernel
+    hashes — the tool compares old-scheme to old-scheme through it and
+    keeps the touched-derivation instead of falling back to the full
+    median."""
+    q_old = {"a": 1.0, "b": 1.0}
+    q_new = {"a": 1.0, "b": 2.5}
+    ph = {"a": "1" * 12, "b": "2" * 12}
+    old = _bench(q_old, 1.0, 1.0, ph=ph, kh={"a": "d" * 12, "b": "e" * 12})
+    old["fp_version"] = 2
+    new = _bench(q_new, 1.0, 1.0, ph=ph, kh={"a": "x" * 12, "b": "y" * 12})
+    new["fp_version"] = 3  # v3 hashes differ wholesale from v2 — incomparable
+    new["compat"] = {
+        "fp_version": 2,
+        "plan_hash": ph,
+        "kernel_hash": {"a": "d" * 12, "b": "0" * 12},  # b's kernel edited
+    }
+    out = _run(old, new, tmp_path)
+    assert out["touched"] == ["b"]
+    assert "compat v2" in out["touched_src"]
+    assert abs(out["untouched_median"]["jvm"] - 1.0) < 1e-9
+
+
 def test_fp_version_mismatch_falls_back_to_full_median(tmp_path):
     """Hashes from different hashing schemes (fp_version 1 vs 2 — the
     round-10 analyzed-plan switch) are incomparable: every hash differs, so
