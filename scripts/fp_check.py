@@ -100,6 +100,30 @@ def main() -> int:
         finally:
             del os.environ["SPARK_GRAFT_PLAN_ONLY"]
 
+    # one-line INCR artifact freshness report (VERDICT r10 item 7):
+    # informational — increment economics don't shift on every commit, but
+    # the round's INCR_r{N}.json should name the HEAD it was measured at
+    import glob
+    import subprocess
+
+    incrs = sorted(glob.glob(os.path.join(REPO, "INCR_r*.json")))
+    if incrs:
+        with open(incrs[-1]) as f:
+            incr = json.load(f)
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.strip()
+        state = "at HEAD" if incr.get("head") == head else (
+            f"measured at {incr.get('head')} (HEAD is {head})"
+        )
+        gaps = {
+            k: v.get("full_over_incr")
+            for k, v in (incr.get("families") or {}).items()
+        }
+        print(f"INCR: {os.path.basename(incrs[-1])} {state}, "
+              f"full/incr gaps {gaps}")
+
     if bad:
         print(f"STALE SNAPSHOT ({snap_path}): {len(bad)} disagreements")
         for line in bad:

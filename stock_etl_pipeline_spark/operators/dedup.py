@@ -2589,6 +2589,17 @@ def minhash_index_write(
         "shingle_n int, shingle_df_cap int",
     )
     model.coalesce(1).write.mode("overwrite").parquet(path + "_model")
+    # a (re)write re-freezes the ban set from today's dfs: reset the drift
+    # _stats history so minhash_index_health baselines on post-rewrite
+    # increments (only when a sidecar exists — never create clutter)
+    try:
+        spark.read.parquet(path + "_stats")
+    except Exception:
+        pass
+    else:
+        spark.createDataFrame(
+            [], "seq long, n_docs long, n_cand long, cand_per_doc double"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "_stats")
     return {
         "destination": path,
         "mode": "overwrite",
@@ -2608,6 +2619,7 @@ def minhash_index_increment(
     text_col: str = "text",
     signature_backend: str | None = None,
     n_docs: int | None = None,
+    record_stats: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs INVOLVING the increment — (doc_a, doc_b, n_a,
     n_b, inter, jaccard), minhash_lsh_pairs' exact schema and exact flags
@@ -2662,9 +2674,86 @@ def minhash_index_increment(
         num_hashes=num_hashes, bands=bands,
         est_min_matches=meta["est_min_matches"], threshold=meta["threshold"],
     )
+    if record_stats:
+        # Stop-list-drift statistic (scripts/drift_lab.py calibration): the
+        # banded candidate count of this increment against the index — the
+        # first stage of the flag join, re-counted on the cached signature
+        # relations (one extra count, no extra signing). Unbanned
+        # newly-hot shingles inflate exactly this number;
+        # minhash_index_health turns its growth into the rewrite trigger.
+        n_new = sig_new.count()
+        n_cand = (
+            _bk_bands(sig_new, bands, "id_a")
+            .join(
+                _bk_bands(stored.unionByName(sig_new), bands, "id_b"),
+                ["band_id", "band_key"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        try:
+            seq = spark.read.parquet(path + "_stats").count()
+        except Exception:
+            seq = 0
+        spark.createDataFrame(
+            [(int(seq), int(n_new), int(n_cand),
+              float(n_cand) / max(1, n_new))],
+            "seq long, n_docs long, n_cand long, cand_per_doc double",
+        ).coalesce(1).write.mode("append").parquet(path + "_stats")
     if append:
         sig_new.write.mode("append").parquet(path)
     return pairs
+
+
+def minhash_index_health(
+    spark: SparkSession, path: str, *, ratio_threshold: float = 2.0
+) -> dict:
+    """Evaluate the stop-list-drift rewrite trigger from the ``_stats``
+    sidecar that ``minhash_index_increment(record_stats=True)`` appends.
+
+    Statistic: candidates per increment doc in the banded join. The ban
+    set is frozen at build time, so boilerplate that crosses the df cap
+    only AFTER later increments keeps minhashing — and every unbanned hot
+    shingle shows up as extra band collisions before any verify work.
+    Measured (scripts/drift_lab.py, 100x tier): organic same-distribution
+    increments hold the ratio near 1, while a template-spam stream
+    multiplies it within a handful of batches; fresh-vs-frozen flag
+    recall stays high long after cost has exploded, so COST, not recall,
+    is the operative trigger.
+
+    Baseline = median cand_per_doc of the first 3 recorded increments;
+    current = the latest. ``rewrite_recommended`` when current/baseline >
+    ``ratio_threshold`` (default 2x — roughly the point where the extra
+    candidate mass rivals the signing cost a rewrite would pay once).
+    Run :func:`minhash_index_rewrite` with the full corpus to re-freeze
+    the ban set from today's dfs; stats history is cleared by the rewrite
+    (a fresh baseline starts with the next increment)."""
+    import statistics as _st
+
+    try:
+        rows = sorted(
+            spark.read.parquet(path + "_stats").collect(),
+            key=lambda r: r["seq"],
+        )
+    except Exception:
+        return {"stats_rows": 0, "rewrite_recommended": False,
+                "reason": "no _stats sidecar (record_stats never enabled)"}
+    if not rows:
+        return {"stats_rows": 0, "rewrite_recommended": False,
+                "reason": "empty _stats sidecar"}
+    baseline = _st.median(r["cand_per_doc"] for r in rows[:3])
+    current = rows[-1]["cand_per_doc"]
+    ratio = current / max(baseline, 1e-9)
+    return {
+        "stats_rows": len(rows),
+        "baseline_cand_per_doc": round(baseline, 3),
+        "current_cand_per_doc": round(current, 3),
+        "ratio": round(ratio, 3),
+        "ratio_threshold": ratio_threshold,
+        "rewrite_recommended": ratio > ratio_threshold,
+    }
 
 
 def minhash_flags_from_signatures(

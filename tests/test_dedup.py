@@ -1630,6 +1630,91 @@ def test_minhash_index_increment_matches_batch(spark, tmp_path):
     assert (10, 20) in {(a, b) for a, b, *_ in flags2}  # N2 sees N1 via append
 
 
+def test_minhash_index_health_drift_trigger(spark, tmp_path):
+    """record_stats + minhash_index_health (VERDICT r10 item 5): organic
+    increments keep the candidates/doc ratio near baseline (no rewrite
+    recommended); a template-spam stream whose boilerplate crossed the cap
+    only after the freeze inflates the banded-candidate statistic and
+    trips the 2x trigger; a rewrite resets the history and the verdict."""
+    from stock_etl_pipeline_spark.operators.dedup import (
+        minhash_index_health,
+        minhash_index_increment,
+        minhash_index_rewrite,
+        minhash_index_write,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"tok{i}" for i in range(300)]
+
+    def doc(i):
+        return (i, " ".join(rng.choice(words) for _ in range(40)))
+
+    dC = spark.createDataFrame(
+        [doc(i) for i in range(40)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_health")
+    geom = dict(num_hashes=20, bands=4, threshold=0.7, shingle_n=3)
+    minhash_index_write(dC, path, n_files=1, shingle_df_cap=8, **geom)
+    h0 = minhash_index_health(spark, path)
+    assert not h0["rewrite_recommended"] and h0["stats_rows"] == 0
+
+    # organic increments: distinct random docs, near-baseline candidates
+    for k in range(3):
+        dN = spark.createDataFrame(
+            [doc(100 + 10 * k + j) for j in range(5)],
+            "doc_id long, text string",
+        )
+        minhash_index_increment(spark, path, dN, record_stats=True)
+    h1 = minhash_index_health(spark, path)
+    assert h1["stats_rows"] == 3 and not h1["rewrite_recommended"]
+
+    # template spam: one boilerplate paragraph + unique tails — its
+    # shingles were NOT hot at freeze time, so nothing bans them and every
+    # spam doc band-collides with every earlier spam doc
+    boiler = " ".join(f"spam{i % 7} footer unsubscribe now" for i in range(30))
+    for k in range(4):
+        dS = spark.createDataFrame(
+            [(500 + 20 * k + j, f"{boiler} tail{20 * k + j}") for j in range(10)],
+            "doc_id long, text string",
+        )
+        minhash_index_increment(spark, path, dS, record_stats=True)
+    h2 = minhash_index_health(spark, path)
+    assert h2["stats_rows"] == 7
+    assert h2["ratio"] > 2.0 and h2["rewrite_recommended"], h2
+
+    # rewrite re-freezes the ban set from today's dfs and clears history
+    full = dC
+    for k in range(3):
+        full = full.unionByName(
+            spark.createDataFrame(
+                [doc(100 + 10 * k + j) for j in range(5)],
+                "doc_id long, text string",
+            )
+        )
+    for k in range(4):
+        full = full.unionByName(
+            spark.createDataFrame(
+                [(500 + 20 * k + j, f"{boiler} tail{20 * k + j}")
+                 for j in range(10)],
+                "doc_id long, text string",
+            )
+        )
+    minhash_index_rewrite(full, path, n_files=1)
+    h3 = minhash_index_health(spark, path)
+    assert h3["stats_rows"] == 0 and not h3["rewrite_recommended"]
+    # post-rewrite spam is banned at signing: a fresh spam increment's
+    # candidate statistic stays calm under the new freeze
+    dS2 = spark.createDataFrame(
+        [(900 + j, f"{boiler} tail x{j}") for j in range(10)],
+        "doc_id long, text string",
+    )
+    minhash_index_increment(spark, path, dS2, record_stats=True)
+    h4 = minhash_index_health(spark, path)
+    assert h4["stats_rows"] == 1 and not h4["rewrite_recommended"]
+
+
 def test_minhash_index_capped_frozen_ban_list(spark, tmp_path):
     """Capped-geometry index: the banned hot-shingle relation is FROZEN at
     write time; on a corpus whose hot shingles already exceed the cap at
