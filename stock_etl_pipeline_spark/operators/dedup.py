@@ -2717,11 +2717,19 @@ def minhash_index_health(
     set is frozen at build time, so boilerplate that crosses the df cap
     only AFTER later increments keeps minhashing — and every unbanned hot
     shingle shows up as extra band collisions before any verify work.
-    Measured (scripts/drift_lab.py, 100x tier): organic same-distribution
-    increments hold the ratio near 1, while a template-spam stream
-    multiplies it within a handful of batches; fresh-vs-frozen flag
-    recall stays high long after cost has exploded, so COST, not recall,
-    is the operative trigger.
+
+    Measured (scripts/drift_lab.py, 100x tier — SCALING.md round 11),
+    there are TWO drift modes and this trigger covers one of them:
+
+    - adversarial boilerplate is COST-visible long before it is
+      recall-visible: a template-spam stream tripped the 2x line at 150
+      spam docs (0.03% of the corpus) while frozen-vs-fresh flag recall
+      was still 0.97 — THIS trigger's mode;
+    - organic drift is NOT cost-visible: cand/doc held 1.00x while
+      recall walked 0.976 → 0.904 over +10% corpus growth (the per-doc
+      collision rate is constant; only totals grow). Cover it with the
+      free growth fraction — appended rows / indexed rows, a metadata
+      count — and rewrite on ~+5% growth to hold recall above ~0.95.
 
     Baseline = median cand_per_doc of the first 3 recorded increments;
     current = the latest. ``rewrite_recommended`` when current/baseline >
