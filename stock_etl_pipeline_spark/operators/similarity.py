@@ -1209,6 +1209,7 @@ def ivf_clustered_write(
     n_files: int | None = None,
     assign_backend: str = "jvm",
     centroids: DataFrame | None = None,
+    record_stats: bool = False,
 ) -> dict:
     """Train the exact k-means coarse quantizer, assign every corpus vector
     its cell, and write the corpus parquet range-partitioned + sorted on
@@ -1240,12 +1241,111 @@ def ivf_clustered_write(
     )
     # the model is O(K·dim) doubles by construction — one file
     centroids.coalesce(1).write.mode("overwrite").parquet(path + "_model")
+    if record_stats:
+        _ivf_record_stats(
+            corpus.sparkSession, path, assigned, centroids, seq=0
+        )
     return {
         "rows_loaded": corpus.count(),
         "destination": path,
         "mode": "overwrite",
         "k_clusters": k_clusters,
         "model_path": path + "_model",
+    }
+
+
+def _ivf_record_stats(spark, path: str, assigned, centroids, seq: int | None):
+    """Append one quantization-distortion row to ``<path>_stats``: mean
+    squared distance of the batch's vectors to their ASSIGNED centroid
+    (one narrow broadcast join on cid over relations the caller already
+    built — no extra cross join) plus the top-cell occupancy fraction.
+    ``seq=0`` is the build-time baseline; appends pass None to take the
+    next ordinal."""
+    dist = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
+    row = (
+        assigned.join(F.broadcast(centroids), "cid")
+        .select(
+            (F.col("vv") + F.col("cc") - 2 * dist).alias("d2"),
+            F.col("cid"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("d2").alias("mean_d2"),
+        )
+        .collect()[0]
+    )
+    top = (
+        assigned.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    )
+    if seq is None:
+        try:
+            seq = spark.read.parquet(path + "_stats").count()
+        except Exception:
+            seq = 0
+    spark.createDataFrame(
+        [(
+            int(seq), int(row["n"]), float(row["mean_d2"]),
+            float(top) / max(1, int(row["n"])),
+        )],
+        "seq long, n_vecs long, mean_d2 double, top_cell_frac double",
+    ).coalesce(1).write.mode("append" if seq else "overwrite").parquet(
+        path + "_stats"
+    )
+
+
+def ivf_index_health(
+    spark: SparkSession, path: str, *, dist_threshold: float = 1.5
+) -> dict:
+    """Evaluate the IVF model-drift retrain trigger from the ``_stats``
+    sidecar written by ``ivf_clustered_write(record_stats=True)`` /
+    ``ivf_append(record_stats=True)``.
+
+    The coarse quantizer is FROZEN at build: appends assign against it,
+    which keeps append == one-shot-write exact (the layout contract), but
+    a shifted ingest distribution lands far from every frozen centroid —
+    quantization distortion (mean squared distance to the assigned
+    centroid) rises, cells fatten unevenly, and probed-recall decays
+    because true neighbors scatter across more cells than nprobe reads.
+    Distortion is the free statistic: the append's assignment already
+    built (vector, cell) — one broadcast join re-derives the distance.
+
+    Calibration (test-pinned): on CLUSTERED data, same-distribution
+    appends hold mean_d2 within ~1.1x of the build baseline while an
+    unseen cluster reads several-x — ``dist_threshold`` defaults between
+    the two at 1.5x. Measured caveat: on ISOTROPIC vectors (the synthetic
+    embeddings table — random directions, centroids near the origin,
+    d2 ≈ ‖v‖² in every direction) even an antipodal shift reads ~1.02x.
+    That is a property of the data, not a blind spot: with no cluster
+    structure there is no "wrong cell" for a vector to land in, and
+    probed recall is equally shift-invariant — distortion moves exactly
+    when the structure IVF exploits exists to drift. A NORM shift (scale
+    change in the embedding pipeline, e.g. a model swap that stops
+    normalizing) moves mean_d2 directly and is caught regardless.
+    ``retrain_recommended`` → rerun ``ivf_clustered_write`` WITHOUT
+    ``centroids`` (fresh Lloyd) — the periodic compaction rewrite is the
+    natural moment."""
+    try:
+        rows = sorted(
+            spark.read.parquet(path + "_stats").collect(),
+            key=lambda r: r["seq"],
+        )
+    except Exception:
+        return {"stats_rows": 0, "retrain_recommended": False,
+                "reason": "no _stats sidecar (record_stats never enabled)"}
+    base = next((r for r in rows if r["seq"] == 0), None)
+    if base is None or len(rows) < 2:
+        return {"stats_rows": len(rows), "retrain_recommended": False,
+                "reason": "need a seq-0 write baseline and >=1 append"}
+    cur = rows[-1]
+    ratio = cur["mean_d2"] / max(base["mean_d2"], 1e-12)
+    return {
+        "stats_rows": len(rows),
+        "baseline_mean_d2": round(base["mean_d2"], 6),
+        "current_mean_d2": round(cur["mean_d2"], 6),
+        "ratio": round(ratio, 3),
+        "dist_threshold": dist_threshold,
+        "current_top_cell_frac": round(cur["top_cell_frac"], 4),
+        "retrain_recommended": ratio > dist_threshold,
     }
 
 
@@ -1258,6 +1358,7 @@ def ivf_append(
     vec_col: str = "embedding",
     n_files: int | None = None,
     assign_backend: str = "jvm",
+    record_stats: bool = False,
 ) -> dict:
     """Ingest an embedding increment into an existing IVF layout: assign the
     new vectors against the FROZEN sidecar model (same quantized-distance
@@ -1286,6 +1387,8 @@ def ivf_append(
         .write.mode("append")
         .parquet(path)
     )
+    if record_stats:
+        _ivf_record_stats(spark, path, assigned, centroids, seq=None)
     return {"rows_loaded": new_vecs.count(), "destination": path, "mode": "append"}
 
 

@@ -319,6 +319,60 @@ def test_ivf_append_equals_one_shot_write_under_same_model(spark, sf_oracle, tmp
     )
 
 
+def test_ivf_index_health_distortion_trigger(spark, tmp_path):
+    """IVF model-drift health (round 11): on CLUSTERED data, a
+    same-distribution append holds the quantization-distortion ratio near
+    1 (no retrain), an append from an UNSEEN cluster multiplies mean
+    squared distance to the frozen centroids and trips the 1.5x trigger,
+    and a fresh write resets the baseline."""
+    from stock_etl_pipeline_spark.operators import similarity
+
+    def cluster(center, base_id, n=40):
+        rows = []
+        for i in range(n):
+            vec = [
+                c + ((i * 7 + d * 3) % 5 - 2) * 0.03
+                for d, c in enumerate(center)
+            ]
+            rows.append((base_id + i, vec))
+        return rows
+
+    dim = 8
+    c0 = [4.0] + [0.0] * (dim - 1)
+    c1 = [0.0, 4.0] + [0.0] * (dim - 2)
+    c2 = [0.0, 0.0, 4.0] + [0.0] * (dim - 3)  # unseen at build time
+    schema = "vec_id long, embedding array<double>"
+    train = spark.createDataFrame(cluster(c0, 0) + cluster(c1, 100), schema)
+    same = spark.createDataFrame(
+        cluster(c0, 1000, 20) + cluster(c1, 1100, 20), schema
+    )
+    shift = spark.createDataFrame(cluster(c2, 2000, 40), schema)
+
+    path = str(tmp_path / "ivf_health")
+    similarity.ivf_clustered_write(
+        train, path, k_clusters=2, n_files=2, record_stats=True
+    )
+    h0 = similarity.ivf_index_health(spark, path)
+    assert not h0["retrain_recommended"]  # baseline only, no appends yet
+
+    similarity.ivf_append(spark, path, same, record_stats=True)
+    h1 = similarity.ivf_index_health(spark, path)
+    assert h1["stats_rows"] == 2 and not h1["retrain_recommended"]
+    assert h1["ratio"] < 1.2, h1
+
+    similarity.ivf_append(spark, path, shift, record_stats=True)
+    h2 = similarity.ivf_index_health(spark, path)
+    assert h2["ratio"] > 1.5 and h2["retrain_recommended"], h2
+
+    # retrain (fresh Lloyd over everything) resets the baseline
+    allv = train.unionByName(same).unionByName(shift)
+    similarity.ivf_clustered_write(
+        allv, path, k_clusters=3, n_files=2, record_stats=True
+    )
+    h3 = similarity.ivf_index_health(spark, path)
+    assert h3["stats_rows"] == 1 and not h3["retrain_recommended"]
+
+
 def test_rank_expr_preserves_string_order(spark):
     """The 7-byte padded prefix projection must order exactly like Spark's
     string comparison — including short-vs-extension ('b' > 'ab'), empty
