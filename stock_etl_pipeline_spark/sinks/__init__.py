@@ -60,8 +60,9 @@ def _swap_into_place(spark: SparkSession, staging: str, target: str) -> None:
     SOME path and every failure mode is recoverable by a rename (a leftover
     ``__old`` from a prior crash is cleared first). Readers can still observe
     a brief missing-path window between the two renames — full snapshot
-    isolation needs a lakehouse table format (Delta/Iceberg), which slots in
-    at merge_write's gated backend.
+    isolation is what ``sinks/acid.py`` provides (marker-committed immutable
+    snapshots, no window at all); a lakehouse format (Delta/Iceberg) slots
+    in at merge_write's gated backend when its jar is present.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -452,3 +452,89 @@ def test_media_from_binary_files_decodes_real_png(spark, tmp_path):
     feats = multimodal.extract_media_features(media).collect()
     dims = sorted((r["width"], r["height"]) for r in feats)
     assert dims == [(2, 2), (3, 1)]
+
+
+# --- snapshot-committed ACID table (sinks/acid.py, round 11) -----------------
+
+
+def test_acid_table_merge_snapshot_isolation_and_conflict(spark, tmp_path):
+    """Transactional MERGE without a lakehouse jar: commits publish via an
+    atomic marker (current = max ordinal), a reader resolved BEFORE a
+    commit keeps returning its snapshot AFTER the commit (isolation), the
+    optimistic check raises CommitConflict on a raced parent, and the
+    merge loop retries and wins."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_tbl")
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+
+    rep1 = acid.acid_merge_upsert(spark, table, d1, ["k"])
+    assert rep1["ordinal"] == 1 and rep1["rows_loaded"] == 2
+    assert rows(acid.acid_read(spark, table)) == [(1, "a"), (2, "b")]
+
+    # resolve a reader at ordinal 1, then commit ordinal 2
+    reader_v1 = acid.acid_read(spark, table)
+    d2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    rep2 = acid.acid_merge_upsert(spark, table, d2, ["k"])
+    assert rep2["ordinal"] == 2
+    assert rows(acid.acid_read(spark, table)) == [(1, "a"), (2, "B"), (3, "c")]
+    # SNAPSHOT ISOLATION: the v1 reader still sees the v1 table
+    assert rows(reader_v1) == [(1, "a"), (2, "b")]
+
+    # optimistic check: a commit expecting a stale parent must NOT publish
+    import pytest as _pt
+
+    with _pt.raises(acid.CommitConflict):
+        acid.acid_commit(spark, table, d1, expected_parent=1)
+    assert acid._current_ordinal(spark, table) == 2
+
+    # raced marker: pre-publish ordinal 3 out from under a commit — the
+    # direct commit conflicts, the merge loop retries against the winner
+    fs, jvm = acid._fs(spark, table)
+    winner = spark.createDataFrame([(9, "w")], "k long, v string")
+    winner.write.parquet(acid._snap_dir(table, 3))
+    fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{acid._commits_dir(table)}/{3:020d}"
+        )
+    )
+    d3 = spark.createDataFrame([(4, "d")], "k long, v string")
+    rep3 = acid.acid_merge_upsert(spark, table, d3, ["k"])
+    assert rep3["ordinal"] == 4 and rep3["parent"] == 3
+    assert (9, "w") in rows(acid.acid_read(spark, table))  # merged ON TOP
+    assert (4, "d") in rows(acid.acid_read(spark, table))
+
+    hist = acid.acid_history(spark, table)
+    assert [h["ordinal"] for h in hist] == [1, 2, 3, 4]
+    assert hist[2].get("meta_missing")  # the bare-marker race winner
+    assert hist[-1]["operation"] == "merge" and hist[-1]["parent"] == 3
+
+
+def test_acid_vacuum_sweeps_old_and_orphans(spark, tmp_path):
+    """Vacuum removes published snapshots beyond the keep window and
+    ORPHAN dirs from crashed commits (no marker), never the current
+    snapshot, and spares current+1 (a possibly in-flight commit)."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_vac")
+    for i in range(4):
+        acid.acid_commit(
+            spark, table,
+            spark.createDataFrame([(i,)], "k long"),
+        )
+    # orphan: a crashed commit staged snap-2 worth of data at ordinal 99
+    spark.createDataFrame([(99,)], "k long").write.parquet(
+        acid._snap_dir(table, 99)
+    )
+    # ...and current+1 in flight
+    spark.createDataFrame([(5,)], "k long").write.parquet(
+        acid._snap_dir(table, 5)
+    )
+    rep = acid.acid_vacuum(spark, table, keep=2)
+    assert rep["removed"] == [1, 2, 99]
+    assert sorted(acid._current_ordinal(spark, table) for _ in [0]) == [4]
+    assert [h["ordinal"] for h in acid.acid_history(spark, table)] == [3, 4]
+    assert [r["k"] for r in acid.acid_read(spark, table).collect()] == [3]
+    fs, jvm = acid._fs(spark, table)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(acid._snap_dir(table, 5)))
