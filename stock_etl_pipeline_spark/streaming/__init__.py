@@ -18,6 +18,7 @@ from .pipeline import (
     sessionize_stream,
     stateful_sessionize,
     stateful_user_totals,
+    stream_acid_merge,
     stream_merge_upsert,
     streaming_semantic_dedup,
     streaming_semantic_groups,
@@ -44,6 +45,7 @@ __all__ = [
     "streaming_semantic_groups",
     "streaming_simhash_near_dup",
     "stateful_user_totals",
+    "stream_acid_merge",
     "stream_merge_upsert",
     "tumbling_event_counts",
     "tuned_stream_confs",

@@ -328,6 +328,33 @@ def stream_merge_upsert(
     )
 
 
+def stream_acid_merge(
+    stream: DataFrame,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """MERGE per micro-batch into a snapshot-committed ACID table
+    (sinks/acid.py): each batch becomes one atomically-published snapshot,
+    so a concurrent reader NEVER sees a half-merged batch — the isolation
+    stream_merge_upsert's in-place partition rewrite cannot give. Replays
+    are effectively-once by the same argument (MERGE is idempotent on
+    keys: a re-merged batch publishes a snapshot with identical content,
+    just one more ordinal — acid_vacuum sweeps the history)."""
+    from ..sinks.acid import acid_merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        acid_merge_upsert(batch_df.sparkSession, table, batch_df, keys)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def tuned_stream_confs(
     spark,
     *,

@@ -733,8 +733,8 @@ def test_fragment_edges_closure_matches_components(graph):
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=400),      # doc id pool (dups pruned)
-            st.integers(min_value=0, max_value=30),       # token count (incl. 0)
-            st.integers(min_value=0, max_value=20),       # quality grid (ties likely)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
         ),
         min_size=1,
         max_size=60,
@@ -746,10 +746,8 @@ def test_token_budget_matches_naive_cumsum(spark, rows, budget, buckets):
     """Property form of the sample_to_token_budget pin: for ANY corpus,
     budget, and bucket count (including buckets=1, the degenerate
     all-straddle case), the kept set equals the naive global ordered
-    cumsum — zero-token docs, ties, and bucket-boundary budgets included."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+    cumsum — zero-token docs, ties, bucket-boundary budgets, NULL counts
+    (0 tokens) and NULL quality (sorts last) included (ADVICE r10)."""
     from stock_etl_pipeline_spark.operators.sampling import sample_to_token_budget
 
     seen = set()
@@ -758,19 +756,21 @@ def test_token_budget_matches_naive_cumsum(spark, rows, budget, buckets):
         if i in seen:
             continue
         seen.add(i)
-        data.append((i, n, q / 20.0))
+        data.append((i, n, None if q is None else q / 20.0))
     df = spark.createDataFrame(
         data, "doc_id long, n_tokens long, quality_score double"
     )
-    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # pure-python naive cumsum with the documented NULL contract:
+    # quality NULLS LAST (both engines' DESC default), counts COALESCE 0
+    order = sorted(
+        data,
+        key=lambda r: (r[2] is None, -(r[2] or 0.0), r[0]),
     )
-    want = {
-        r["doc_id"]
-        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
-        .filter(F.col("cum") <= budget)
-        .collect()
-    }
+    want, cum = set(), 0
+    for i, n, q in order:
+        cum += n or 0
+        if cum <= budget:
+            want.add(i)
     got = {
         r["doc_id"]
         for r in sample_to_token_budget(df, budget, buckets=buckets).collect()

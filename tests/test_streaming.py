@@ -120,6 +120,41 @@ def test_stream_foreachbatch_merge(spark, events_dir, tmp_path):
     assert after == before  # replayed micro-batch left the sink unchanged
 
 
+def test_stream_acid_merge_snapshot_per_batch(spark, events_dir, tmp_path):
+    """Streaming MERGE into the snapshot-committed ACID table: end state
+    equals the batch MERGE result, every micro-batch published one atomic
+    snapshot (commit log), and a replay through a fresh checkpoint is
+    value-idempotent — extra snapshots, identical content."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    stream = streaming.read_events_stream(spark, events_dir)
+    table = str(tmp_path / "acid_gold")
+    q = streaming.stream_acid_merge(
+        stream, table, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_acid"),
+    ).start()
+    q.awaitTermination(120)
+    total = load_table(spark, SF, "events").count()
+    out = acid.acid_read(spark, table)
+    assert out.count() == total
+    hist = acid.acid_history(spark, table)
+    assert len(hist) >= 1 and all(h["operation"] == "merge" for h in hist)
+    before = sorted(map(repr, out.collect()))
+
+    stream2 = streaming.read_events_stream(spark, events_dir)
+    q2 = streaming.stream_acid_merge(
+        stream2, table, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_acid2"),
+    ).start()
+    q2.awaitTermination(120)
+    final = acid.acid_read(spark, table)
+    assert sorted(map(repr, final.collect())) == before
+    assert len(acid.acid_history(spark, table)) > len(hist)  # new snapshots
+    # vacuum keeps the table readable at the current snapshot
+    acid.acid_vacuum(spark, table, keep=1)
+    assert acid.acid_read(spark, table).count() == total
+
+
 def test_stateful_user_totals_across_batches(spark, tmp_path):
     # 4-file source + maxFilesPerTrigger=1 → state must survive micro-batches.
     src = str(tmp_path / "events_4files")
