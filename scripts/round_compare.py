@@ -106,6 +106,13 @@ def load(path: str) -> dict:
     if "parsed" in d or "tail" in d:
         parsed = d.get("parsed") or {}
         if parsed.get("queries"):
+            # the final line never carries fingerprints (output contract):
+            # scrape whatever survives in the tail window so a wrapper is
+            # self-contained when possible (sidecars still override)
+            rec = _from_text(d.get("tail", ""))
+            for k in ("plan_hash", "kernel_hash", "fp_version"):
+                if k in rec and k not in parsed:
+                    parsed[k] = rec[k]
             return parsed
         rec = _from_text(d.get("tail", ""))
         if not rec["queries"]:

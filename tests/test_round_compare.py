@@ -191,6 +191,28 @@ def test_fp_sidecar_merge(tmp_path):
     assert out["unknown"] == []
 
 
+def test_wrapper_with_valid_parsed_scrapes_tail_fingerprints(tmp_path):
+    """A driver wrapper whose final line parsed fine still carries its
+    fingerprints only in the TAIL text (output contract: the compact
+    final line has no hash maps) — load() must scrape them so the
+    artifact is self-contained without sidecar flags."""
+    q = {"a": 1.0, "b": 1.0}
+    inner = _bench(q, 1.0, 1.0)
+    tail = (
+        '{"metric": "code_fingerprints", "fp_version": 2, '
+        '"plan_hash": {"a": "111111111111", "b": "222222222222"}, '
+        '"kernel_hash": {"a": "dddddddddddd", "b": "eeeeeeeeeeee"}}\n'
+        + json.dumps(inner)
+    )
+    wrapper = {"n": 1, "rc": 0, "parsed": inner, "tail": tail}
+    old = _bench(q, 1.0, 1.0, ph={"a": "1" * 12, "b": "2" * 12},
+                 kh={"a": "d" * 12, "b": "0" * 12})  # b's kernel differs
+    old["fp_version"] = 2
+    out = _run(old, wrapper, tmp_path)
+    assert out["touched"] == ["b"]
+    assert out["unknown"] == []
+
+
 def test_fp_version_mismatch_uses_compat_map(tmp_path):
     """The round AFTER an FP_VERSION bump (v2 -> v3, round 11): the new
     side's sidecar carries a compat block with the OLD scheme's kernel
