@@ -1933,6 +1933,49 @@ def exact_dedup_index_compact(spark: SparkSession, path: str) -> dict:
     return {"destination": path, "rows": spark.read.parquet(path).count()}
 
 
+def exact_dedup_index_health(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files: int = 256,
+    max_fold: float = 8.0,
+) -> dict:
+    """When to run :func:`exact_dedup_index_compact` — the exact family's
+    drift is purely PHYSICAL (no frozen statistic to go stale: merge-on-read
+    is exact forever), so health is the two costs the log-structured layout
+    accretes: file COUNT (every increment appends parts; listing + footer
+    reads tax every stored read) and the FOLD factor rows/distinct
+    fingerprints (how many delta rows the merge-on-read aggregate folds per
+    key — pure overhead a compact removes). One metadata listing + one
+    aggregate over the 16-byte digest log; corpus text is never touched."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_files = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_files += 1
+    agg = (
+        spark.read.parquet(path)
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("fingerprint").alias("distinct"),
+        )
+        .collect()[0]
+    )
+    fold = agg["rows"] / max(1, agg["distinct"])
+    return {
+        "files": n_files,
+        "rows": int(agg["rows"]),
+        "distinct_fingerprints": int(agg["distinct"]),
+        "fold_factor": round(fold, 2),
+        "max_files": max_files,
+        "max_fold": max_fold,
+        "compact_recommended": n_files > max_files or fold > max_fold,
+    }
+
+
 # --- duplicate-span analysis (exact substring-dedup shape) -------------------
 
 

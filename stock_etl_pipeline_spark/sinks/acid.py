@@ -86,14 +86,28 @@ def _current_ordinal(spark: SparkSession, table: str) -> int:
     return best
 
 
-def acid_read(spark: SparkSession, table: str) -> DataFrame:
-    """The current snapshot as a DataFrame. The snapshot is resolved ONCE,
-    here; the returned frame scans immutable files, so commits that land
-    while a query runs do not change (or corrupt) its result — re-call
-    acid_read to observe them. Raises on a table with no commits."""
-    ordinal = _current_ordinal(spark, table)
-    if ordinal == 0:
-        raise FileNotFoundError(f"acid table {table!r} has no commits")
+def acid_read(
+    spark: SparkSession, table: str, *, ordinal: int | None = None
+) -> DataFrame:
+    """The current snapshot as a DataFrame — or TIME TRAVEL to a specific
+    published ``ordinal`` (any snapshot vacuum has not swept; the commit
+    log in acid_history names them). The snapshot is resolved ONCE, here;
+    the returned frame scans immutable files, so commits that land while a
+    query runs do not change (or corrupt) its result — re-call acid_read
+    to observe them. Raises on a table with no commits or an unpublished
+    ordinal."""
+    if ordinal is None:
+        ordinal = _current_ordinal(spark, table)
+        if ordinal == 0:
+            raise FileNotFoundError(f"acid table {table!r} has no commits")
+    else:
+        fs, jvm = _fs(spark, table)
+        marker = _hpath(jvm, f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}")
+        if not fs.exists(marker):
+            raise FileNotFoundError(
+                f"acid table {table!r}: ordinal {ordinal} was never "
+                f"published (or its marker was vacuumed)"
+            )
     return spark.read.parquet(_snap_dir(table, ordinal))
 
 

@@ -1559,6 +1559,16 @@ def test_exact_dedup_index_increment_matches_batch(spark, tmp_path):
     }
     assert view == batch
 
+    # health: the delta log's fold factor (rows/distinct) and file count
+    # drive the compact trigger; after compaction both reset
+    from stock_etl_pipeline_spark.operators.dedup import (
+        exact_dedup_index_health,
+    )
+
+    h = exact_dedup_index_health(spark, path, max_files=2, max_fold=1.0)
+    assert h["fold_factor"] > 1.0 and h["compact_recommended"]
+    assert h["files"] >= 3  # write + two increment appends
+
     # compaction folds the log without changing the view
     n_rows_before = spark.read.parquet(path).count()
     rep = exact_dedup_index_compact(spark, path)
@@ -1568,6 +1578,8 @@ def test_exact_dedup_index_increment_matches_batch(spark, tmp_path):
         for r in exact_dedup_index_read(spark, path).collect()
     }
     assert view2 == batch
+    h2 = exact_dedup_index_health(spark, path)
+    assert h2["fold_factor"] == 1.0 and not h2["compact_recommended"]
 
 
 def test_minhash_index_increment_matches_batch(spark, tmp_path):

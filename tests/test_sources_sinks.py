@@ -510,6 +510,11 @@ def test_acid_table_merge_snapshot_isolation_and_conflict(spark, tmp_path):
     assert hist[2].get("meta_missing")  # the bare-marker race winner
     assert hist[-1]["operation"] == "merge" and hist[-1]["parent"] == 3
 
+    # time travel: any published ordinal reads; an unpublished one refuses
+    assert rows(acid.acid_read(spark, table, ordinal=1)) == [(1, "a"), (2, "b")]
+    with _pt.raises(FileNotFoundError, match="never"):
+        acid.acid_read(spark, table, ordinal=7)
+
 
 def test_acid_vacuum_sweeps_old_and_orphans(spark, tmp_path):
     """Vacuum removes published snapshots beyond the keep window and
