@@ -220,6 +220,7 @@ def main() -> int:
         kernel_fingerprint,
         kernel_fingerprint_v2,
         plan_fingerprint,
+        plan_fingerprint_v2,
     )
 
     # PLAN_ONLY: building a registered DataFrame must not re-run the
@@ -228,6 +229,7 @@ def main() -> int:
     # Bounded model training (kmeans/codebook collects) still executes —
     # that is plan construction for these operators and costs seconds.
     plan_hash = {}
+    plan_hash_compat = {}
     kernel_hash = {}
     kernel_hash_compat = {}
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
@@ -246,9 +248,15 @@ def main() -> int:
                 kernel_hash_compat[name] = None
             try:
                 spark.catalog.clearCache()
-                plan_hash[name] = plan_fingerprint(s.fn(spark, sf_dir))
+                df = s.fn(spark, sf_dir)
+                plan_hash[name] = plan_fingerprint(df)
+                # v2 (unstripped-lambda) twin for the compat map: only
+                # comparable between identical construction histories,
+                # which bench-to-bench runs are
+                plan_hash_compat[name] = plan_fingerprint_v2(df)
             except Exception:
                 plan_hash[name] = None
+                plan_hash_compat[name] = None
     finally:
         del os.environ["SPARK_GRAFT_PLAN_ONLY"]
 
@@ -278,7 +286,7 @@ def main() -> int:
         "compat": {
             "fp_version": FP_COMPAT_VERSION,
             "kernel_hash": kernel_hash_compat,
-            "plan_hash": plan_hash,
+            "plan_hash": plan_hash_compat,
         },
     }
     sidecar = os.path.join(

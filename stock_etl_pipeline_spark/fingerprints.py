@@ -615,12 +615,36 @@ def kernel_fingerprint(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
     return acc.hexdigest()[:12]
 
 
-def plan_fingerprint(df) -> str:
-    """md5 of the analyzed logical plan, session-varying tokens stripped
-    (see module docstring for why analyzed, not optimized)."""
+def _analyzed_plan_string(df) -> str:
     s = df._jdf.queryExecution().analyzed().toString()
     s = re.sub(r"#\d+L?", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"0x[0-9a-f]+", "0x", s)
     s = re.sub(r"at [^>]*>", ">", s)
+    return s
+
+
+def plan_fingerprint(df) -> str:
+    """md5 of the analyzed logical plan, session-varying tokens stripped
+    (see module docstring for why analyzed, not optimized).
+
+    fp_version 3 also strips LAMBDA VARIABLE ordinals (found round 11):
+    higher-order functions name their variables from a SESSION-GLOBAL
+    counter — ``transform(..., lambda x_3#)`` in one session is
+    ``lambda x_7#`` in another depending on how many lambda-bearing plans
+    were constructed earlier — so doc_text_stats hashed differently in
+    bench.py (which times 2 reps of every query before fingerprinting)
+    vs a fingerprint-only sweep on byte-identical code. The ``lambda ``
+    prefix scopes the strip: genuine column names like ``minh_0`` never
+    carry it, so their ordinals survive."""
+    s = _analyzed_plan_string(df)
+    s = re.sub(r"lambda (\w+?)_\d+#", r"lambda \1#", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def plan_fingerprint_v2(df) -> str:
+    """The fp_version-2 plan hash (no lambda strip) — kept for the
+    cross-version compat map: v2 plan hashes are comparable across rounds
+    only between runs with IDENTICAL construction history (bench.py's
+    fixed sweep), which is exactly the compat map's use."""
+    return hashlib.md5(_analyzed_plan_string(df).encode()).hexdigest()[:12]

@@ -282,6 +282,37 @@ def test_plan_fingerprint_session_history_independent(spark, sf_small):
     assert fresh == after
 
 
+def test_plan_fingerprint_lambda_counter_independent(spark, sf_small):
+    """fp_version-3 regression (found round 11): higher-order-function
+    lambda variables are named from a SESSION-GLOBAL counter (x_3 vs x_7
+    on byte-identical code depending on how many lambda-bearing plans
+    were built earlier), so doc_text_stats hashed differently in bench.py
+    (times every query before fingerprinting) vs a fingerprint-only
+    sweep. The v3 hash strips 'lambda <name>_<n>' ordinals; the strip is
+    scoped by the 'lambda ' prefix so real columns like minh_0 keep
+    their ordinals (distinct minhash plan hashes prove it)."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    reg = load_all()
+    fn = reg["doc_text_stats"].fn
+    h1 = fingerprints.plan_fingerprint(fn(spark, sf_small))
+    # burn the session-global lambda counter like bench's timing sweep
+    for n in ("doc_text_stats", "doc_token_fingerprint", "doc_lang_report"):
+        reg[n].fn(spark, sf_small)
+    h2 = fingerprints.plan_fingerprint(fn(spark, sf_small))
+    assert h1 == h2
+    # v2 (unstripped) twin exists for the compat map and differs exactly
+    # when the counter moved
+    assert fingerprints.plan_fingerprint_v2(fn(spark, sf_small)) is not None
+    # column-name ordinals survive the scoped strip: the two minhash
+    # variants' plans must not collapse onto one hash
+    a = fingerprints.plan_fingerprint(reg["doc_minhash_lsh"].fn(spark, sf_small))
+    b = fingerprints.plan_fingerprint(
+        reg["doc_minhash_capped"].fn(spark, sf_small)
+    )
+    assert a != b
+
+
 def test_kernel_fingerprint_covers_session_confs(monkeypatch):
     """session.py is folded into every real-package closure (the analyzed
     plan cannot see conf changes): a session.py byte change must move every
