@@ -457,6 +457,18 @@ def function_closure(fn: Callable, pkg_prefix: str = _PKG) -> dict[str, str]:
                                 work.append(mv.__func__)
                             elif isinstance(mv, property) and mv.fget:
                                 work.append(mv.fget)
+                        # inherited behavior: in-package BASE classes are
+                        # part of the closure (editing Base.run changes a
+                        # Derived().run() caller whose own source is
+                        # untouched — a missed touch, the unsafe direction)
+                        for base in v.__mro__[1:]:
+                            if base is object:
+                                continue
+                            bm = inspect.getmodule(base)
+                            if bm is not None and getattr(
+                                bm, "__name__", ""
+                            ).startswith(pkg_prefix):
+                                add_value(base, bm)
         elif inspect.ismodule(v):
             add_module(v)
         else:

@@ -2634,12 +2634,13 @@ def minhash_index_write(
     model.coalesce(1).write.mode("overwrite").parquet(path + "_model")
     # a (re)write re-freezes the ban set from today's dfs: reset the drift
     # _stats history so minhash_index_health baselines on post-rewrite
-    # increments (only when a sidecar exists — never create clutter)
-    try:
-        spark.read.parquet(path + "_stats")
-    except Exception:
-        pass
-    else:
+    # increments (only when a sidecar exists — never create clutter; a
+    # metadata existence probe, not a Spark read job, and a transiently
+    # unreadable sidecar cannot masquerade as absent)
+    jvm = spark._jvm
+    stats_p = jvm.org.apache.hadoop.fs.Path(path + "_stats")
+    stats_fs = stats_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if stats_fs.exists(stats_p):
         spark.createDataFrame(
             [], "seq long, n_docs long, n_cand long, cand_per_doc double"
         ).coalesce(1).write.mode("overwrite").parquet(path + "_stats")

@@ -1257,40 +1257,48 @@ def ivf_clustered_write(
 def _ivf_record_stats(spark, path: str, assigned, centroids, seq: int | None):
     """Append one quantization-distortion row to ``<path>_stats``: mean
     squared distance of the batch's vectors to their ASSIGNED centroid
-    (one narrow broadcast join on cid over relations the caller already
-    built — no extra cross join) plus the top-cell occupancy fraction.
-    ``seq=0`` is the build-time baseline; appends pass None to take the
-    next ordinal."""
+    plus the top-cell occupancy fraction — ONE job (a per-cell count +
+    d2-sum aggregate, ≤K rows to the driver; the broadcast cid join adds
+    no shuffle, and both statistics derive from the same K rows).
+    ``seq=0`` marks the build-time BASELINE row; appends pass None and
+    are recorded as non-baseline even on a sidecar-less index, so
+    ivf_index_health never mistakes a (possibly already-drifted) append
+    for the build distortion."""
     dist = F.expr(_DOT_D.format(a="v_dbl", b="c_dbl"))
-    row = (
+    cells = (
         assigned.join(F.broadcast(centroids), "cid")
         .select(
-            (F.col("vv") + F.col("cc") - 2 * dist).alias("d2"),
             F.col("cid"),
+            (F.col("vv") + F.col("cc") - 2 * dist).alias("d2"),
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.avg("d2").alias("mean_d2"),
-        )
-        .collect()[0]
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"), F.sum("d2").alias("sd2"))
+        .collect()
     )
-    top = (
-        assigned.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+    n = sum(int(r["n"]) for r in cells)
+    mean_d2 = (
+        sum(float(r["sd2"]) for r in cells) / n if n else 0.0
     )
+    top = max((int(r["n"]) for r in cells), default=0)
+    is_baseline = seq == 0
     if seq is None:
+        # strictly-increasing append ordinal; never 0 (reserved for a
+        # real build baseline — on a sidecar-less index health reports
+        # the missing baseline instead of adopting a drifted append)
         try:
-            seq = spark.read.parquet(path + "_stats").count()
+            seq = spark.read.parquet(path + "_stats").count() + 1
         except Exception:
-            seq = 0
+            seq = 1
     spark.createDataFrame(
         [(
-            int(seq), int(row["n"]), float(row["mean_d2"]),
-            float(top) / max(1, int(row["n"])),
+            int(seq), bool(is_baseline), int(n), float(mean_d2),
+            float(top) / max(1, n),
         )],
-        "seq long, n_vecs long, mean_d2 double, top_cell_frac double",
-    ).coalesce(1).write.mode("append" if seq else "overwrite").parquet(
-        path + "_stats"
-    )
+        "seq long, is_baseline boolean, n_vecs long, mean_d2 double, "
+        "top_cell_frac double",
+    ).coalesce(1).write.mode(
+        "overwrite" if is_baseline else "append"
+    ).parquet(path + "_stats")
 
 
 def ivf_index_health(
@@ -1332,11 +1340,18 @@ def ivf_index_health(
     except Exception:
         return {"stats_rows": 0, "retrain_recommended": False,
                 "reason": "no _stats sidecar (record_stats never enabled)"}
-    base = next((r for r in rows if r["seq"] == 0), None)
-    if base is None or len(rows) < 2:
+    base = next((r for r in rows if r["is_baseline"]), None)
+    if base is None:
         return {"stats_rows": len(rows), "retrain_recommended": False,
-                "reason": "need a seq-0 write baseline and >=1 append"}
-    cur = rows[-1]
+                "reason": "no build baseline recorded — rerun "
+                          "ivf_clustered_write(record_stats=True); append "
+                          "rows alone cannot anchor the ratio (the first "
+                          "append may itself be drifted)"}
+    appends = [r for r in rows if not r["is_baseline"]]
+    if not appends:
+        return {"stats_rows": len(rows), "retrain_recommended": False,
+                "reason": "baseline only — need >=1 recorded append"}
+    cur = appends[-1]
     ratio = cur["mean_d2"] / max(base["mean_d2"], 1e-12)
     return {
         "stats_rows": len(rows),

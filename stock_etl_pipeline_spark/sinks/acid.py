@@ -14,22 +14,28 @@ Layout::
     <table>/snap-00000000000000000001/        # immutable parquet snapshots
     <table>/snap-00000000000000000001/_meta.json
 
-- The CURRENT snapshot is the highest-numbered marker in ``_commits/``.
-- A commit WRITES a new snapshot directory first (invisible — no marker),
-  then publishes it by creating the next ordinal's marker with an
-  ATOMIC create-if-absent (``FileSystem.createNewFile`` — atomic on
-  HDFS and local/posix; on S3-class stores substitute a conditional PUT
+- The CURRENT snapshot is the highest-numbered marker in ``_commits/``
+  whose snapshot directory exists (see the publish sequence below).
+- A commit STAGES into a UNIQUELY-NAMED temp directory (never the
+  shared final path — two racers staging into the same ``snap-N`` would
+  overwrite each other's files and the loser's cleanup would delete the
+  winner's data), then claims the next ordinal's marker with an ATOMIC
+  create-if-absent (``FileSystem.createNewFile`` — atomic on HDFS and
+  local/posix; on S3-class stores substitute a conditional PUT
   ``If-None-Match:*``, the same primitive Iceberg/Delta commit services
-  are built on).
-- Readers resolve the max marker once and then scan immutable files:
-  SNAPSHOT ISOLATION — a concurrent commit cannot disturb a running
-  query, and a crash anywhere before the marker leaves the previous
-  snapshot current (orphan snapshot dirs are invisible; vacuum sweeps
-  them).
-- Concurrency control is OPTIMISTIC: two committers racing for ordinal
-  N+1 both stage snapshots, but createNewFile admits exactly one; the
-  loser gets ``CommitConflict`` and must re-read + recompute against the
-  winner's table (the lost snapshot dir is removed best-effort).
+  are built on), and only THEN renames its temp dir to ``snap-N`` (a
+  rename to a path nothing else can claim — the marker serialized it).
+- Readers resolve the max marker WITH an existing snapshot dir once and
+  then scan immutable files: SNAPSHOT ISOLATION — a concurrent commit
+  cannot disturb a running query. A crash before the marker leaves an
+  invisible temp dir (vacuum sweeps it); a crash between marker and
+  rename leaves a DANGLING marker readers skip (its ordinal is burned,
+  never reused — ordinal allocation uses max marker, data resolution
+  uses max marker-with-dir).
+- Concurrency control is OPTIMISTIC: racers both stage, createNewFile
+  admits exactly one per ordinal; the loser gets ``CommitConflict``,
+  removes its own temp dir (never a shared path), and must re-read +
+  recompute against the winner's table.
 
 Metadata (row count, parent ordinal, operation) is written to the
 snapshot's ``_meta.json`` BEFORE the marker, so any visible snapshot's
@@ -72,18 +78,36 @@ def _snap_dir(table: str, ordinal: int) -> str:
     return f"{table.rstrip('/')}/snap-{ordinal:0{_ORD_W}d}"
 
 
-def _current_ordinal(spark: SparkSession, table: str) -> int:
-    """Highest published ordinal, 0 when the table has no commits yet."""
+def _marker_ordinals(spark: SparkSession, table: str) -> list[int]:
     fs, jvm = _fs(spark, table)
     cdir = _hpath(jvm, _commits_dir(table))
     if not fs.exists(cdir):
-        return 0
-    best = 0
-    for st in fs.listStatus(cdir):
-        name = st.getPath().getName()
-        if name.isdigit():
-            best = max(best, int(name))
-    return best
+        return []
+    return sorted(
+        int(st.getPath().getName())
+        for st in fs.listStatus(cdir)
+        if st.getPath().getName().isdigit()
+    )
+
+
+def _current_ordinal(spark: SparkSession, table: str) -> int:
+    """Highest published ordinal WHOSE SNAPSHOT DIR EXISTS (a marker
+    without a dir is a commit that crashed between claiming its ordinal
+    and renaming its staging into place — skipped, never resolved), 0
+    when the table has no commits yet."""
+    fs, jvm = _fs(spark, table)
+    for o in reversed(_marker_ordinals(spark, table)):
+        if fs.exists(_hpath(jvm, _snap_dir(table, o))):
+            return o
+    return 0
+
+
+def _next_ordinal(spark: SparkSession, table: str) -> int:
+    """Ordinal a new commit should claim: one past the highest MARKER
+    (dangling markers burn their ordinal — reusing it would let a commit
+    resurrect a crashed commit's claim)."""
+    ords = _marker_ordinals(spark, table)
+    return (ords[-1] if ords else 0) + 1
 
 
 def acid_read(
@@ -103,10 +127,12 @@ def acid_read(
     else:
         fs, jvm = _fs(spark, table)
         marker = _hpath(jvm, f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}")
-        if not fs.exists(marker):
+        if not fs.exists(marker) or not fs.exists(
+            _hpath(jvm, _snap_dir(table, ordinal))
+        ):
             raise FileNotFoundError(
                 f"acid table {table!r}: ordinal {ordinal} was never "
-                f"published (or its marker was vacuumed)"
+                f"published (crashed commit or vacuumed)"
             )
     return spark.read.parquet(_snap_dir(table, ordinal))
 
@@ -144,6 +170,8 @@ def acid_commit(
     caller read that ordinal, raise CommitConflict WITHOUT publishing
     (the staged snapshot is removed best-effort). None = don't care
     (blind overwrite semantics — still atomic, last writer wins)."""
+    import uuid
+
     fs, jvm = _fs(spark, table)
     parent = _current_ordinal(spark, table)
     if expected_parent is not None and parent != expected_parent:
@@ -151,10 +179,13 @@ def acid_commit(
             f"table {table!r}: expected parent {expected_parent}, "
             f"current is {parent}"
         )
-    ordinal = parent + 1
-    snap = _snap_dir(table, ordinal)
-    df.write.mode("overwrite").parquet(snap)
-    n = spark.read.parquet(snap).count()  # count the immutable files
+    ordinal = _next_ordinal(spark, table)
+    # stage into a path ONLY this committer knows — racers must never
+    # share a staging dir (overwrite/cleanup would destroy the winner's
+    # files); the final snap-<ordinal> path is claimed via the marker
+    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(stage)
+    n = spark.read.parquet(stage).count()  # count the immutable files
     meta = {
         "ordinal": ordinal,
         "parent": parent,
@@ -162,7 +193,7 @@ def acid_commit(
         "rows": n,
     }
     # metadata lands INSIDE the snapshot before the marker makes it visible
-    out = fs.create(_hpath(jvm, snap + "/_meta.json"), True)
+    out = fs.create(_hpath(jvm, stage + "/_meta.json"), True)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
     finally:
@@ -172,9 +203,19 @@ def acid_commit(
         fs.mkdirs(cdir)
     marker = _hpath(jvm, f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}")
     if not fs.createNewFile(marker):  # the atomic bit
-        fs.delete(_hpath(jvm, snap), True)  # lost the race: unstage
+        fs.delete(_hpath(jvm, stage), True)  # lost: unstage OWN dir only
         raise CommitConflict(
             f"table {table!r}: ordinal {ordinal} was published concurrently"
+        )
+    # the marker serialized ownership of snap-<ordinal>: nothing else can
+    # rename onto it now. A crash before this rename leaves a dangling
+    # marker readers skip (the ordinal is burned, not reused).
+    snap = _snap_dir(table, ordinal)
+    if not fs.rename(_hpath(jvm, stage), _hpath(jvm, snap)):
+        raise RuntimeError(
+            f"table {table!r}: rename {stage} -> {snap} failed after the "
+            f"marker was claimed; ordinal {ordinal} is burned (readers "
+            f"skip it), staged data remains at {stage}"
         )
     return {"destination": table, "mode": operation, "rows_loaded": n,
             "ordinal": ordinal, "parent": parent}
@@ -240,37 +281,48 @@ def acid_history(spark: SparkSession, table: str) -> list[dict]:
 
 
 def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
-    """Remove snapshots (and their markers) older than the newest ``keep``,
-    plus ORPHAN snapshot dirs no marker ever published (crashed commits).
-    Queries still running against a vacuumed snapshot fail on their next
-    file read — size ``keep`` to cover the longest reader, the same
-    contract as lakehouse vacuums. The current snapshot is always kept."""
+    """Remove snapshots (and their markers) older than the newest ``keep``
+    resolvable ones, DANGLING markers below the current snapshot (crashed
+    between marker and rename — their ordinals stay burned, only the
+    marker file goes), and leftover ``__stage-`` dirs from crashed
+    commits. Run only with no commit in flight (a live committer's stage
+    dir is indistinguishable from a crashed one — the same single-
+    maintainer contract as lakehouse vacuums). Queries still running
+    against a vacuumed snapshot fail on their next file read — size
+    ``keep`` to cover the longest reader. The current snapshot is always
+    kept."""
     fs, jvm = _fs(spark, table)
     current = _current_ordinal(spark, table)
-    published = {
-        int(st.getPath().getName())
-        for st in fs.listStatus(_hpath(jvm, _commits_dir(table)))
-        if st.getPath().getName().isdigit()
-    } if fs.exists(_hpath(jvm, _commits_dir(table))) else set()
-    keep_set = set(sorted(published)[-max(1, keep):]) | {current}
-    removed = []
+    markers = set(_marker_ordinals(spark, table))
+    resolvable = sorted(
+        o for o in markers if fs.exists(_hpath(jvm, _snap_dir(table, o)))
+    )
+    keep_set = set(resolvable[-max(1, keep):]) | {current}
+    removed, removed_stages = [], 0
     root = _hpath(jvm, table.rstrip("/"))
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if name.startswith("__stage-"):
+            fs.delete(st.getPath(), True)
+            removed_stages += 1
+            continue
         if not name.startswith("snap-"):
             continue
         try:
             o = int(name[len("snap-"):])
         except ValueError:
             continue
-        if (o in published and o not in keep_set) or (o not in published and o != current + 1):
-            # old published snapshot, or an orphan from a crashed commit
-            # (current+1 is spared: it may be a commit IN FLIGHT right now)
+        if o not in keep_set:
             fs.delete(st.getPath(), True)
-            if o in published:
-                fs.delete(
-                    _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
-                )
+            fs.delete(
+                _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
+            )
             removed.append(o)
+    for o in markers - set(resolvable):
+        if o < current:  # dangling marker from a crashed commit
+            fs.delete(
+                _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
+            )
     return {"destination": table, "removed": sorted(removed),
-            "kept": sorted(keep_set & published) or [current]}
+            "removed_stage_dirs": removed_stages,
+            "kept": sorted(keep_set & markers) or [current]}

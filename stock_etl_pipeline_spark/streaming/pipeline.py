@@ -1095,10 +1095,14 @@ def _read_tree_except(spark, path: str, epoch: str, batch_id: int):
     except AnalysisException:
         return None
     # cast: legacy all-digit epoch partitions type-infer as numeric; the
-    # string compare must still hit them (new epochs are 'e'-prefixed)
+    # string compare must still hit them (new epochs are 'e'-prefixed).
+    # ``epoch`` may be one id or a list — a checkpoint's CURRENT id plus
+    # its legacy spellings, so a batch replayed across the epoch-scheme
+    # upgrade still self-excludes its old-spelling remnant.
+    epochs = [epoch] if isinstance(epoch, str) else list(epoch)
     return t.filter(
         ~(
-            (F.col("epoch").cast("string") == epoch)
+            F.col("epoch").cast("string").isin(epochs)
             & (F.col("ingest_batch") == batch_id)
         )
     ).drop("epoch", "ingest_batch")
@@ -1114,6 +1118,7 @@ def index_maintenance_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     epoch: str = "manual",
+    legacy_epochs: tuple[str, ...] = (),
     **geometry,
 ) -> None:
     """Process ONE micro-batch: compute this batch's near-dup flags against
@@ -1135,7 +1140,9 @@ def index_maintenance_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    stored = _read_tree_except(spark, index_path, epoch, batch_id)
+    stored = _read_tree_except(
+        spark, index_path, (epoch, *legacy_epochs), batch_id
+    )
     if family == "simhash":
         sig_new = D.simhash128_signatures(batch_df, id_col, text_col)
         if id_col != "doc_id":
@@ -1193,6 +1200,21 @@ def index_maintenance_batch(
     part = f"epoch={epoch}/ingest_batch={batch_id}"
     flags.write.mode("overwrite").parquet(f"{flags_path}/{part}")
     to_store.write.mode("overwrite").parquet(f"{index_path}/{part}")
+    if legacy_epochs:
+        # a batch replayed ACROSS the epoch-scheme upgrade self-excluded
+        # its old-spelling remnant above; now physically retire it from
+        # BOTH trees (flags are read directly by users — an old-epoch
+        # remnant there would be duplicate flags)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for le in legacy_epochs:
+            for tree in (index_path, flags_path):
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{tree}/epoch={le}/ingest_batch={batch_id}"
+                )
+                fs = p.getFileSystem(conf)
+                if fs.exists(p):
+                    fs.delete(p, True)
 
 
 def stream_index_maintenance(
@@ -1223,13 +1245,26 @@ def stream_index_maintenance(
     stream's batches (batch ids restart at 0 per checkpoint). The 'e'
     prefix keeps the partition value unambiguously a STRING — a 12-hex
     epoch that happens to be all digits would partition-type-infer as
-    numeric and weaken _read_tree_except's equality filter."""
+    numeric and weaken _read_tree_except's equality filter. Trees written
+    by the pre-realpath scheme are still replay-safe: each batch also
+    self-excludes (and then retires) its remnant under the LEGACY epoch
+    spellings, so a batch replayed across the upgrade is not doubled."""
+    import hashlib
+    import os
+
     epoch = _checkpoint_epoch(checkpoint_dir)
+    legacy = tuple(
+        dict.fromkeys(  # dedup, preserve order
+            hashlib.md5(s.encode("utf-8")).hexdigest()[:12]
+            for s in (checkpoint_dir, os.path.realpath(checkpoint_dir))
+        )
+    )
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         index_maintenance_batch(
             index_path, flags_path, batch_df, batch_id,
             family=family, id_col=id_col, text_col=text_col, epoch=epoch,
+            legacy_epochs=legacy,
             **geometry,
         )
 

@@ -150,6 +150,50 @@ def test_kernel_hash_per_function_granularity(tmp_path):
             del sys.modules[name]
 
 
+def test_kernel_hash_covers_inherited_methods(tmp_path):
+    """code-review r11: a query calling Derived().run() where run() lives
+    on an in-package BASE class must have the base in its closure —
+    editing Base.run changes behavior while Derived's own source is
+    untouched (a missed touch would silently bias the ruler)."""
+    pkg = tmp_path / "fp3m_pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    base_src = textwrap.dedent(
+        """
+        class Base:
+            def run(self):
+                return 1
+        """
+    )
+    (pkg / "base.py").write_text(base_src)
+    (pkg / "query.py").write_text(
+        textwrap.dedent(
+            """
+            from fp3m_pkg.base import Base
+
+            class Derived(Base):
+                pass
+
+            def q(spark, sf_dir):
+                return Derived().run()
+            """
+        )
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        qmod = importlib.import_module("fp3m_pkg.query")
+        closure = fingerprints.function_closure(qmod.q, pkg_prefix="fp3m_pkg")
+        assert "cls:fp3m_pkg.base.Base" in closure
+        h0 = fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp3m_pkg")
+        (pkg / "base.py").write_text(base_src.replace("return 1", "return 2"))
+        fingerprints.clear_fingerprint_caches()
+        assert fingerprints.kernel_fingerprint(qmod.q, pkg_prefix="fp3m_pkg") != h0
+    finally:
+        sys.path.remove(str(tmp_path))
+        for name in [n for n in sys.modules if n.startswith("fp3m_pkg")]:
+            del sys.modules[name]
+
+
 def test_kernel_hash_granularity_on_real_dedup_module(monkeypatch):
     """The dedup.py case the VERDICT names: a simulated edit of ONE
     function (operators.dedup.minhash_signature, via the source-hash

@@ -516,10 +516,11 @@ def test_acid_table_merge_snapshot_isolation_and_conflict(spark, tmp_path):
         acid.acid_read(spark, table, ordinal=7)
 
 
-def test_acid_vacuum_sweeps_old_and_orphans(spark, tmp_path):
-    """Vacuum removes published snapshots beyond the keep window and
-    ORPHAN dirs from crashed commits (no marker), never the current
-    snapshot, and spares current+1 (a possibly in-flight commit)."""
+def test_acid_vacuum_sweeps_old_stages_and_dangling(spark, tmp_path):
+    """Vacuum removes published snapshots beyond the keep window, leftover
+    __stage- dirs from crashed pre-marker commits, and dangling markers
+    from crashed post-marker commits (readers skip those ordinals; their
+    numbers stay burned) — never the current snapshot."""
     from stock_etl_pipeline_spark.sinks import acid
 
     table = str(tmp_path / "acid_vac")
@@ -528,18 +529,21 @@ def test_acid_vacuum_sweeps_old_and_orphans(spark, tmp_path):
             spark, table,
             spark.createDataFrame([(i,)], "k long"),
         )
-    # orphan: a crashed commit staged snap-2 worth of data at ordinal 99
+    # crashed BEFORE its marker: an orphan staging dir
     spark.createDataFrame([(99,)], "k long").write.parquet(
-        acid._snap_dir(table, 99)
+        f"{table}/__stage-deadbeef"
     )
-    # ...and current+1 in flight
-    spark.createDataFrame([(5,)], "k long").write.parquet(
-        acid._snap_dir(table, 5)
-    )
+    # crashed AFTER its marker (ordinal 2's dir lost): dangling marker —
+    # simulate by deleting the snapshot dir
+    fs, jvm = acid._fs(spark, table)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(acid._snap_dir(table, 2)), True)
+    assert acid._current_ordinal(spark, table) == 4  # reader skips 2
+
     rep = acid.acid_vacuum(spark, table, keep=2)
-    assert rep["removed"] == [1, 2, 99]
-    assert sorted(acid._current_ordinal(spark, table) for _ in [0]) == [4]
+    assert rep["removed"] == [1] and rep["removed_stage_dirs"] == 1
+    assert acid._current_ordinal(spark, table) == 4
     assert [h["ordinal"] for h in acid.acid_history(spark, table)] == [3, 4]
     assert [r["k"] for r in acid.acid_read(spark, table).collect()] == [3]
-    fs, jvm = acid._fs(spark, table)
-    assert fs.exists(jvm.org.apache.hadoop.fs.Path(acid._snap_dir(table, 5)))
+    # the next commit does not reuse burned ordinal space below max marker
+    acid.acid_commit(spark, table, spark.createDataFrame([(7,)], "k long"))
+    assert acid._current_ordinal(spark, table) == 5

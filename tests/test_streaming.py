@@ -971,6 +971,48 @@ def test_checkpoint_epoch_respelling_stable(tmp_path):
     assert _checkpoint_epoch(str(tmp_path / "other")) != e
 
 
+def test_index_maintenance_legacy_epoch_replay_not_doubled(spark, tmp_path):
+    """Upgrade safety (code-review r11): a batch written under the OLD
+    epoch scheme (bare 12-hex md5 of the raw checkpoint path) and then
+    replayed under the NEW scheme ('e'+md5(realpath)) must self-exclude
+    AND retire the old remnant — otherwise its docs live in the tree
+    twice and flag against themselves."""
+    import hashlib
+
+    from stock_etl_pipeline_spark.streaming import index_maintenance_batch
+    from stock_etl_pipeline_spark.streaming.pipeline import _checkpoint_epoch
+
+    cp = str(tmp_path / "cp")
+    old_epoch = hashlib.md5(cp.encode()).hexdigest()[:12]
+    new_epoch = _checkpoint_epoch(cp)
+    idx, flags = str(tmp_path / "idx"), str(tmp_path / "flags")
+    batch = _docs_df(spark, [(1, "a b c"), (2, "x y z")])
+
+    # the pre-upgrade run wrote batch 0 under the old spelling
+    index_maintenance_batch(idx, flags, batch, 0, family="exact",
+                            epoch=old_epoch)
+    # post-upgrade replay of the SAME batch id under the new epoch,
+    # carrying the legacy spellings like stream_index_maintenance does
+    index_maintenance_batch(idx, flags, batch, 0, family="exact",
+                            epoch=new_epoch, legacy_epochs=(old_epoch,))
+
+    tree = spark.read.option("basePath", idx).parquet(idx)
+    assert {str(r["epoch"]) for r in
+            tree.select("epoch").distinct().collect()} == {new_epoch}
+    assert tree.count() == 2  # one delta row per distinct fingerprint, once
+    out = {r["doc_id"]: r["is_dup"]
+           for r in spark.read.parquet(flags).collect()}
+    assert out == {1: False, 2: False}  # no self-duplicate flags
+
+    # a later batch still sees the (single) retired-and-replaced state
+    index_maintenance_batch(idx, flags, _docs_df(spark, [(9, "a  b c")]),
+                            1, family="exact", epoch=new_epoch,
+                            legacy_epochs=(old_epoch,))
+    out2 = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+            for r in spark.read.parquet(flags).collect()}
+    assert out2[9] == (1, True)
+
+
 def test_index_tree_compact_preserves_results(spark, tmp_path):
     """Folding epochs/batches into one partition preserves every reader's
     view (the tree is a bag of signature/delta rows), and maintenance

@@ -372,6 +372,18 @@ def test_ivf_index_health_distortion_trigger(spark, tmp_path):
     h3 = similarity.ivf_index_health(spark, path)
     assert h3["stats_rows"] == 1 and not h3["retrain_recommended"]
 
+    # an index whose BUILD never recorded stats must not adopt an append
+    # as its baseline (the first append may itself be drifted)
+    path2 = str(tmp_path / "ivf_nobase")
+    similarity.ivf_clustered_write(train, path2, k_clusters=2, n_files=2)
+    similarity.ivf_append(spark, path2, shift, record_stats=True)
+    similarity.ivf_append(spark, path2, shift.select(
+        (shift.vec_id + 10000).alias("vec_id"), "embedding"
+    ), record_stats=True)
+    h4 = similarity.ivf_index_health(spark, path2)
+    assert not h4["retrain_recommended"] and "no build baseline" in h4["reason"]
+    assert h4["stats_rows"] == 2
+
 
 def test_rank_expr_preserves_string_order(spark):
     """The 7-byte padded prefix projection must order exactly like Spark's
