@@ -6,10 +6,19 @@ comparison is one command instead of a hand-built table:
 
 1. per-band sentinel drift (JVM / Arrow);
 2. per-band MEDIAN RAW ratio of the UNTOUCHED queries;
-3. the override check: if a band's sentinel drift and its untouched
-   median disagree by more than DISAGREE_X (1.3), the untouched median
-   becomes that band's ruler (SCALING.md round 9: sentinels do not
-   transport across host pairs whose sentinel ratio moves ~2x);
+3. ruler choice (round 12, VERDICT r11 item 1): when a band has at
+   least MIN_COHORT (8) untouched queries, the untouched median IS the
+   ruler and the sentinel is demoted to a coherence check (reported as
+   ``sentinel_disagree`` when they differ >DISAGREE_X) — a best-of-N
+   sub-second probe systematically under-reads sustained scan-tier
+   drift (round 9, and again r10→r11 where the untouched-JVM cohort
+   moved 1.42x raw while the JVM sentinel read 1.181, spuriously
+   flagging six untouched scan-heavy cells at norm 1.27–1.40), while a
+   ≥8-query median of the very cells being normalized is robust to up
+   to half of them genuinely regressing — and fp3 per-function closures
+   already remove genuinely-touched queries from the cohort. Below
+   MIN_COHORT the old rule holds: sentinel rules unless it disagrees
+   with the (small) median by more than DISAGREE_X (1.3);
 4. per-query table: raw ratio, ruler-normalized ratio, band, touched
    flag — normalized cells > FLAG_X (1.25) are marked for adjudication
    (check BASELINE.md's scope-grown-queries footnote before calling one
@@ -54,6 +63,7 @@ ARROW_BAND = {
 }
 DISAGREE_X = 1.3
 FLAG_X = 1.25
+MIN_COHORT = 8  # untouched queries per band: median outranks sentinel
 
 _SCALARS = {"value", "sf", "sentinel_sec", "sentinel_arrow_sec", "fp_version"}
 _WRAPPER_SCALARS = {"n", "rc", "cpus"}
@@ -185,17 +195,31 @@ def main() -> int:
         if ver_old != ver_new:
             # the round after an FP_VERSION bump: the bumped side's compat
             # block carries the OLD scheme's hashes — compare old-scheme to
-            # old-scheme through it instead of dropping the derivation
+            # old-scheme through it instead of dropping the derivation.
+            # KERNEL hashes only (ADVICE r11): compat PLAN hashes are only
+            # comparable under identical plan-construction history, and a
+            # bench-set membership change in the bump round shifts the
+            # session-global lambda-variable counter for every later
+            # lambda-bearing query — spuriously marking them plan-touched
+            # and shrinking the untouched ruler in exactly the round the
+            # compat map exists to protect. Plan movement across a version
+            # bump is advisory; touched derives from the kernel hash alone.
             if int(compat_new.get("fp_version") or 0) == ver_old:
                 kh_new = dict(compat_new.get("kernel_hash") or {})
-                ph_new = dict(compat_new.get("plan_hash") or ph_new)
+                ph_new, ph_old = {}, {}
                 ver_new = ver_old
-                compat_note = f" (new side via compat v{ver_old} map)"
+                compat_note = (
+                    f" (new side via compat v{ver_old} map; kernel-only — "
+                    "compat plan hashes advisory)"
+                )
             elif int(compat_old.get("fp_version") or 0) == ver_new:
                 kh_old = dict(compat_old.get("kernel_hash") or {})
-                ph_old = dict(compat_old.get("plan_hash") or ph_old)
+                ph_old, ph_new = {}, {}
                 ver_old = ver_new
-                compat_note = f" (old side via compat v{ver_new} map)"
+                compat_note = (
+                    f" (old side via compat v{ver_new} map; kernel-only — "
+                    "compat plan hashes advisory)"
+                )
         touched = set()
         if (ph_old or kh_old) and (ph_new or kh_new) and ver_old != ver_new:
             # hashes from different hashing SCHEMES are incomparable —
@@ -240,7 +264,7 @@ def main() -> int:
     for band, key in (("jvm", "sentinel_sec"), ("arrow", "sentinel_arrow_sec")):
         if key in old and key in new:
             drift[band] = new[key] / old[key]
-    rulers, medians = {}, {}
+    rulers, medians, coherence = {}, {}, {}
     for band in ("jvm", "arrow"):
         un = [
             new["queries"][q] / old["queries"][q]
@@ -248,12 +272,23 @@ def main() -> int:
             if q not in ruler_excluded and (q in ARROW_BAND) == (band == "arrow")
         ]
         medians[band] = statistics.median(un) if un else None
-        ruler, src = drift.get(band), "sentinel"
-        if medians[band] is not None and (
-            ruler is None
-            or max(medians[band] / ruler, ruler / medians[band]) > DISAGREE_X
-        ):
-            ruler, src = medians[band], "untouched-median"
+        sent = drift.get(band)
+        if medians[band] is not None and len(un) >= MIN_COHORT:
+            # a ≥MIN_COHORT untouched cohort is a better ruler than a
+            # sub-second probe by construction — the sentinel becomes a
+            # coherence check (disagreement reported, never overriding)
+            ruler, src = medians[band], f"untouched-median(n={len(un)})"
+            if sent is not None:
+                ratio = max(medians[band] / sent, sent / medians[band])
+                if ratio > DISAGREE_X:
+                    coherence[band] = round(ratio, 3)
+        else:
+            ruler, src = sent, "sentinel"
+            if medians[band] is not None and (
+                ruler is None
+                or max(medians[band] / ruler, ruler / medians[band]) > DISAGREE_X
+            ):
+                ruler, src = medians[band], f"untouched-median(n={len(un)})"
         rulers[band] = (ruler, src)
     rows = []
     for q in common:
@@ -287,6 +322,7 @@ def main() -> int:
             k: round(v, 3) for k, v in medians.items() if v is not None
         },
         "ruler": {k: (round(v[0], 3), v[1]) for k, v in rulers.items() if v[0]},
+        "sentinel_disagree": coherence,
         "queries": rows,
     }
     if "--json" in argv:
@@ -298,6 +334,11 @@ def main() -> int:
         + ("  [PARTIAL artifact]" if out["partial"] else "")
     )
     print(f"untouched medians {out['untouched_median']}  rulers {out['ruler']}")
+    if coherence:
+        print(
+            f"SENTINEL INCOHERENT with ruling untouched median (> {DISAGREE_X}x): "
+            f"{coherence} — probe under/over-reads this band's sustained drift"
+        )
     print(f"touched [{touched_src}]: {', '.join(sorted(touched)) or '-'}")
     if unknown:
         print(f"unknown (excluded from ruler): {', '.join(sorted(unknown))}")

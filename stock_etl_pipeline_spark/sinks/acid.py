@@ -36,6 +36,17 @@ Layout::
   admits exactly one per ordinal; the loser gets ``CommitConflict``,
   removes its own temp dir (never a shared path), and must re-read +
   recompute against the winner's table.
+- A conditional commit (``expected_parent`` set) claims EXACTLY
+  ``parent + 1`` — never a later ordinal. Allocating past an unresolved
+  marker would let a committer slide in ABOVE an in-flight commit it
+  never read (the winner claims N, hasn't renamed yet; the loser reads
+  parent = N-1 via max-marker-WITH-DIR, passes the expected_parent
+  check, claims N+1, publishes — and the N commit is silently dropped
+  even though both callers returned success; ADVICE r11). An unresolved
+  marker above the parent is therefore a ``CommitConflict``: it is an
+  in-flight commit about to resolve (retry observes it) or a crashed
+  one (``acid_vacuum`` reclaims it), and the two are indistinguishable
+  without a clock.
 
 Metadata (row count, parent ordinal, operation) is written to the
 snapshot's ``_meta.json`` BEFORE the marker, so any visible snapshot's
@@ -169,17 +180,37 @@ def acid_commit(
     pins the optimistic check: if another commit published after the
     caller read that ordinal, raise CommitConflict WITHOUT publishing
     (the staged snapshot is removed best-effort). None = don't care
-    (blind overwrite semantics — still atomic, last writer wins)."""
+    (blind overwrite semantics — still atomic, last writer wins).
+
+    A conditional commit targets EXACTLY ``expected_parent + 1``. Any
+    marker above the parent — even one whose snapshot dir has not been
+    renamed into place yet — is a conflict: building on ``parent`` while
+    ordinal ``parent+1`` is in flight would publish a snapshot that
+    silently drops the in-flight commit's rows (the lost-update window
+    is small on posix rename but large on copy-based object-store
+    renames; ADVICE r11). The in-flight/crashed ambiguity resolves
+    itself: retries succeed once the winner renames (parent advances),
+    and a crashed claimant's dangling marker is reclaimed by
+    ``acid_vacuum``."""
     import uuid
 
     fs, jvm = _fs(spark, table)
     parent = _current_ordinal(spark, table)
-    if expected_parent is not None and parent != expected_parent:
-        raise CommitConflict(
-            f"table {table!r}: expected parent {expected_parent}, "
-            f"current is {parent}"
-        )
-    ordinal = _next_ordinal(spark, table)
+    if expected_parent is not None:
+        if parent != expected_parent:
+            raise CommitConflict(
+                f"table {table!r}: expected parent {expected_parent}, "
+                f"current is {parent}"
+            )
+        ordinal = parent + 1
+        if _next_ordinal(spark, table) != ordinal:
+            raise CommitConflict(
+                f"table {table!r}: unresolved marker(s) above parent "
+                f"{parent} — a commit is in flight (retry) or crashed "
+                f"(acid_vacuum reclaims its marker)"
+            )
+    else:
+        ordinal = _next_ordinal(spark, table)
     # stage into a path ONLY this committer knows — racers must never
     # share a staging dir (overwrite/cleanup would destroy the winner's
     # files); the final snap-<ordinal> path is claimed via the marker
@@ -282,15 +313,22 @@ def acid_history(spark: SparkSession, table: str) -> list[dict]:
 
 def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
     """Remove snapshots (and their markers) older than the newest ``keep``
-    resolvable ones, DANGLING markers below the current snapshot (crashed
-    between marker and rename — their ordinals stay burned, only the
-    marker file goes), and leftover ``__stage-`` dirs from crashed
-    commits. Run only with no commit in flight (a live committer's stage
-    dir is indistinguishable from a crashed one — the same single-
-    maintainer contract as lakehouse vacuums). Queries still running
-    against a vacuumed snapshot fail on their next file read — size
-    ``keep`` to cover the longest reader. The current snapshot is always
-    kept."""
+    resolvable ones, ALL dangling markers (crashed between marker and
+    rename), and leftover ``__stage-`` dirs from crashed commits. Run
+    only with no commit in flight (a live committer's stage dir or
+    fresh marker is indistinguishable from a crashed one — the same
+    single-maintainer contract as lakehouse vacuums); under that
+    contract every marker-without-dir is a crashed commit. Dangling
+    markers BELOW current stay burned after deletion (removing them
+    cannot lower the max-marker ordinal allocator); the dangling marker
+    ABOVE current is RECLAIMED — conditional commits refuse to build
+    past an unresolved marker (see acid_commit), so a crashed claimant
+    would otherwise block merges forever. Reclaiming is safe because the
+    crashed commit's stage dirs are swept in the same pass (and first):
+    a zombie committer's later rename has nothing to rename. Queries
+    still running against a vacuumed snapshot fail on their next file
+    read — size ``keep`` to cover the longest reader. The current
+    snapshot is always kept."""
     fs, jvm = _fs(spark, table)
     current = _current_ordinal(spark, table)
     markers = set(_marker_ordinals(spark, table))
@@ -318,11 +356,16 @@ def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
                 _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
             )
             removed.append(o)
+    reclaimed = []
     for o in markers - set(resolvable):
-        if o < current:  # dangling marker from a crashed commit
-            fs.delete(
-                _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
-            )
+        # dangling marker from a crashed commit; the stage-dir sweep above
+        # already ran, so a zombie claimant cannot rename into snap-<o>
+        fs.delete(
+            _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
+        )
+        if o > current:
+            reclaimed.append(o)  # unblocks conditional commits
     return {"destination": table, "removed": sorted(removed),
             "removed_stage_dirs": removed_stages,
+            "reclaimed_ordinals": sorted(reclaimed),
             "kept": sorted(keep_set & markers) or [current]}

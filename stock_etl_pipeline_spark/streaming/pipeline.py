@@ -22,6 +22,8 @@ the reference throttles API calls (dags/utils/extractors.py:56).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1085,6 +1087,31 @@ def _checkpoint_epoch(checkpoint_dir: str) -> str:
     )
 
 
+def _legacy_epochs(
+    checkpoint_dir: str, extra_spellings: Sequence[str] = ()
+) -> tuple[str, ...]:
+    """Pre-upgrade epoch ids a checkpoint's remnants may live under: the
+    pre-realpath scheme was bare md5(spelling)[:12], so the implicit set
+    hashes the current spelling and its realpath; ``extra_spellings`` adds
+    every spelling previous runs used (needed when the operator respells
+    the path at the same restart that picks up the realpath upgrade — the
+    pre-upgrade remnant is under md5(old spelling), which neither implicit
+    hash covers; ADVICE r11)."""
+    import hashlib
+    import os
+
+    return tuple(
+        dict.fromkeys(  # dedup, preserve order
+            hashlib.md5(s.encode("utf-8")).hexdigest()[:12]
+            for s in (
+                checkpoint_dir,
+                os.path.realpath(checkpoint_dir),
+                *extra_spellings,
+            )
+        )
+    )
+
+
 def _read_tree_except(spark, path: str, epoch: str, batch_id: int):
     """The index tree minus this batch's own partition (replay exclusion);
     None when the tree does not exist yet (first batch)."""
@@ -1226,6 +1253,7 @@ def stream_index_maintenance(
     family: str = "simhash",
     id_col: str = "doc_id",
     text_col: str = "text",
+    legacy_checkpoint_spellings: Sequence[str] = (),
     **geometry,
 ):
     """Continuous ingest keeping a dedup index fresh: each micro-batch is
@@ -1248,17 +1276,20 @@ def stream_index_maintenance(
     numeric and weaken _read_tree_except's equality filter. Trees written
     by the pre-realpath scheme are still replay-safe: each batch also
     self-excludes (and then retires) its remnant under the LEGACY epoch
-    spellings, so a batch replayed across the upgrade is not doubled."""
-    import hashlib
-    import os
+    spellings, so a batch replayed across the upgrade is not doubled.
 
+    The implicit legacy set covers md5(current spelling) and
+    md5(realpath) — enough when the restart that picks up the realpath
+    upgrade reuses the pre-upgrade spelling. If the operator ALSO
+    respells the checkpoint path at that restart (relative → absolute,
+    added trailing slash), the pre-upgrade remnant lives under
+    md5(old spelling), which neither implicit hash covers (ADVICE r11):
+    pass every spelling previous runs used as
+    ``legacy_checkpoint_spellings`` (each is md5-hashed into the legacy
+    epoch set and its remnants retired), or keep the old spelling for
+    the first post-upgrade restart."""
     epoch = _checkpoint_epoch(checkpoint_dir)
-    legacy = tuple(
-        dict.fromkeys(  # dedup, preserve order
-            hashlib.md5(s.encode("utf-8")).hexdigest()[:12]
-            for s in (checkpoint_dir, os.path.realpath(checkpoint_dir))
-        )
-    )
+    legacy = _legacy_epochs(checkpoint_dir, legacy_checkpoint_spellings)
 
     def _proc(batch_df: DataFrame, batch_id: int) -> None:
         index_maintenance_batch(
@@ -1300,24 +1331,31 @@ def index_tree_compact(
     stream's last micro-batch landing within the window is exactly the
     mis-timing that would drop a concurrently-written partition from the
     fold). Operators who have positively stopped the stream override with
-    ``force=True`` (or quiesce_seconds=0). Local-fs mtimes only — on an
-    object store the listing has no reliable mtime contract, so the guard
-    degrades to force-required there (mtime None → refuse unless forced).
+    ``force=True`` (or quiesce_seconds=0). Mtimes come from the Hadoop
+    ``FileSystem.listFiles`` modification times, so the guard works for
+    plain local paths, ``file:`` URIs, and ``hdfs://`` alike (the r11
+    os.walk guard saw zero entries for URI-spelled paths and always
+    refused — ADVICE r11); object-store mtime contracts vary, so an
+    empty/unlistable tree still degrades to force-required (mtime None
+    → refuse unless forced).
     """
-    import os
     import time
 
     from ..sinks import _swap_into_place
 
     if not force and quiesce_seconds > 0:
         newest: float | None = None
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                try:
-                    m = os.path.getmtime(os.path.join(root, fn))
-                except OSError:
-                    continue
-                newest = m if newest is None else max(newest, m)
+        try:
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hp):
+                it = fs.listFiles(hp, True)  # recursive
+                while it.hasNext():
+                    m = it.next().getModificationTime() / 1000.0
+                    newest = m if newest is None else max(newest, m)
+        except Exception:
+            newest = None  # unlistable: degrade to force-required
         age = None if newest is None else time.time() - newest
         if age is None or age < quiesce_seconds:
             raise RuntimeError(

@@ -55,9 +55,52 @@ def test_untouched_median_override_when_sentinels_break(tmp_path):
     q_old = {"a": 1.0, "b": 1.0, "c": 1.0, "bad": 1.0}
     q_new = {"a": 1.1, "b": 1.12, "c": 1.08, "bad": 2.0}
     out = _run(_bench(q_old, 1.0, 1.0), _bench(q_new, 0.5, 0.5), tmp_path)
-    assert out["ruler"]["jvm"][1] == "untouched-median"
+    assert out["ruler"]["jvm"][1].startswith("untouched-median")
     flagged = [r["query"] for r in out["queries"] if r["flag"]]
     assert flagged == ["bad"]
+
+
+def test_large_untouched_cohort_outranks_sentinel(tmp_path):
+    """The r10→r11 blind spot (VERDICT r11 item 1): the untouched-JVM
+    cohort reads a sustained 1.42x while the best-of-N sub-second JVM
+    sentinel reads 1.18x — UNDER the 1.3x override, so the sentinel used
+    to rule and spuriously flag the most scan-heavy untouched cells at
+    norm 1.27–1.40. With ≥ MIN_COHORT (8) untouched queries in the band,
+    the median is the ruler OUTRIGHT: the cohort cells normalize to ~1.0
+    and nothing untouched is flagged."""
+    q_old = {f"q{i}": 1.0 for i in range(9)}
+    # a sustained-scan-drift round: everything untouched moved ~1.42x,
+    # the heaviest cells a bit more (the exact r10→r11 shape)
+    q_new = {f"q{i}": 1.42 for i in range(6)}
+    q_new.update({"q6": 1.60, "q7": 1.65, "q8": 1.38})
+    out = _run(_bench(q_old, 1.0, 1.0), _bench(q_new, 1.18, 1.18), tmp_path)
+    assert out["ruler"]["jvm"][1] == "untouched-median(n=9)"
+    # 1.65/1.42 = 1.16 < FLAG_X: the scan-heavy tail is clean, not flagged
+    assert not any(r["flag"] for r in out["queries"])
+    # median 1.42 vs sentinel 1.18 disagree only 1.20x (< DISAGREE_X):
+    # coherent, no incoherence report — but the median still ruled
+    assert out["sentinel_disagree"] == {}
+
+
+def test_small_cohort_keeps_sentinel_rule(tmp_path):
+    """Below MIN_COHORT the old rule holds: a 3-query median that agrees
+    with the sentinel does not displace it (a tiny cohort is noisier than
+    the probe)."""
+    q_old = {"a": 1.0, "b": 1.0, "c": 1.0}
+    q_new = {"a": 1.1, "b": 1.1, "c": 1.1}
+    out = _run(_bench(q_old, 1.0, 1.0), _bench(q_new, 1.1, 1.1), tmp_path)
+    assert out["ruler"]["jvm"][1] == "sentinel"
+
+
+def test_incoherent_sentinel_reported_when_median_rules(tmp_path):
+    """When a ≥MIN_COHORT median rules AND the sentinel disagrees with it
+    by more than DISAGREE_X, the disagreement is surfaced as a coherence
+    report (the probe is mismeasuring its band)."""
+    q_old = {f"q{i}": 1.0 for i in range(8)}
+    q_new = {f"q{i}": 1.5 for i in range(8)}
+    out = _run(_bench(q_old, 1.0, 1.0), _bench(q_new, 1.0, 1.0), tmp_path)
+    assert out["ruler"]["jvm"][1] == "untouched-median(n=8)"
+    assert out["sentinel_disagree"]["jvm"] == 1.5
 
 
 def test_auto_touched_from_plan_hash(tmp_path):
@@ -131,7 +174,7 @@ def test_real_r9_artifact_loads(tmp_path):
     assert len(out["queries"]) >= 20
     # r8 predates fingerprints entirely -> fallback: full median basis,
     # and the round-9 override must fire (sentinels claim ~0.5x)
-    assert out["ruler"]["jvm"][1] == "untouched-median"
+    assert out["ruler"]["jvm"][1].startswith("untouched-median")
     assert not any(r["flag"] for r in out["queries"])
 
 

@@ -547,3 +547,84 @@ def test_acid_vacuum_sweeps_old_stages_and_dangling(spark, tmp_path):
     # the next commit does not reuse burned ordinal space below max marker
     acid.acid_commit(spark, table, spark.createDataFrame([(7,)], "k long"))
     assert acid._current_ordinal(spark, table) == 5
+
+
+def test_acid_inflight_marker_blocks_conditional_commit(spark, tmp_path):
+    """Lost-update race (ADVICE r11): while a commit holds marker N but has
+    not renamed its snapshot yet, a conditional commit reading parent=N-1
+    must CONFLICT, not slide in above at N+1 (which would silently drop
+    the in-flight commit once it resolves). Once the in-flight rename
+    lands, the retry merges ON TOP of it."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_race")
+    acid.acid_commit(spark, table, spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert acid._current_ordinal(spark, table) == 1
+
+    # committer A mid-flight: marker 2 claimed, snapshot staged but NOT
+    # renamed yet (simulate the marker→rename window)
+    fs, jvm = acid._fs(spark, table)
+    stage = f"{table}/__stage-inflight"
+    # A's staged snapshot is its MERGE result (old rows + its upsert)
+    spark.createDataFrame(
+        [(1, "a"), (2, "inflight")], "k long, v string"
+    ).write.parquet(stage)
+    assert fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(f"{acid._commits_dir(table)}/{2:020d}")
+    )
+    assert acid._current_ordinal(spark, table) == 1  # readers skip bare marker
+
+    # committer B, conditional on parent 1: must conflict, never claim 3
+    d = spark.createDataFrame([(3, "b")], "k long, v string")
+    with _pt.raises(acid.CommitConflict, match="in flight|crashed"):
+        acid.acid_commit(spark, table, d, expected_parent=1)
+    assert acid._next_ordinal(spark, table) == 3  # B claimed nothing
+    # the merge loop exhausts retries while the marker stays unresolved —
+    # it must NOT publish a snapshot that drops A
+    with _pt.raises(acid.CommitConflict):
+        acid.acid_merge_upsert(spark, table, d, ["k"], max_retries=1)
+
+    # A's rename lands: the marker resolves, B's retry merges on top of A
+    assert fs.rename(
+        jvm.org.apache.hadoop.fs.Path(stage),
+        jvm.org.apache.hadoop.fs.Path(acid._snap_dir(table, 2)),
+    )
+    rep = acid.acid_merge_upsert(spark, table, d, ["k"])
+    assert rep["ordinal"] == 3 and rep["parent"] == 2
+    got = sorted((r["k"], r["v"]) for r in acid.acid_read(spark, table).collect())
+    assert got == [(1, "a"), (2, "inflight"), (3, "b")]  # nothing dropped
+
+
+def test_acid_vacuum_reclaims_crashed_marker_above_current(spark, tmp_path):
+    """A commit that crashed between marker and rename leaves a dangling
+    marker ABOVE current; conditional commits refuse to build past it, so
+    vacuum (run under its no-commit-in-flight contract) must reclaim it —
+    sweeping the crashed stage dir first so a zombie rename cannot land."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_reclaim")
+    acid.acid_commit(spark, table, spark.createDataFrame([(1,)], "k long"))
+
+    fs, jvm = acid._fs(spark, table)
+    crash_stage = f"{table}/__stage-crashed"
+    spark.createDataFrame([(9,)], "k long").write.parquet(crash_stage)
+    fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(f"{acid._commits_dir(table)}/{2:020d}")
+    )
+
+    d = spark.createDataFrame([(5,)], "k long")
+    with _pt.raises(acid.CommitConflict):
+        acid.acid_merge_upsert(spark, table, d, ["k"], max_retries=0)
+
+    rep = acid.acid_vacuum(spark, table, keep=2)
+    assert rep["reclaimed_ordinals"] == [2]
+    assert rep["removed_stage_dirs"] == 1  # zombie's rename target is gone
+    # merges unblocked; the reclaimed ordinal is safe to reuse
+    rep2 = acid.acid_merge_upsert(spark, table, d, ["k"])
+    assert rep2["ordinal"] == 2 and rep2["parent"] == 1
+    got = sorted(r["k"] for r in acid.acid_read(spark, table).collect())
+    assert got == [1, 5]

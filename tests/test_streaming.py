@@ -971,6 +971,37 @@ def test_checkpoint_epoch_respelling_stable(tmp_path):
     assert _checkpoint_epoch(str(tmp_path / "other")) != e
 
 
+def test_legacy_epochs_cover_respelled_checkpoints(tmp_path):
+    """ADVICE r11: the implicit legacy set only hashes the CURRENT
+    spelling and its realpath. When the operator respells the checkpoint
+    at the same restart that picks up the realpath upgrade, the
+    pre-upgrade remnant lives under md5(old spelling) — it must be
+    coverable via legacy_checkpoint_spellings."""
+    import hashlib
+    import os
+
+    from stock_etl_pipeline_spark.streaming.pipeline import _legacy_epochs
+
+    cp = tmp_path / "cp"
+    cp.mkdir()
+    old_spelling = "cp"  # the relative spelling previous runs used
+    old_hash = hashlib.md5(old_spelling.encode()).hexdigest()[:12]
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        # restart respelled to absolute: implicit set misses the remnant
+        assert old_hash not in _legacy_epochs(str(cp))
+        # the explicit spelling closes the hole (deduped, order-stable)
+        covered = _legacy_epochs(str(cp), (old_spelling,))
+        assert old_hash in covered
+        assert len(covered) == len(set(covered))
+        # same-spelling restart needs nothing: implicit set covers it
+        assert old_hash in _legacy_epochs(old_spelling)
+    finally:
+        os.chdir(cwd)
+
+
 def test_index_maintenance_legacy_epoch_replay_not_doubled(spark, tmp_path):
     """Upgrade safety (code-review r11): a batch written under the OLD
     epoch scheme (bare 12-hex md5 of the raw checkpoint path) and then
@@ -1049,3 +1080,36 @@ def test_index_tree_compact_preserves_results(spark, tmp_path):
     out = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
            for r in spark.read.parquet(flags).collect()}
     assert out[9] == (1, True)
+
+
+def test_index_tree_compact_quiesce_guard_sees_uri_paths(spark, tmp_path):
+    """The quiesce mtime guard must see files through a Spark-style
+    ``file:`` URI spelling (the r11 os.walk guard saw no entries for URIs
+    — newest stayed None and the call always refused even on an idle
+    tree, ADVICE r11). Fresh writes under a URI spelling must REFUSE with
+    a real age (not <unknown>); an aged tree must compact without force."""
+    import os
+    import time
+
+    import pytest
+
+    from stock_etl_pipeline_spark.streaming import (
+        index_maintenance_batch,
+        index_tree_compact,
+    )
+
+    idx, flags = str(tmp_path / "uri_idx"), str(tmp_path / "uri_flags")
+    index_maintenance_batch(idx, flags, _docs_df(spark, [(1, "a b c")]),
+                            0, family="exact", epoch="aaa")
+    uri = "file:" + idx
+    # guard SEES the fresh writes through the URI: refuses with a real age
+    with pytest.raises(RuntimeError, match="quiesce") as ei:
+        index_tree_compact(spark, uri, n_files=1)
+    assert "<unknown>" not in str(ei.value)
+    # age the tree's files past the window: compacts with NO force
+    past = time.time() - 120
+    for root, _dirs, files in os.walk(idx):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (past, past))
+    rep = index_tree_compact(spark, uri, n_files=1, quiesce_seconds=60)
+    assert rep["partitions_folded"] == 1 and rep["rows"] == 1
