@@ -218,9 +218,7 @@ def main() -> int:
     # query TOUCHED when either moved — see fingerprints.py.
     from stock_etl_pipeline_spark.fingerprints import (
         kernel_fingerprint,
-        kernel_fingerprint_v2,
         plan_fingerprint,
-        plan_fingerprint_v2,
     )
 
     # PLAN_ONLY: building a registered DataFrame must not re-run the
@@ -229,9 +227,7 @@ def main() -> int:
     # Bounded model training (kmeans/codebook collects) still executes —
     # that is plan construction for these operators and costs seconds.
     plan_hash = {}
-    plan_hash_compat = {}
     kernel_hash = {}
-    kernel_hash_compat = {}
     os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     try:
         for name, s in bench_specs.items():
@@ -243,20 +239,11 @@ def main() -> int:
             except Exception:
                 kernel_hash[name] = None
             try:
-                kernel_hash_compat[name] = kernel_fingerprint_v2(s.fn)
-            except Exception:
-                kernel_hash_compat[name] = None
-            try:
                 spark.catalog.clearCache()
                 df = s.fn(spark, sf_dir)
                 plan_hash[name] = plan_fingerprint(df)
-                # v2 (unstripped-lambda) twin for the compat map: only
-                # comparable between identical construction histories,
-                # which bench-to-bench runs are
-                plan_hash_compat[name] = plan_fingerprint_v2(df)
             except Exception:
                 plan_hash[name] = None
-                plan_hash_compat[name] = None
     finally:
         del os.environ["SPARK_GRAFT_PLAN_ONLY"]
 
@@ -268,26 +255,18 @@ def main() -> int:
     # its head past the window → BENCH_r09.json parsed: null. So:
     # fingerprints go to a sidecar file AND a separate stdout line FIRST;
     # the final line stays compact (timings only, ~1.3 kB) and LAST.
-    from stock_etl_pipeline_spark.fingerprints import (
-        FP_COMPAT_VERSION,
-        FP_VERSION,
-    )
+    from stock_etl_pipeline_spark.fingerprints import FP_VERSION
 
+    # No compat block since round 12: the one cross-version comparison it
+    # existed for (r10 v2 → r11 v3) has run; committed historical sidecars
+    # (PLANHASH_r11.json) keep their compat maps as data and round_compare
+    # still consumes them for historical pairs.
     fingerprints = {
         "metric": "code_fingerprints",
         "sf": sf,
         "fp_version": FP_VERSION,
         "plan_hash": plan_hash,
         "kernel_hash": kernel_hash,
-        # previous-scheme kernel map: the FIRST round after a version bump
-        # compares old-scheme to old-scheme through this (round_compare
-        # looks it up when the two sides' fp_versions differ) instead of
-        # dropping the touched-derivation entirely. Remove after one round.
-        "compat": {
-            "fp_version": FP_COMPAT_VERSION,
-            "kernel_hash": kernel_hash_compat,
-            "plan_hash": plan_hash_compat,
-        },
     }
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PLANHASH.json"
@@ -297,10 +276,7 @@ def main() -> int:
             json.dump(fingerprints, f)
     except OSError:
         pass  # read-only checkout: the stdout line below still carries them
-    # stdout line WITHOUT the compat block: the driver's ~2000-char tail
-    # capture keeps the END of this line, and compat-after-kernel_hash
-    # would displace the primary kernel map from the surviving window
-    print(json.dumps({k: v for k, v in fingerprints.items() if k != "compat"}))
+    print(json.dumps(fingerprints))
     print(
         json.dumps(
             {

@@ -100,9 +100,14 @@ def main() -> int:
         finally:
             del os.environ["SPARK_GRAFT_PLAN_ONLY"]
 
-    # one-line INCR artifact freshness report (VERDICT r10 item 7):
-    # informational — increment economics don't shift on every commit, but
-    # the round's INCR_r{N}.json should name the HEAD it was measured at
+    # INCR artifact freshness GATE (round 12, VERDICT r11 item 2 — r11's
+    # informational report let INCR_r11.json close the round measured at
+    # bd58d0c while dedup kernels kept landing). The gate is per-FAMILY and
+    # exact: the artifact records fp3 closure hashes of each family's
+    # measurement entrypoints (incr_lab.FAMILY_KERNEL_FNS); a family whose
+    # closure is byte-identical since measurement is FRESH even when HEAD
+    # moved (the documented exemption), a family whose closure moved is a
+    # round-close FAILURE until incr_lab --json re-measures it.
     import glob
     import subprocess
 
@@ -110,22 +115,55 @@ def main() -> int:
     if incrs:
         with open(incrs[-1]) as f:
             incr = json.load(f)
-        head = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, cwd=REPO,
-        ).stdout.strip()
-        state = "at HEAD" if incr.get("head") == head else (
-            f"measured at {incr.get('head')} (HEAD is {head})"
-        )
+        incr_name = os.path.basename(incrs[-1])
         gaps = {
             k: v.get("full_over_incr")
             for k, v in (incr.get("families") or {}).items()
         }
-        print(f"INCR: {os.path.basename(incrs[-1])} {state}, "
-              f"full/incr gaps {gaps}")
+        recorded = incr.get("family_kernels")
+        if recorded:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "incr_lab", os.path.join(REPO, "scripts", "incr_lab.py")
+            )
+            incr_lab = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(incr_lab)
+            fresh_fams = incr_lab.family_kernel_hashes()
+            stale_fams = sorted(
+                f for f, h in fresh_fams.items() if recorded.get(f) != h
+            )
+            exempt = sorted(set(fresh_fams) - set(stale_fams))
+            if stale_fams:
+                bad.append(
+                    f"INCR {incr_name}: family kernels moved since "
+                    f"measurement: {stale_fams} (closure-exempt: {exempt}) "
+                    f"— re-run scripts/incr_lab.py --json"
+                )
+            else:
+                print(
+                    f"INCR: {incr_name} fresh (all family kernel closures "
+                    f"unchanged since measurement at {incr.get('head')}), "
+                    f"full/incr gaps {gaps}"
+                )
+        else:
+            # pre-r12 artifact: no per-family closures — only exact-HEAD
+            # equality can prove freshness
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=REPO,
+            ).stdout.strip()
+            if incr.get("head") == head:
+                print(f"INCR: {incr_name} at HEAD, full/incr gaps {gaps}")
+            else:
+                bad.append(
+                    f"INCR {incr_name}: measured at {incr.get('head')} "
+                    f"(HEAD is {head}) and carries no family_kernels map — "
+                    f"unverifiable; re-run scripts/incr_lab.py --json"
+                )
 
     if bad:
-        print(f"STALE SNAPSHOT ({snap_path}): {len(bad)} disagreements")
+        print(f"FRESHNESS CHECK FAILED ({snap_path}): {len(bad)} issue(s)")
         for line in bad:
             print("  " + line)
         return 1

@@ -47,6 +47,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 INCR_OFFSET = 10**12
 
+# The measurement entrypoints each family's arms call — the exact set of
+# kernels whose edits can shift that family's increment economics. The
+# artifact records kernel_fingerprint-derived hashes of these so
+# scripts/fp_check.py can verify freshness PER FAMILY (VERDICT r11 item 2):
+# a family whose closure is byte-identical since measurement is fresh even
+# when HEAD moved; a family whose closure moved must be re-measured.
+FAMILY_KERNEL_FNS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "exact": ("operators.dedup", (
+        "exact_dedup_index_write", "exact_dedup_index_increment", "_exact_fp",
+    )),
+    "minhash": ("operators.dedup", (
+        "minhash_index_write", "minhash_index_increment", "minhash_lsh_pairs",
+        "lsh_tier_geometry",
+    )),
+    "simhash": ("operators.dedup", (
+        "simhash128_index_write", "simhash128_index_increment",
+        "simhash128_near_dup_pairs",
+    )),
+    "ivf": ("operators.similarity", ("ivf_clustered_write", "ivf_append")),
+}
+
+
+def family_kernel_hashes() -> dict[str, str]:
+    """One 12-hex hash per family: md5 over (entrypoint name, fp3 kernel
+    hash) pairs of that family's measurement entrypoints."""
+    import hashlib
+    import importlib
+
+    from stock_etl_pipeline_spark.fingerprints import kernel_fingerprint
+
+    out: dict[str, str] = {}
+    for fam, (modname, fn_names) in FAMILY_KERNEL_FNS.items():
+        mod = importlib.import_module(f"stock_etl_pipeline_spark.{modname}")
+        acc = hashlib.md5()
+        for fn_name in fn_names:
+            h = kernel_fingerprint(getattr(mod, fn_name))
+            acc.update(fn_name.encode())
+            acc.update((h or "none").encode())
+        out[fam] = acc.hexdigest()[:12]
+    return out
+
 
 def main() -> int:
     argv = sys.argv
@@ -118,6 +159,10 @@ def main() -> int:
             "tier": tier,
             "reps": reps,
             "head": head,
+            # per-family closure hashes of the measurement entrypoints:
+            # fp_check.py fails the round close when a family's kernels
+            # moved after measurement (and exempts the ones that didn't)
+            "family_kernels": family_kernel_hashes(),
             "families": summaries,
         }
         with open(json_out, "w") as f:

@@ -30,11 +30,10 @@ auto-derive the UNTOUCHED query set for the median ruler — BASELINE.md):
   assignment source of every module-level constant it reads. Moves when
   any function the query can CALL is edited; stays put when an unrelated
   function in the same module changes. fp_version 2 hashed the whole
-  module-source closure instead (``kernel_fingerprint_v2``, kept for the
-  cross-version compat map) — and since ``operators/dedup.py`` gets
-  edited nearly every round, the module scheme marked the entire doc
-  family touched every round, permanently halving the untouched-median
-  ruler basis (VERDICT r10 item 3).
+  module-source closure instead (``module_closure``) — and since
+  ``operators/dedup.py`` gets edited nearly every round, the module
+  scheme marked the entire doc family touched every round, permanently
+  halving the untouched-median ruler basis (VERDICT r10 item 3).
 
   The v3 resolver stays deliberately FAIL-SAFE: anything it cannot
   resolve precisely (dynamic getattr, unresolvable names, unparseable
@@ -62,14 +61,16 @@ _PKG = __name__.rsplit(".", 1)[0]  # "stock_etl_pipeline_spark"
 
 # Bump when the HASHING SCHEME changes (not when code changes): hashes from
 # different versions are incomparable, and round_compare must not derive a
-# touched set across a version boundary — bench.py therefore also emits a
-# FP_COMPAT_VERSION map (the previous scheme) into the PLANHASH.json
-# sidecar so the FIRST round after a bump still compares old-scheme to
-# old-scheme instead of losing the ruler basis. 2 = analyzed-plan hashing +
-# module-source-closure kernels (round 10). 3 = per-function source
-# closures (round 11; plan hashing unchanged).
+# touched set across a version boundary. On a bump, re-emit the previous
+# scheme for ONE round as a "compat" block in the PLANHASH.json sidecar
+# (kernel hashes only — compat PLAN hashes are not comparable across
+# bench-set membership changes, ADVICE r11) so the first post-bump round
+# keeps its touched derivation; round_compare consumes it. The v2 compat
+# emission was removed in round 12 after the r10→r11 pair ran (committed
+# historical sidecars keep their compat maps as data).
+# 2 = analyzed-plan hashing + module-source-closure kernels (round 10).
+# 3 = per-function source closures (round 11; plan hashing unchanged).
 FP_VERSION = 3
-FP_COMPAT_VERSION = 2
 
 # module source hashes memoized per process (files do not change mid-run)
 _SRC_HASH: dict[str, str] = {}
@@ -175,37 +176,6 @@ def _static_imports(mod, pkg_prefix: str):
                 continue
         mods.append(m)
     return mods
-
-
-def kernel_fingerprint_v2(fn: Callable, pkg_prefix: str = _PKG) -> str | None:
-    """fp_version-2 kernel hash: md5 over the sorted (module, src_md5)
-    MODULE closure of ``fn``'s module. Kept (a) as the fail-safe the v3
-    resolver degrades to and (b) for the cross-version compat map bench.py
-    emits in the round after a version bump.
-
-    For the real package, ``session.py`` is folded into EVERY closure:
-    queries never import it (callers own the session), but its confs shape
-    every query's runtime — and with analyzed-plan hashing the plan hash
-    cannot see conf changes either. A session.py edit marking every query
-    touched is the correct over-approximation."""
-    mod = inspect.getmodule(fn)
-    if mod is None:
-        return None
-    closure = module_closure(mod, pkg_prefix)
-    if not closure:
-        return None
-    if pkg_prefix == _PKG:
-        sess = sys.modules.get(f"{_PKG}.session") or importlib.import_module(
-            f"{_PKG}.session"
-        )
-        h = _module_src_hash(sess)
-        if h is not None:
-            closure[sess.__name__] = h
-    acc = hashlib.md5()
-    for name in sorted(closure):
-        acc.update(name.encode())
-        acc.update(closure[name].encode())
-    return acc.hexdigest()[:12]
 
 
 # --- fp_version 3: per-function source closures ------------------------------
@@ -652,11 +622,3 @@ def plan_fingerprint(df) -> str:
     s = _analyzed_plan_string(df)
     s = re.sub(r"lambda (\w+?)_\d+#", r"lambda \1#", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
-
-
-def plan_fingerprint_v2(df) -> str:
-    """The fp_version-2 plan hash (no lambda strip) — kept for the
-    cross-version compat map: v2 plan hashes are comparable across rounds
-    only between runs with IDENTICAL construction history (bench.py's
-    fixed sweep), which is exactly the compat map's use."""
-    return hashlib.md5(_analyzed_plan_string(df).encode()).hexdigest()[:12]

@@ -345,9 +345,6 @@ def test_plan_fingerprint_lambda_counter_independent(spark, sf_small):
         reg[n].fn(spark, sf_small)
     h2 = fingerprints.plan_fingerprint(fn(spark, sf_small))
     assert h1 == h2
-    # v2 (unstripped) twin exists for the compat map and differs exactly
-    # when the counter moved
-    assert fingerprints.plan_fingerprint_v2(fn(spark, sf_small)) is not None
     # column-name ordinals survive the scoped strip: the two minhash
     # variants' plans must not collapse onto one hash
     a = fingerprints.plan_fingerprint(reg["doc_minhash_lsh"].fn(spark, sf_small))
@@ -355,6 +352,46 @@ def test_plan_fingerprint_lambda_counter_independent(spark, sf_small):
         reg["doc_minhash_capped"].fn(spark, sf_small)
     )
     assert a != b
+
+
+def test_incr_family_kernel_hashes(monkeypatch):
+    """INCR freshness gate (round 12, VERDICT r11 item 2): incr_lab records
+    one fp3-closure hash per index family; fp_check fails a round close
+    when a family's measurement kernels moved after the INCR artifact was
+    written, and exempts families whose closures are byte-identical. The
+    hashes must be deterministic, per-family distinct, and sensitive to a
+    kernel edit in exactly the families whose entrypoints reach it."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "incr_lab_under_test",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "scripts", "incr_lab.py"),
+    )
+    incr_lab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(incr_lab)
+
+    h0 = incr_lab.family_kernel_hashes()
+    assert set(h0) == {"exact", "minhash", "simhash", "ivf"}
+    assert all(len(v) == 12 for v in h0.values())
+    assert len(set(h0.values())) == 4  # families hash distinctly
+    assert incr_lab.family_kernel_hashes() == h0  # deterministic
+
+    # a dedup.py kernel "edit" (kernel hashes of dedup-defined entrypoints
+    # move) flips the dedup-backed families and leaves ivf
+    # (similarity.py-defined entrypoints) exempt
+    real = fingerprints.kernel_fingerprint
+
+    def poisoned(fn, *a, **k):
+        if getattr(fn, "__module__", "").endswith("operators.dedup"):
+            return "deadbeef0000"
+        return real(fn, *a, **k)
+
+    monkeypatch.setattr(fingerprints, "kernel_fingerprint", poisoned)
+    h1 = incr_lab.family_kernel_hashes()
+    assert h1["ivf"] == h0["ivf"]
+    assert all(h1[f] != h0[f] for f in ("exact", "minhash", "simhash"))
 
 
 def test_kernel_fingerprint_covers_session_confs(monkeypatch):
