@@ -52,6 +52,33 @@ Metadata (row count, parent ordinal, operation) is written to the
 snapshot's ``_meta.json`` BEFORE the marker, so any visible snapshot's
 metadata is complete. Markers are empty: everything derives from the
 ordinal, so marker visibility is the one atomic bit.
+
+FILE-LEVEL COW (round 12, VERDICT r11 item 3 — the 100 TB isolation
+path): a table-COW commit stages the WHOLE table, so a 1% daily merge
+on a large table rewrites everything. ``acid_merge_upsert(...,
+file_cow=True)`` instead publishes a MANIFEST snapshot::
+
+    <table>/data/<commit-uuid>-part-*.parquet   # immutable, SHARED across snapshots
+    <table>/snap-N/_manifest.json               # {file: {rows, bounds}} + schema
+    <table>/snap-N/_meta.json
+
+- The manifest lists the data files composing the snapshot with per-file
+  row counts and per-key-column min/max bounds (computed once, from ONE
+  aggregate over just-written files; untouched files carry their stats
+  forward by reference).
+- A merge commit finds the files actually containing merged keys in two
+  stages: driver-side BOUNDS pruning (files whose key ranges cannot
+  intersect the source's are untouched without any read), then a
+  column-pruned key scan of only the candidate files semi-joined to the
+  source keys. Untouched files move to the new manifest unchanged; only
+  touched files are rewritten (their rows EXCEPT-merged-keys, union the
+  source) — commit cost scales with TOUCHED files, not table size.
+- The publish protocol is byte-identical to table COW: stage (tiny —
+  two JSON files), marker, rename. Readers resolve a manifest snapshot
+  to its data-file list once; the files are immutable, so snapshot
+  isolation holds exactly as before. A crashed commit's just-written
+  data files are unreferenced orphans; vacuum sweeps any ``data/`` file
+  no kept manifest references.
 """
 
 from __future__ import annotations
@@ -87,6 +114,36 @@ def _commits_dir(table: str) -> str:
 
 def _snap_dir(table: str, ordinal: int) -> str:
     return f"{table.rstrip('/')}/snap-{ordinal:0{_ORD_W}d}"
+
+
+def _data_dir(table: str) -> str:
+    return table.rstrip("/") + "/data"
+
+
+def _read_json_file(fs, jvm, path: str) -> dict:
+    stream = fs.open(_hpath(jvm, path))
+    try:
+        try:
+            data = bytes(stream.readAllBytes())  # Hadoop 3 / Java 9+
+        except Exception:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b)
+            data = bytes(out)
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_json_file(fs, jvm, path: str, obj: dict) -> None:
+    out = fs.create(_hpath(jvm, path), True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _marker_ordinals(spark: SparkSession, table: str) -> list[int]:
@@ -145,27 +202,43 @@ def acid_read(
                 f"acid table {table!r}: ordinal {ordinal} was never "
                 f"published (crashed commit or vacuumed)"
             )
+    man = _manifest(spark, table, ordinal)
+    if man is not None:  # file-COW snapshot: resolve the data-file list once
+        return _read_manifest_files(spark, table, man)
     return spark.read.parquet(_snap_dir(table, ordinal))
 
 
 def acid_snapshot_meta(spark: SparkSession, table: str, ordinal: int) -> dict:
     fs, jvm = _fs(spark, table)
-    meta_path = _hpath(jvm, _snap_dir(table, ordinal) + "/_meta.json")
-    stream = fs.open(meta_path)
-    try:
-        try:
-            data = bytes(stream.readAllBytes())  # Hadoop 3 / Java 9+
-        except Exception:
-            out = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                out.append(b)
-            data = bytes(out)
-    finally:
-        stream.close()
-    return json.loads(data.decode("utf-8"))
+    return _read_json_file(fs, jvm, _snap_dir(table, ordinal) + "/_meta.json")
+
+
+def _manifest(spark: SparkSession, table: str, ordinal: int) -> dict | None:
+    """The snapshot's file manifest — None for a table-COW snapshot (whose
+    data IS the snap dir's parquet). Shape: {"files": {name: {"rows": n,
+    "bounds": {key: [lo, hi]}}}, "schema": <StructType json>,
+    "keys": [...]}."""
+    fs, jvm = _fs(spark, table)
+    p = _snap_dir(table, ordinal) + "/_manifest.json"
+    if not fs.exists(_hpath(jvm, p)):
+        return None
+    return _read_json_file(fs, jvm, p)
+
+
+def _read_manifest_files(
+    spark: SparkSession, table: str, manifest: dict, names=None
+) -> DataFrame:
+    """DataFrame over (a subset of) a manifest's shared data files, with
+    the manifest's pinned schema (no footer merging; empty file lists read
+    as an empty frame of the right schema)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    use = sorted(manifest["files"]) if names is None else sorted(names)
+    if not use:
+        return spark.createDataFrame([], schema)
+    ddir = _data_dir(table)
+    return spark.read.schema(schema).parquet(*[f"{ddir}/{n}" for n in use])
 
 
 def acid_commit(
@@ -195,6 +268,34 @@ def acid_commit(
     import uuid
 
     fs, jvm = _fs(spark, table)
+    parent, ordinal = _resolve_commit_ordinal(spark, table, expected_parent)
+    # stage into a path ONLY this committer knows — racers must never
+    # share a staging dir (overwrite/cleanup would destroy the winner's
+    # files); the final snap-<ordinal> path is claimed via the marker
+    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(stage)
+    n = spark.read.parquet(stage).count()  # count the immutable files
+    meta = {
+        "ordinal": ordinal,
+        "parent": parent,
+        "operation": operation,
+        "rows": n,
+    }
+    # metadata lands INSIDE the snapshot before the marker makes it visible
+    _write_json_file(fs, jvm, stage + "/_meta.json", meta)
+    _claim_and_publish(spark, table, stage, ordinal)
+    return {"destination": table, "mode": operation, "rows_loaded": n,
+            "ordinal": ordinal, "parent": parent}
+
+
+def _resolve_commit_ordinal(
+    spark: SparkSession, table: str, expected_parent: int | None
+) -> tuple[int, int]:
+    """(parent, ordinal to claim) under the optimistic rules: a conditional
+    commit targets EXACTLY expected_parent + 1 and conflicts on a stale
+    parent OR any unresolved marker above it (in-flight or crashed commit
+    — see module docstring); an unconditional commit claims one past the
+    max marker (burned ordinals are never reused)."""
     parent = _current_ordinal(spark, table)
     if expected_parent is not None:
         if parent != expected_parent:
@@ -209,26 +310,17 @@ def acid_commit(
                 f"{parent} — a commit is in flight (retry) or crashed "
                 f"(acid_vacuum reclaims its marker)"
             )
-    else:
-        ordinal = _next_ordinal(spark, table)
-    # stage into a path ONLY this committer knows — racers must never
-    # share a staging dir (overwrite/cleanup would destroy the winner's
-    # files); the final snap-<ordinal> path is claimed via the marker
-    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(stage)
-    n = spark.read.parquet(stage).count()  # count the immutable files
-    meta = {
-        "ordinal": ordinal,
-        "parent": parent,
-        "operation": operation,
-        "rows": n,
-    }
-    # metadata lands INSIDE the snapshot before the marker makes it visible
-    out = fs.create(_hpath(jvm, stage + "/_meta.json"), True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        out.close()
+        return parent, ordinal
+    return parent, _next_ordinal(spark, table)
+
+
+def _claim_and_publish(
+    spark: SparkSession, table: str, stage: str, ordinal: int
+) -> None:
+    """The atomic publish: claim the ordinal's marker (create-if-absent),
+    then rename the staged snapshot dir into place. Raises CommitConflict
+    (own stage removed) when the marker was claimed concurrently."""
+    fs, jvm = _fs(spark, table)
     cdir = _hpath(jvm, _commits_dir(table))
     if not fs.exists(cdir):
         fs.mkdirs(cdir)
@@ -248,8 +340,158 @@ def acid_commit(
             f"marker was claimed; ordinal {ordinal} is burned (readers "
             f"skip it), staged data remains at {stage}"
         )
-    return {"destination": table, "mode": operation, "rows_loaded": n,
-            "ordinal": ordinal, "parent": parent}
+
+
+def _write_data_files(
+    spark: SparkSession, table: str, df: DataFrame, keys: Sequence[str]
+) -> dict:
+    """Write ``df`` as new immutable files in the table's shared ``data/``
+    dir and return their manifest entries {name: {"rows", "bounds"}}.
+    Stats (row count + per-key min/max) come from ONE aggregate over the
+    just-written files — never a second full-table pass. Files land in
+    data/ BEFORE any marker: a crashed/conflicted commit leaves them as
+    unreferenced orphans that acid_vacuum sweeps."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, table)
+    tag = uuid.uuid4().hex
+    stage = f"{table.rstrip('/')}/__stage-{tag}"
+    df.write.mode("overwrite").parquet(stage)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for k in keys:
+        aggs.append(F.min(k).alias(f"_lo_{k}"))
+        aggs.append(F.max(k).alias(f"_hi_{k}"))
+    stats = (
+        spark.read.parquet(stage)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per written file
+    )
+    ddir = _data_dir(table)
+    if not fs.exists(_hpath(jvm, ddir)):
+        fs.mkdirs(_hpath(jvm, ddir))
+    files: dict = {}
+    for r in stats:
+        base = r["_file"].split("/")[-1]
+        name = f"{tag}-{base}"  # commit-unique: no collision in data/
+        if not fs.rename(
+            _hpath(jvm, f"{stage}/{base}"), _hpath(jvm, f"{ddir}/{name}")
+        ):
+            raise RuntimeError(
+                f"table {table!r}: staging {stage}/{base} -> data/{name} "
+                f"rename failed"
+            )
+        bounds = {}
+        for k in keys:
+            lo, hi = r[f"_lo_{k}"], r[f"_hi_{k}"]
+            # bounds only for JSON-faithful types; others stay unpruned
+            # (the exact key scan still resolves them)
+            if (
+                isinstance(lo, (int, float, str))
+                and isinstance(hi, (int, float, str))
+                and not isinstance(lo, bool)
+            ):
+                bounds[k] = [lo, hi]
+        files[name] = {"rows": r["_rows"], "bounds": bounds}
+    fs.delete(_hpath(jvm, stage), True)  # empty shell (+ zero-row parts)
+    return files
+
+
+def _touched_file_names(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> set[str]:
+    """Manifest files that actually contain one of the source's merge keys
+    — the ONLY files a file-COW merge rewrites. Two stages: driver-side
+    bounds pruning (a file whose per-key min/max cannot intersect the
+    source's key range is untouched with zero reads), then a
+    column-pruned key scan of the candidate files semi-joined to the
+    distinct source keys (broadcast: daily upsert keys are bounded by
+    construction — the same contract as operators/upsert.py)."""
+    from pyspark.sql import functions as F
+
+    files = manifest["files"]
+    sb = source.select(
+        *[
+            f
+            for k in keys
+            for f in (F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}"))
+        ]
+    ).collect()[0]
+
+    def may_contain(name: str) -> bool:
+        b = files[name].get("bounds") or {}
+        for k in keys:
+            if k not in b:
+                continue  # no stats for this column: cannot prune on it
+            slo, shi = sb[f"_lo_{k}"], sb[f"_hi_{k}"]
+            if slo is None or shi is None:
+                continue
+            lo, hi = b[k]
+            try:
+                if hi < slo or lo > shi:
+                    return False
+            except TypeError:  # JSON type vs live type mismatch: no prune
+                continue
+        return True
+
+    candidates = [n for n in files if may_contain(n)]
+    if not candidates:
+        return set()
+    scan = _read_manifest_files(spark, table, manifest, candidates)
+    src_keys = source.select(*keys).dropDuplicates(list(keys))
+    hit = (
+        scan.select(*keys, F.input_file_name().alias("_file"))
+        .join(F.broadcast(src_keys), list(keys), "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()  # bounded: at most one row per candidate file
+    )
+    return {r["_file"].split("/")[-1] for r in hit}
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    *,
+    parent: int,
+    operation: str,
+    rows: int,
+    extra: dict | None = None,
+) -> dict:
+    """Publish a MANIFEST snapshot (file-COW): the stage dir holds only
+    two JSON files; the marker/rename protocol — including the
+    conditional parent+1 rule — is byte-identical to acid_commit."""
+    import uuid
+
+    fs, jvm = _fs(spark, table)
+    _, ordinal = _resolve_commit_ordinal(spark, table, parent)
+    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
+    fs.mkdirs(_hpath(jvm, stage))
+    _write_json_file(fs, jvm, stage + "/_manifest.json", manifest)
+    meta = {
+        "ordinal": ordinal,
+        "parent": parent,
+        "operation": operation,
+        "rows": rows,
+        **(extra or {}),
+    }
+    _write_json_file(fs, jvm, stage + "/_meta.json", meta)
+    _claim_and_publish(spark, table, stage, ordinal)
+    return {
+        "destination": table,
+        "mode": operation,
+        "rows_loaded": rows,
+        "ordinal": ordinal,
+        "parent": parent,
+        **(extra or {}),
+    }
 
 
 def acid_merge_upsert(
@@ -259,6 +501,7 @@ def acid_merge_upsert(
     keys: Sequence[str],
     *,
     max_retries: int = 2,
+    file_cow: bool = False,
 ) -> dict:
     """Transactional MERGE: read the current snapshot, merge (broadcast
     anti join + union — operators/upsert.py, the reference's MERGE
@@ -266,23 +509,90 @@ def acid_merge_upsert(
     the marker lands and the NEW table after — never a partial state. On
     CommitConflict the merge recomputes against the winner's snapshot
     (``max_retries`` times), which is exactly the lakehouse optimistic
-    loop. First commit on an empty table inserts the source as-is."""
+    loop. First commit on an empty table inserts the source as-is.
+
+    ``file_cow=True`` (round 12) publishes MANIFEST snapshots: only the
+    files containing merged keys are rewritten; the rest carry forward by
+    reference — commit cost scales with touched files, not table size,
+    which makes acid viable for large fact tables, not just gold/dim
+    relations (see module docstring). The two layouts interoperate: the
+    first file_cow commit onto a table-COW parent is a one-time
+    conversion (rewrites everything into data/ files); acid_read resolves
+    either kind. Results are pinned equal to the table-COW merge in
+    tests/test_sources_sinks.py."""
     from ..operators.upsert import merge_upsert
 
+    if not file_cow:
+        for _ in range(max_retries + 1):
+            parent = _current_ordinal(spark, table)
+            if parent == 0:
+                merged = source
+            else:
+                merged = merge_upsert(
+                    spark.read.parquet(_snap_dir(table, parent)), source, keys
+                )
+            try:
+                return acid_commit(
+                    spark, table, merged,
+                    operation="merge", expected_parent=parent,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"table {table!r}: lost the commit race {max_retries + 1} times"
+        )
+
+    fs, jvm = _fs(spark, table)
     for _ in range(max_retries + 1):
         parent = _current_ordinal(spark, table)
+        man = _manifest(spark, table, parent) if parent else None
+        untouched: dict = {}
+        n_rewritten = 0
         if parent == 0:
             merged = source
-        else:
+        elif man is None:
+            # table-COW parent: one-time conversion commit (everything
+            # rewrites into data/ files; increments are file-level after)
             merged = merge_upsert(
                 spark.read.parquet(_snap_dir(table, parent)), source, keys
             )
+        else:
+            touched = _touched_file_names(spark, table, man, source, keys)
+            untouched = {
+                n: s for n, s in man["files"].items() if n not in touched
+            }
+            n_rewritten = len(touched)
+            if touched:
+                merged = merge_upsert(
+                    _read_manifest_files(spark, table, man, touched),
+                    source, keys,
+                )
+            else:
+                merged = source  # pure insert: no file holds these keys
+        new_files = _write_data_files(spark, table, merged, keys)
+        manifest = {
+            "files": {**untouched, **new_files},
+            # pin the parent's schema when extending it — nullability
+            # variations in a rewritten subset must not fork the table
+            "schema": man["schema"] if man else merged.schema.json(),
+            "keys": list(keys),
+        }
+        rows = sum(s["rows"] for s in manifest["files"].values())
         try:
-            return acid_commit(
-                spark, table, merged,
-                operation="merge", expected_parent=parent,
+            return _commit_manifest(
+                spark, table, manifest,
+                parent=parent, operation="merge", rows=rows,
+                extra={
+                    "files_total": len(manifest["files"]),
+                    "files_rewritten": n_rewritten,
+                    "files_new": len(new_files),
+                },
             )
         except CommitConflict:
+            # this attempt's data files are unreferenced — drop them now
+            # instead of leaving orphans for vacuum
+            for n in new_files:
+                fs.delete(_hpath(jvm, f"{_data_dir(table)}/{n}"), False)
             continue
     raise CommitConflict(
         f"table {table!r}: lost the commit race {max_retries + 1} times"
@@ -365,7 +675,23 @@ def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
         )
         if o > current:
             reclaimed.append(o)  # unblocks conditional commits
+    # file-COW hygiene: sweep shared data files no SURVIVING manifest
+    # references — orphans from crashed/conflicted commits and files whose
+    # last referencing snapshot was just removed above
+    removed_data = 0
+    ddir = _hpath(jvm, _data_dir(table))
+    if fs.exists(ddir):
+        referenced: set[str] = set()
+        for o in sorted(set(resolvable) & keep_set):
+            man = _manifest(spark, table, o)
+            if man:
+                referenced |= set(man["files"])
+        for st in fs.listStatus(ddir):
+            if st.getPath().getName() not in referenced:
+                fs.delete(st.getPath(), False)
+                removed_data += 1
     return {"destination": table, "removed": sorted(removed),
             "removed_stage_dirs": removed_stages,
+            "removed_data_files": removed_data,
             "reclaimed_ordinals": sorted(reclaimed),
             "kept": sorted(keep_set & markers) or [current]}

@@ -335,6 +335,8 @@ def stream_acid_merge(
     table: str,
     keys: list[str],
     checkpoint_dir: str,
+    *,
+    file_cow: bool = False,
 ):
     """MERGE per micro-batch into a snapshot-committed ACID table
     (sinks/acid.py): each batch becomes one atomically-published snapshot,
@@ -342,13 +344,18 @@ def stream_acid_merge(
     stream_merge_upsert's in-place partition rewrite cannot give. Replays
     are effectively-once by the same argument (MERGE is idempotent on
     keys: a re-merged batch publishes a snapshot with identical content,
-    just one more ordinal — acid_vacuum sweeps the history)."""
+    just one more ordinal — acid_vacuum sweeps the history).
+    ``file_cow=True`` publishes manifest snapshots (only files containing
+    the batch's keys rewrite) — the right mode for a long-running stream
+    on a large table, where per-batch whole-table COW would compound."""
     from ..sinks.acid import acid_merge_upsert
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        acid_merge_upsert(batch_df.sparkSession, table, batch_df, keys)
+        acid_merge_upsert(
+            batch_df.sparkSession, table, batch_df, keys, file_cow=file_cow
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -549,6 +549,124 @@ def test_acid_vacuum_sweeps_old_stages_and_dangling(spark, tmp_path):
     assert acid._current_ordinal(spark, table) == 5
 
 
+def test_acid_file_cow_merge_rewrites_only_touched_files(spark, tmp_path):
+    """File-level COW (VERDICT r11 item 3): a manifest-snapshot merge
+    rewrites ONLY the data files containing merged keys — untouched files
+    carry forward by reference (same physical name) — and the resulting
+    table is pinned equal to the table-COW merge at every step."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    ).repartitionByRange(4, "k")  # 4 files with disjoint key ranges
+
+    cow, tbl = str(tmp_path / "cow"), str(tmp_path / "tbl")
+    rep0 = acid.acid_merge_upsert(spark, cow, base, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, base, ["k"])
+    assert rep0["files_new"] == 4 and rep0["files_total"] == 4
+    assert rows(acid.acid_read(spark, cow)) == rows(acid.acid_read(spark, tbl))
+
+    man1 = acid._manifest(spark, cow, 1)
+    assert man1 is not None and len(man1["files"]) == 4
+    assert sum(s["rows"] for s in man1["files"].values()) == 40
+    # every file carries key bounds for the merge key
+    assert all("k" in s["bounds"] for s in man1["files"].values())
+
+    # merge touching keys in ONE range only: exactly one file rewrites
+    up = spark.createDataFrame([(2, "UP2"), (5, "UP5")], "k long, v string")
+    rep1 = acid.acid_merge_upsert(spark, cow, up, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, up, ["k"])
+    assert rep1["files_rewritten"] == 1
+    assert rows(acid.acid_read(spark, cow)) == rows(acid.acid_read(spark, tbl))
+    man2 = acid._manifest(spark, cow, 2)
+    # the 3 untouched files carry forward by NAME (no rewrite, no copy)
+    carried = set(man1["files"]) & set(man2["files"])
+    assert len(carried) == 3
+    assert all(man2["files"][n] == man1["files"][n] for n in carried)
+    assert rep1["rows_loaded"] == 40  # upserts, no inserts
+
+    # pure INSERT (keys beyond every file's bounds): zero files rewritten
+    ins = spark.createDataFrame([(100, "new")], "k long, v string")
+    rep2 = acid.acid_merge_upsert(spark, cow, ins, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, ins, ["k"])
+    assert rep2["files_rewritten"] == 0 and rep2["files_new"] >= 1
+    assert rep2["rows_loaded"] == 41
+    assert rows(acid.acid_read(spark, cow)) == rows(acid.acid_read(spark, tbl))
+
+    # SNAPSHOT ISOLATION + time travel on manifest snapshots: immutable
+    # data files mean ordinal 1 still reads exactly the base table
+    assert rows(acid.acid_read(spark, cow, ordinal=1)) == rows(base)
+    hist = acid.acid_history(spark, cow)
+    assert [h["ordinal"] for h in hist] == [1, 2, 3]
+    assert hist[1]["files_rewritten"] == 1 and hist[2]["files_rewritten"] == 0
+
+
+def test_acid_file_cow_conversion_vacuum_and_conflict_cleanup(spark, tmp_path):
+    """(a) the first file_cow merge onto a table-COW parent converts it
+    (one-time full rewrite into data/); (b) vacuum sweeps data files no
+    surviving manifest references — crashed-commit orphans and files whose
+    last referencing snapshot aged out — never files a kept snapshot still
+    needs; (c) a conflicted file-COW attempt unreferences its own files."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "cvt")
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    ).repartitionByRange(2, "k")
+    acid.acid_merge_upsert(spark, table, base, ["k"])  # table-COW parent
+    assert acid._manifest(spark, table, 1) is None
+
+    up = spark.createDataFrame([(3, "U")], "k long, v string")
+    rep = acid.acid_merge_upsert(spark, table, up, ["k"], file_cow=True)
+    assert rep["ordinal"] == 2 and acid._manifest(spark, table, 2)
+    want = {(i, "U" if i == 3 else f"v{i}") for i in range(20)}
+    assert set(rows(acid.acid_read(spark, table))) == want
+
+    # conflicted attempt: pre-claim ordinal 3's marker mid-race — the
+    # file-COW loop must drop the attempt's data files before retrying
+    fs, jvm = acid._fs(spark, table)
+    ddir = acid._data_dir(table)
+    n_before = len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(ddir))))
+    fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(f"{acid._commits_dir(table)}/{3:020d}")
+    )
+    up2 = spark.createDataFrame([(4, "W")], "k long, v string")
+    with _pt.raises(acid.CommitConflict):
+        acid.acid_merge_upsert(spark, table, up2, ["k"],
+                               file_cow=True, max_retries=0)
+    n_after = len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(ddir))))
+    assert n_after == n_before  # attempt's files unreferenced and removed
+
+    # reclaim the injected marker, land more merges, then vacuum
+    acid.acid_vacuum(spark, table, keep=10)
+    rep3 = acid.acid_merge_upsert(spark, table, up2, ["k"], file_cow=True)
+    assert rep3["ordinal"] == 3
+    rep4 = acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(5, "X")], "k long, v string"),
+        ["k"], file_cow=True,
+    )
+    assert rep4["ordinal"] == 4
+
+    vac = acid.acid_vacuum(spark, table, keep=1)
+    assert vac["removed"] == [1, 2, 3]
+    # every data file still on disk is referenced by the kept manifest,
+    # and the kept snapshot reads intact
+    man = acid._manifest(spark, table, 4)
+    on_disk = {
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(ddir))
+    }
+    assert on_disk == set(man["files"])
+    got = set(rows(acid.acid_read(spark, table)))
+    assert (3, "U") in got and (4, "W") in got and (5, "X") in got
+    assert len(got) == 20
+
+
 def test_acid_inflight_marker_blocks_conditional_commit(spark, tmp_path):
     """Lost-update race (ADVICE r11): while a commit holds marker N but has
     not renamed its snapshot yet, a conditional commit reading parent=N-1
