@@ -1350,7 +1350,7 @@ docs_all AS (SELECT doc_id, text FROM documents),
 """.strip()
 
 
-@spec_tests_only(
+@spec(
     "doc_lm_quality",
     oracle=_LM_QUALITY_ORACLE,
     tags=("quality", "lm", "text"),

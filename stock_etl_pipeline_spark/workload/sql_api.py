@@ -49,19 +49,20 @@ def _sql_spec(
     return runner
 
 
-# The reference has five SQL templates (queries.py:22-163). One is kept as a
-# registered sql_* query — the representative view-DDL + spark.sql entry
-# (cross-source HAVING/theta filter). The windowed moving-averages template
-# holds the tests-only tier (full oracle parity via test_oracle_parity.py):
-# its window math is driver-checked THREE other ways (moving_averages,
-# window_suite DataFrame twins + the shared-text parity here), and its
-# freed driver slot went to doc_corpus_construction — the composed
-# LLM-corpus pipeline, previously builder-verified only (VERDICT r10
-# item 2). The other three templates' semantics are driver-checked via
-# their DataFrame twins (daily_metrics, profile_suite, ingestion_stats).
+# The reference has five SQL templates (queries.py:22-163). All five now
+# hold the tests-only tier (full shared-text oracle parity via
+# test_oracle_parity.py) — each template's semantics also has a
+# driver-checked DataFrame twin (cross_source_spread, moving_averages +
+# window_suite, daily_metrics, profile_suite, ingestion_stats), so the
+# sql_* texts re-prove semantics the registry already covers. Their two
+# freed driver slots went to the LLM-corpus layer: doc_corpus_construction
+# (round 11) and doc_lm_quality (round 12) — previously builder-verified
+# only. View-DDL + spark.sql entry (K9) keeps driver coverage through the
+# prices-view registration every oracle_with_prices query performs.
 
 # 1. Cross-source comparison (reference queries.py:37-73; HAVING + theta
-# filter on the computed spread, 2% threshold).
+# filter on the computed spread, 2% threshold). Demoted round 12: its
+# HAVING/theta semantics are driver-checked by cross_source_spread.
 _sql_spec(
     "sql_cross_source",
     f"""
@@ -80,6 +81,7 @@ FROM (
 WHERE (max_close - min_close) / min_close > 0.02
 """.strip(),
     tags=("sql_api", "A2", "J2"),
+    tests_only=True,
 )
 
 # 2. Moving averages over a symbol subset (reference queries.py:76-115;
