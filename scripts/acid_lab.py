@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""ACID-table cost lab (round 12, VERDICT r11 items 3 + 7).
+
+Two studies over sinks/acid.py:
+
+--cow    Commit-cost scaling: seed tables at 1x/2x/4x the sf0.1 lineitem
+         row count (key-range-partitioned so file bounds prune), then
+         merge a CONSTANT-size update batch touching a narrow key range.
+         table-COW rewrites the whole table per commit (cost grows with
+         table size); file-COW rewrites only the touched files (cost
+         ~flat). The VERDICT r11 item-3 acceptance measurement.
+
+--churn  Long-stream churn: N file-COW merge commits in sequence (the
+         stream_acid_merge shape — foreachBatch serializes commits, so a
+         driver-side loop over acid_merge_upsert measures the same path
+         without streaming-engine overhead). Records, at checkpoints,
+         the per-commit wall, the _commits/ marker count + listStatus
+         time (paid by EVERY commit's ordinal resolution), manifest
+         entries + JSON bytes, and data/ file count. Arms:
+           none         no maintenance — every fixed cost grows with N
+           maintained   vacuum_every=50 keep=2 + compact_every=50
+         The VERDICT r11 item-7 soak; the retention-policy numbers in
+         SCALING round 12 come from here.
+
+Usage:
+  python scripts/acid_lab.py --cow  [--sf /root/testdata/sf0.1]
+  python scripts/acid_lab.py --churn [--commits 1000] [--batch-rows 200]
+                             [--scale 10] [--arm none|maintained|both]
+
+Output: one JSON line per measurement row, then a summary block.
+Run on an idle host; commit costs are wall-clock.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .appName("acid-lab")
+        .getOrCreate()
+    )
+
+
+def _base_rows(spark, sf_dir, mult: int):
+    """lineitem keyed by a unique BIGINT id, replicated ``mult`` times into
+    disjoint key ranges (same row width at every size — only length grows)."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+            "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate",
+        )
+    )
+    span = li.agg(F.max("id")).collect()[0][0] + 1
+    parts = [li.withColumn("id", F.col("id") + F.lit(i * span)) for i in range(mult)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, span * mult
+
+
+def run_cow(sf_dir: str, mults=(1, 2, 4), files_per_mult=8, batch_rows=1000):
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="acid_cow_")
+    results = []
+    try:
+        for mult in mults:
+            base, _ = _base_rows(spark, sf_dir, mult)
+            n_files = files_per_mult * mult  # constant file SIZE across sizes
+            seeded = base.repartitionByRange(n_files, "id")
+            n_rows = base.count()
+            # constant-size update batch in ONE narrow key range
+            batch = (
+                base.orderBy("id").limit(batch_rows)
+                .withColumn("l_quantity", F.col("l_quantity") + 1)
+            ).cache()
+            batch.count()
+            for mode, flag in (("table_cow", False), ("file_cow", True)):
+                tbl = f"{root}/{mode}_{mult}x"
+                acid.acid_merge_upsert(spark, tbl, seeded, ["id"], file_cow=flag)
+                t0 = time.monotonic()
+                rep = acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=flag)
+                wall = time.monotonic() - t0
+                row = {
+                    "study": "cow", "mode": mode, "mult": mult,
+                    "rows": n_rows, "files": n_files,
+                    "batch_rows": batch_rows, "commit_sec": round(wall, 3),
+                    "files_rewritten": rep.get("files_rewritten"),
+                    "files_total": rep.get("files_total"),
+                }
+                print(json.dumps(row), flush=True)
+                results.append(row)
+                shutil.rmtree(tbl, ignore_errors=True)
+            batch.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    by = {(r["mode"], r["mult"]): r["commit_sec"] for r in results}
+    summary = {
+        "study": "cow_summary",
+        "table_cow_sec_by_mult": {m: by.get(("table_cow", m)) for m in mults},
+        "file_cow_sec_by_mult": {m: by.get(("file_cow", m)) for m in mults},
+    }
+    print(json.dumps(summary), flush=True)
+
+
+def _churn_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
+               scale: int, checkpoints: set[int]):
+    """One churn arm: sequential file-COW merges, maintenance per the arm."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    tbl = f"{root}/churn_{arm}"
+    base, key_span = _base_rows(spark, SF, scale)
+    seeded = base.repartitionByRange(8 * scale, "id")
+    acid.acid_merge_upsert(spark, tbl, seeded, ["id"], file_cow=True)
+    rows_out = []
+    win: list[float] = []
+    fs, jvm = acid._fs(spark, tbl)
+    for b in range(1, n_commits + 1):
+        # alternate upserts into existing ranges and fresh inserts — the
+        # daily-feed mix (some files rewrite, table grows slowly)
+        lo = (b * 7919 * batch_rows) % key_span
+        batch = spark.range(lo, lo + batch_rows).select(
+            F.col("id"),
+            F.lit(1).alias("l_partkey"),
+            F.lit(float(b)).alias("l_quantity"),
+            F.lit(1.0).alias("l_extendedprice"),
+            F.lit("1996-01-01").cast("date").alias("l_shipdate"),
+        )
+        t0 = time.monotonic()
+        rep = acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=True)
+        win.append(time.monotonic() - t0)
+        if arm == "maintained" and b % 50 == 0:
+            acid.acid_compact(spark, tbl, target_rows=1_000_000)
+            acid.acid_vacuum(spark, tbl, keep=2)
+        if b in checkpoints:
+            t1 = time.monotonic()
+            markers = acid._marker_ordinals(spark, tbl)
+            list_sec = time.monotonic() - t1
+            cur = acid._current_ordinal(spark, tbl)
+            man = acid._manifest(spark, tbl, cur)
+            mpath = f"{tbl}/snap-{cur:020d}/_manifest.json"
+            dfiles = len(list(fs.listStatus(acid._hpath(jvm, acid._data_dir(tbl)))))
+            row = {
+                "study": "churn", "arm": arm, "commit": b,
+                "commit_sec_median_win": round(sorted(win)[len(win) // 2], 3),
+                "commit_sec_last": round(win[-1], 3),
+                "n_markers": len(markers),
+                "markers_list_sec": round(list_sec, 4),
+                "manifest_files": len(man["files"]),
+                "manifest_bytes": os.path.getsize(mpath),
+                "data_files_on_disk": dfiles,
+                "files_rewritten_last": rep.get("files_rewritten"),
+            }
+            print(json.dumps(row), flush=True)
+            rows_out.append(row)
+            win = []
+    total = acid.acid_read(spark, tbl).count()
+    print(json.dumps({"study": "churn", "arm": arm, "final_rows": total}),
+          flush=True)
+    shutil.rmtree(tbl, ignore_errors=True)
+    return rows_out
+
+
+def run_churn(n_commits: int, batch_rows: int, scale: int, arm: str):
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="acid_churn_")
+    cps = {1, 10, 50, 100, 250, 500, 750, 1000}
+    cps = {c for c in cps if c <= n_commits} | {n_commits}
+    try:
+        arms = ["none", "maintained"] if arm == "both" else [arm]
+        for a in arms:
+            _churn_arm(spark, root, a, n_commits, batch_rows, scale, cps)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cow", action="store_true")
+    ap.add_argument("--churn", action="store_true")
+    ap.add_argument("--sf", default=SF)
+    ap.add_argument("--commits", type=int, default=1000)
+    ap.add_argument("--batch-rows", type=int, default=200)
+    ap.add_argument("--scale", type=int, default=10,
+                    help="table size as a multiple of sf0.1 lineitem (10 = the 10x tier)")
+    ap.add_argument("--arm", default="both", choices=["none", "maintained", "both"])
+    args = ap.parse_args()
+    if args.cow:
+        run_cow(args.sf)
+    if args.churn:
+        run_churn(args.commits, args.batch_rows, args.scale, args.arm)
+    if not (args.cow or args.churn):
+        print("pick --cow and/or --churn", file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

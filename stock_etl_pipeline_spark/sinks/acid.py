@@ -562,13 +562,24 @@ def acid_merge_upsert(
                 n: s for n, s in man["files"].items() if n not in touched
             }
             n_rewritten = len(touched)
+            # The rewrite region is touched-files ∪ batch — bounded by the
+            # merge contract (upsert batches broadcast). Fold it back to
+            # ~len(touched) output files so the per-commit file count
+            # tracks the TOUCHED data, not the source's incoming partition
+            # count (an 8-partition 200-row micro-batch would otherwise
+            # add 8 manifest entries per commit — measured in
+            # scripts/acid_lab.py --churn; acid_compact folds the residual
+            # one-file-per-insert-batch tail). Seed and conversion commits
+            # below keep the source's partitioning: they write the WHOLE
+            # table and must stay parallel.
             if touched:
                 merged = merge_upsert(
                     _read_manifest_files(spark, table, man, touched),
                     source, keys,
-                )
+                ).coalesce(len(touched))
             else:
-                merged = source  # pure insert: no file holds these keys
+                # pure insert: no file holds these keys — one log file
+                merged = source.coalesce(1)
         new_files = _write_data_files(spark, table, merged, keys)
         manifest = {
             "files": {**untouched, **new_files},
@@ -596,6 +607,90 @@ def acid_merge_upsert(
             continue
     raise CommitConflict(
         f"table {table!r}: lost the commit race {max_retries + 1} times"
+    )
+
+
+def acid_compact(
+    spark: SparkSession,
+    table: str,
+    *,
+    target_rows: int = 1_000_000,
+    min_group: int = 2,
+    max_retries: int = 2,
+) -> dict:
+    """Bin-pack a manifest table's small data files into ~``target_rows``
+    files, published as a normal snapshot commit (operation="compact") —
+    the table's CONTENT is unchanged (pinned in tests), only its physical
+    file layout. This is the maintenance verb a long-running file-COW
+    stream needs: every micro-batch merge adds at least one small file
+    (the batch's rewrite output), so after N batches the manifest carries
+    O(N) entries and every merge's bounds-pruning loop, key scan plan,
+    and manifest JSON grow with N instead of with data size (measured:
+    scripts/acid_lab.py --churn, SCALING round 12). Compaction folds the
+    small-file tail back to O(data/target_rows) entries.
+
+    Files with >= ``target_rows`` rows are left alone (rewriting them
+    buys nothing). A no-op (fewer than ``min_group`` small files) returns
+    without committing. Packed files are written via repartitionByRange
+    on the first merge key, so the new files carry tight disjoint bounds
+    and stay prunable. Only meaningful for file-COW tables; a table-COW
+    snapshot is one directory and needs no per-file maintenance
+    (ValueError directs the caller)."""
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, table)
+    for _ in range(max_retries + 1):
+        parent = _current_ordinal(spark, table)
+        if parent == 0:
+            raise ValueError(f"table {table!r}: nothing committed yet")
+        man = _manifest(spark, table, parent)
+        if man is None:
+            raise ValueError(
+                f"table {table!r}: snapshot {parent} is table-COW (one "
+                f"directory, nothing to compact) — compaction applies to "
+                f"file_cow manifest snapshots"
+            )
+        small = [n for n, s in man["files"].items() if s["rows"] < target_rows]
+        if len(small) < min_group:
+            return {
+                "destination": table, "mode": "compact", "ordinal": parent,
+                "files_compacted": 0, "files_new": 0,
+                "files_total": len(man["files"]),
+            }
+        keys = man.get("keys") or []
+        packed = _read_manifest_files(spark, table, man, small)
+        total = sum(man["files"][n]["rows"] for n in small)
+        n_out = max(1, -(-total // target_rows))  # ceil
+        if keys:
+            packed = packed.repartitionByRange(n_out, keys[0])
+        else:
+            packed = packed.repartition(n_out)
+        new_files = _write_data_files(spark, table, packed, keys)
+        manifest = {
+            "files": {
+                **{n: s for n, s in man["files"].items() if n not in small},
+                **new_files,
+            },
+            "schema": man["schema"],
+            "keys": keys,
+        }
+        rows = sum(s["rows"] for s in manifest["files"].values())
+        try:
+            return _commit_manifest(
+                spark, table, manifest,
+                parent=parent, operation="compact", rows=rows,
+                extra={
+                    "files_total": len(manifest["files"]),
+                    "files_compacted": len(small),
+                    "files_new": len(new_files),
+                },
+            )
+        except CommitConflict:
+            for n in new_files:
+                fs.delete(_hpath(jvm, f"{_data_dir(table)}/{n}"), False)
+            continue
+    raise CommitConflict(
+        f"table {table!r}: lost the compact race {max_retries + 1} times"
     )
 
 

@@ -337,6 +337,10 @@ def stream_acid_merge(
     checkpoint_dir: str,
     *,
     file_cow: bool = False,
+    vacuum_every: int | None = None,
+    vacuum_keep: int = 2,
+    compact_every: int | None = None,
+    compact_target_rows: int = 1_000_000,
 ):
     """MERGE per micro-batch into a snapshot-committed ACID table
     (sinks/acid.py): each batch becomes one atomically-published snapshot,
@@ -347,15 +351,39 @@ def stream_acid_merge(
     just one more ordinal — acid_vacuum sweeps the history).
     ``file_cow=True`` publishes manifest snapshots (only files containing
     the batch's keys rewrite) — the right mode for a long-running stream
-    on a large table, where per-batch whole-table COW would compound."""
-    from ..sinks.acid import acid_merge_upsert
+    on a large table, where per-batch whole-table COW would compound.
+
+    RETENTION (round 12 — the 1k-batch churn soak, SCALING): a stream
+    that only commits grows the table's fixed costs without bound — one
+    marker per batch (every commit's ordinal resolution lists
+    ``_commits/``), one snapshot dir per batch, and under file_cow at
+    least one small data file + manifest entry per batch (every merge's
+    pruning loop and manifest JSON scale with it). ``vacuum_every=N``
+    runs ``acid_vacuum(keep=vacuum_keep)`` after every Nth commit, and
+    ``compact_every=M`` (file_cow only) runs
+    ``acid_compact(target_rows=compact_target_rows)`` after every Mth —
+    both INSIDE foreachBatch, which serializes batches, so the
+    no-commit-in-flight maintenance contract holds by construction
+    PROVIDED the stream is the table's only writer (the same
+    single-maintainer rule as acid_vacuum itself; leave both off and
+    run maintenance out-of-band otherwise). ``vacuum_keep`` is the
+    time-travel retention: ``acid_read(ordinal=...)`` reaches only the
+    newest ``keep`` snapshots, so size it to the longest reader/replay
+    window the table must serve."""
+    from ..sinks.acid import acid_compact, acid_merge_upsert, acid_vacuum
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        acid_merge_upsert(
-            batch_df.sparkSession, table, batch_df, keys, file_cow=file_cow
-        )
+        spark = batch_df.sparkSession
+        res = acid_merge_upsert(spark, table, batch_df, keys, file_cow=file_cow)
+        ordinal = res["ordinal"]
+        # maintenance cadence keys off the COMMITTED ordinal, not batch_id:
+        # replays and empty batches must not double- or never-trigger it
+        if compact_every and file_cow and ordinal % compact_every == 0:
+            acid_compact(spark, table, target_rows=compact_target_rows)
+        if vacuum_every and ordinal % vacuum_every == 0:
+            acid_vacuum(spark, table, keep=vacuum_keep)
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -746,3 +746,81 @@ def test_acid_vacuum_reclaims_crashed_marker_above_current(spark, tmp_path):
     assert rep2["ordinal"] == 2 and rep2["parent"] == 1
     got = sorted(r["k"] for r in acid.acid_read(spark, table).collect())
     assert got == [1, 5]
+
+
+def test_acid_compact_bin_packs_small_files_content_identical(spark, tmp_path):
+    """acid_compact (round 12): after a run of small file-COW merges the
+    manifest carries one small file per batch; compaction folds them into
+    ~target_rows files published as a normal snapshot — content pinned
+    byte-identical, untouched big files carried by name, swept small files
+    reclaimed by vacuum, and the table still merges afterwards."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "cpk")
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(400)], "k long, v string"
+    ).repartitionByRange(2, "k")  # 2 big files (200 rows each)
+    acid.acid_merge_upsert(spark, table, base, ["k"], file_cow=True)
+
+    # 6 insert batches -> 6 one-file manifests entries of 5 rows each
+    for b in range(6):
+        ins = spark.createDataFrame(
+            [(1000 + b * 10 + j, f"n{b}_{j}") for j in range(5)],
+            "k long, v string",
+        ).coalesce(1)
+        acid.acid_merge_upsert(spark, table, ins, ["k"], file_cow=True)
+    man = acid._manifest(spark, table, acid._current_ordinal(spark, table))
+    assert len(man["files"]) == 8  # 2 big + 6 small
+    before = rows(acid.acid_read(spark, table))
+
+    rep = acid.acid_compact(spark, table, target_rows=100)
+    assert rep["mode"] == "compact"
+    assert rep["files_compacted"] == 6  # the 200-row files are left alone
+    assert rep["files_new"] == 1  # 30 rows bin-pack into one file
+    assert rep["files_total"] == 3
+    man2 = acid._manifest(spark, table, rep["ordinal"])
+    big = {n for n, s in man.get("files").items() if s["rows"] >= 100}
+    assert big <= set(man2["files"])  # big files carried by NAME
+    assert rows(acid.acid_read(spark, table)) == before  # content identical
+    # the new packed file carries key bounds (stays prunable)
+    new_names = set(man2["files"]) - set(man["files"])
+    assert all("k" in man2["files"][n]["bounds"] for n in new_names)
+
+    # history records the compact; vacuum reclaims the 6 swept files
+    hist = acid.acid_history(spark, table)
+    assert hist[-1]["operation"] == "compact"
+    fs, jvm = acid._fs(spark, table)
+    acid.acid_vacuum(spark, table, keep=1)
+    on_disk = {
+        st.getPath().getName()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(acid._data_dir(table)))
+    }
+    assert on_disk == set(man2["files"])
+    assert rows(acid.acid_read(spark, table)) == before
+
+    # a merge on the compacted table behaves exactly as before
+    up = spark.createDataFrame([(1000, "UP")], "k long, v string")
+    acid.acid_merge_upsert(spark, table, up, ["k"], file_cow=True)
+    got = dict(rows(acid.acid_read(spark, table)))
+    assert got[1000] == "UP" and len(got) == 430
+
+
+def test_acid_compact_noop_and_table_cow_guard(spark, tmp_path):
+    """Compaction is a no-op (no commit) below min_group small files, and
+    refuses a table-COW snapshot (one directory — nothing to compact)."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    tcow = str(tmp_path / "tcow")
+    d = spark.createDataFrame([(1, "a")], "k long, v string")
+    acid.acid_merge_upsert(spark, tcow, d, ["k"])
+    with _pt.raises(ValueError, match="table-COW"):
+        acid.acid_compact(spark, tcow)
+
+    fcow = str(tmp_path / "fcow")
+    acid.acid_merge_upsert(spark, fcow, d, ["k"], file_cow=True)
+    rep = acid.acid_compact(spark, fcow, target_rows=100)
+    assert rep["files_compacted"] == 0
+    assert acid._current_ordinal(spark, fcow) == 1  # no commit happened

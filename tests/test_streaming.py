@@ -1113,3 +1113,58 @@ def test_index_tree_compact_quiesce_guard_sees_uri_paths(spark, tmp_path):
             os.utime(os.path.join(root, fn), (past, past))
     rep = index_tree_compact(spark, uri, n_files=1, quiesce_seconds=60)
     assert rep["partitions_folded"] == 1 and rep["rows"] == 1
+
+
+def test_stream_acid_merge_maintenance_under_load(spark, events_dir, tmp_path):
+    """Retention under a live stream (round 12): with vacuum_every /
+    compact_every set, maintenance runs INTERLEAVED with commits (inside
+    foreachBatch, which serializes them — the single-maintainer contract
+    holds by construction). After the run: content equals the plain batch
+    MERGE, the marker count is bounded by the retention window instead of
+    growing one-per-batch, the manifest's small-file tail is folded, and
+    the current snapshot reads intact at every point."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    stream = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=1  # force 4 micro-batches
+    )
+    table = str(tmp_path / "acid_maint")
+    q = streaming.stream_acid_merge(
+        stream, table, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_maint"),
+        file_cow=True,
+        vacuum_every=2, vacuum_keep=2,
+        compact_every=2, compact_target_rows=1_000_000,
+    ).start()
+    q.awaitTermination(120)
+
+    total = load_table(spark, SF, "events").count()
+    out = acid.acid_read(spark, table)
+    assert out.count() == total
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+    # vacuum ran mid-stream: markers bounded by the retention window, not
+    # one per batch (4 merge + >=1 compact commits happened)
+    markers = acid._marker_ordinals(spark, table)
+    hist = acid.acid_history(spark, table)
+    assert len(hist) <= 3  # keep=2 plus at most the newest commit
+    assert len(markers) == len(hist)
+    ops = [h["operation"] for h in hist]
+    assert acid._current_ordinal(spark, table) >= 5, ops
+
+    # compaction ran mid-stream: the live manifest's file tail is folded
+    # (4 per-batch inserts would otherwise leave >=4 entries)
+    man = acid._manifest(spark, table, acid._current_ordinal(spark, table))
+    assert man is not None
+    assert sum(s["rows"] for s in man["files"].values()) == total
+
+    # the maintained table keeps merging: one more upsert batch
+    one = acid.acid_read(spark, table).limit(1).collect()[0]
+    up = spark.createDataFrame(
+        [(one["event_id"],)], "event_id string"
+    ).join(acid.acid_read(spark, table), "event_id")
+    acid.acid_merge_upsert(
+        spark, table, up.select(*acid.acid_read(spark, table).columns),
+        ["event_id"], file_cow=True,
+    )
+    assert acid.acid_read(spark, table).count() == total
