@@ -79,7 +79,12 @@ def _base_rows(spark, sf_dir, mult: int):
     return out, span * mult
 
 
-def run_cow(sf_dir: str, mults=(1, 2, 4), files_per_mult=8, batch_rows=1000):
+def run_cow(sf_dir: str, mults=(4, 16, 64), files_per_mult=2, batch_rows=1000):
+    """Per (size, mode): seed once, then TWO timed merges of different
+    constant-size batches — the second (warm) rep is the headline (the
+    first carries plan/codegen warm-up). File size is held constant
+    (files_per_mult x sf0.1-lineitem rows per x) so only file COUNT and
+    total bytes grow with the table."""
     from pyspark.sql import functions as F
 
     from stock_etl_pipeline_spark.sinks import acid
@@ -94,36 +99,47 @@ def run_cow(sf_dir: str, mults=(1, 2, 4), files_per_mult=8, batch_rows=1000):
             n_files = files_per_mult * mult  # constant file SIZE across sizes
             seeded = base.repartitionByRange(n_files, "id")
             n_rows = base.count()
-            # constant-size update batch in ONE narrow key range
-            batch = (
-                base.orderBy("id").limit(batch_rows)
-                .withColumn("l_quantity", F.col("l_quantity") + 1)
-            ).cache()
-            batch.count()
+            # two constant-size update batches, each in ONE narrow key range
+            batches = []
+            for lo in (0, 7 * batch_rows):
+                b = (
+                    base.filter(
+                        (F.col("id") >= lo * 8) & (F.col("id") < (lo + batch_rows) * 8)
+                    )
+                    .limit(batch_rows)
+                    .withColumn("l_quantity", F.col("l_quantity") + 1)
+                ).cache()
+                b.count()
+                batches.append(b)
             for mode, flag in (("table_cow", False), ("file_cow", True)):
                 tbl = f"{root}/{mode}_{mult}x"
                 acid.acid_merge_upsert(spark, tbl, seeded, ["id"], file_cow=flag)
-                t0 = time.monotonic()
-                rep = acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=flag)
-                wall = time.monotonic() - t0
+                walls = []
+                rep = {}
+                for b in batches:
+                    t0 = time.monotonic()
+                    rep = acid.acid_merge_upsert(spark, tbl, b, ["id"], file_cow=flag)
+                    walls.append(round(time.monotonic() - t0, 3))
                 row = {
                     "study": "cow", "mode": mode, "mult": mult,
                     "rows": n_rows, "files": n_files,
-                    "batch_rows": batch_rows, "commit_sec": round(wall, 3),
+                    "batch_rows": batch_rows,
+                    "commit_sec_cold": walls[0], "commit_sec_warm": walls[-1],
                     "files_rewritten": rep.get("files_rewritten"),
                     "files_total": rep.get("files_total"),
                 }
                 print(json.dumps(row), flush=True)
                 results.append(row)
                 shutil.rmtree(tbl, ignore_errors=True)
-            batch.unpersist()
+            for b in batches:
+                b.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    by = {(r["mode"], r["mult"]): r["commit_sec"] for r in results}
+    by = {(r["mode"], r["mult"]): r["commit_sec_warm"] for r in results}
     summary = {
         "study": "cow_summary",
-        "table_cow_sec_by_mult": {m: by.get(("table_cow", m)) for m in mults},
-        "file_cow_sec_by_mult": {m: by.get(("file_cow", m)) for m in mults},
+        "table_cow_warm_sec_by_mult": {m: by.get(("table_cow", m)) for m in mults},
+        "file_cow_warm_sec_by_mult": {m: by.get(("file_cow", m)) for m in mults},
     }
     print(json.dumps(summary), flush=True)
 
