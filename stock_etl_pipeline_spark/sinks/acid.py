@@ -248,6 +248,7 @@ def acid_commit(
     *,
     operation: str = "overwrite",
     expected_parent: int | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Publish ``df`` as the table's next snapshot. ``expected_parent``
     pins the optimistic check: if another commit published after the
@@ -280,12 +281,13 @@ def acid_commit(
         "parent": parent,
         "operation": operation,
         "rows": n,
+        **(extra or {}),
     }
     # metadata lands INSIDE the snapshot before the marker makes it visible
     _write_json_file(fs, jvm, stage + "/_meta.json", meta)
     _claim_and_publish(spark, table, stage, ordinal)
     return {"destination": table, "mode": operation, "rows_loaded": n,
-            "ordinal": ordinal, "parent": parent}
+            "ordinal": ordinal, "parent": parent, **(extra or {})}
 
 
 def _resolve_commit_ordinal(
@@ -502,6 +504,7 @@ def acid_merge_upsert(
     *,
     max_retries: int = 2,
     file_cow: bool = False,
+    extra: dict | None = None,
 ) -> dict:
     """Transactional MERGE: read the current snapshot, merge (broadcast
     anti join + union — operators/upsert.py, the reference's MERGE
@@ -534,7 +537,7 @@ def acid_merge_upsert(
             try:
                 return acid_commit(
                     spark, table, merged,
-                    operation="merge", expected_parent=parent,
+                    operation="merge", expected_parent=parent, extra=extra,
                 )
             except CommitConflict:
                 continue
@@ -597,6 +600,7 @@ def acid_merge_upsert(
                     "files_total": len(manifest["files"]),
                     "files_rewritten": n_rewritten,
                     "files_new": len(new_files),
+                    **(extra or {}),
                 },
             )
         except CommitConflict:

@@ -341,6 +341,7 @@ def stream_acid_merge(
     vacuum_keep: int = 2,
     compact_every: int | None = None,
     compact_target_rows: int = 1_000_000,
+    exactly_once: bool = False,
 ):
     """MERGE per micro-batch into a snapshot-committed ACID table
     (sinks/acid.py): each batch becomes one atomically-published snapshot,
@@ -369,14 +370,46 @@ def stream_acid_merge(
     run maintenance out-of-band otherwise). ``vacuum_keep`` is the
     time-travel retention: ``acid_read(ordinal=...)`` reaches only the
     newest ``keep`` snapshots, so size it to the longest reader/replay
-    window the table must serve."""
-    from ..sinks.acid import acid_compact, acid_merge_upsert, acid_vacuum
+    window the table must serve.
+
+    ``exactly_once=True`` upgrades replay handling from value-idempotent
+    to SKIP: every commit's _meta.json records this stream's epoch
+    ('e'+md5(realpath(checkpoint_dir)) — the stream_index_maintenance
+    convention) and batch_id; a replayed batch whose (epoch, batch_id)
+    is already in the visible commit log returns without committing, so
+    a restart adds NO duplicate snapshot (the default re-merges: same
+    content, one more ordinal). The lookup is one pass over visible
+    snapshot metadata — O(retained history), which is why it pairs with
+    ``vacuum_every``; and if vacuum has swept the recording snapshot the
+    skip silently degrades to the value-idempotent re-merge (correctness
+    never depends on the skip; size ``vacuum_keep`` ≥ the replay window
+    to keep it firing)."""
+    from ..sinks.acid import (
+        acid_compact, acid_history, acid_merge_upsert, acid_vacuum,
+    )
+
+    epoch = _checkpoint_epoch(checkpoint_dir) if exactly_once else None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        res = acid_merge_upsert(spark, table, batch_df, keys, file_cow=file_cow)
+        extra = None
+        if exactly_once:
+            done = max(
+                (
+                    h["batch_id"]
+                    for h in acid_history(spark, table)
+                    if h.get("epoch") == epoch
+                ),
+                default=-1,
+            )
+            if batch_id <= done:
+                return  # this batch's merge already committed — replay skip
+            extra = {"epoch": epoch, "batch_id": batch_id}
+        res = acid_merge_upsert(
+            spark, table, batch_df, keys, file_cow=file_cow, extra=extra
+        )
         ordinal = res["ordinal"]
         # maintenance cadence keys off the COMMITTED ordinal, not batch_id:
         # replays and empty batches must not double- or never-trigger it

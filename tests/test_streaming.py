@@ -1168,3 +1168,48 @@ def test_stream_acid_merge_maintenance_under_load(spark, events_dir, tmp_path):
         ["event_id"], file_cow=True,
     )
     assert acid.acid_read(spark, table).count() == total
+
+
+def test_stream_acid_merge_exactly_once_replay_skip(spark, events_dir, tmp_path):
+    """exactly_once=True: commits record (epoch, batch_id); a full replay
+    through the SAME checkpoint path (wiped checkpoint state — the
+    crash-before-checkpoint shape) re-offers every batch and every one is
+    SKIPPED from the commit log — zero new snapshots, identical content.
+    A different checkpoint (new epoch) is outside the skip scope and
+    falls back to the value-idempotent re-merge."""
+    import shutil
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_eo")
+    ckpt = str(tmp_path / "ckpt_eo")
+
+    def run(cp):
+        stream = streaming.read_events_stream(
+            spark, events_dir, max_files_per_trigger=2
+        )
+        q = streaming.stream_acid_merge(
+            stream, table, keys=["event_id"], checkpoint_dir=cp,
+            file_cow=True, exactly_once=True,
+        ).start()
+        q.awaitTermination(120)
+
+    run(ckpt)
+    total = load_table(spark, SF, "events").count()
+    assert acid.acid_read(spark, table).count() == total
+    hist = acid.acid_history(spark, table)
+    assert len(hist) == 2  # 4 files / maxFilesPerTrigger=2
+    assert all("epoch" in h and "batch_id" in h for h in hist)
+    before = sorted(map(repr, acid.acid_read(spark, table).collect()))
+
+    # crash-before-checkpoint replay: same path (same epoch), wiped state
+    shutil.rmtree(ckpt)
+    run(ckpt)
+    assert len(acid.acid_history(spark, table)) == len(hist)  # all skipped
+    assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
+
+    # a NEW checkpoint is a new epoch: batches re-merge (extra snapshots,
+    # same values) — the documented fallback semantics
+    run(str(tmp_path / "ckpt_eo2"))
+    assert len(acid.acid_history(spark, table)) > len(hist)
+    assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
