@@ -20,11 +20,16 @@ Layout::
   shared final path — two racers staging into the same ``snap-N`` would
   overwrite each other's files and the loser's cleanup would delete the
   winner's data), then claims the next ordinal's marker with an ATOMIC
-  create-if-absent (``FileSystem.createNewFile`` — atomic on HDFS and
-  local/posix; on S3-class stores substitute a conditional PUT
-  ``If-None-Match:*``, the same primitive Iceberg/Delta commit services
-  are built on), and only THEN renames its temp dir to ``snap-N`` (a
-  rename to a path nothing else can claim — the marker serialized it).
+  create-if-absent (``_atomic_create``: POSIX ``O_CREAT|O_EXCL`` for
+  local paths — Hadoop's RawLocalFileSystem createNewFile is a
+  non-atomic exists-then-create — and ``FileSystem.createNewFile`` for
+  HDFS, where it IS atomic; on S3-class stores substitute a conditional
+  PUT ``If-None-Match:*``, the same primitive Iceberg/Delta commit
+  services are built on), and only THEN renames its temp dir to
+  ``snap-N`` (a rename to a path nothing else can claim — the marker
+  serialized it), and verifies the published ``_meta.json`` is its own
+  (Hadoop's local rename can fall back to copy-INTO an existing dir and
+  still return true).
 - Readers resolve the max marker WITH an existing snapshot dir once and
   then scan immutable files: SNAPSHOT ISOLATION — a concurrent commit
   cannot disturb a running query. A crash before the marker leaves an
@@ -144,6 +149,37 @@ def _write_json_file(fs, jvm, path: str, obj: dict) -> None:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
+
+
+def _local_fs_path(path: str) -> str | None:
+    """The local-filesystem path for a file:/bare spelling, else None."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path or None
+    head = path.split("/", 1)[0]
+    return path if ":" not in head else None
+
+
+def _atomic_create(fs, jvm, path: str) -> bool:
+    """Atomic create-if-absent — THE one primitive the commit protocol
+    rests on. Hadoop's RawLocalFileSystem implements createNewFile as a
+    non-atomic exists()-then-create (two racing committers can BOTH get
+    true — observed in the OS-process race tests), so local paths take
+    POSIX ``O_CREAT|O_EXCL`` directly; everything else goes through
+    ``FileSystem.createNewFile`` (atomic on HDFS; substitute a
+    conditional PUT ``If-None-Match:*`` on S3-class stores)."""
+    local = _local_fs_path(path)
+    if local is not None:
+        import os
+
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
+    return fs.createNewFile(_hpath(jvm, path))
 
 
 def _marker_ordinals(spark: SparkSession, table: str) -> list[int]:
@@ -273,7 +309,8 @@ def acid_commit(
     # stage into a path ONLY this committer knows — racers must never
     # share a staging dir (overwrite/cleanup would destroy the winner's
     # files); the final snap-<ordinal> path is claimed via the marker
-    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
+    tag = uuid.uuid4().hex
+    stage = f"{table.rstrip('/')}/__stage-{tag}"
     df.write.mode("overwrite").parquet(stage)
     n = spark.read.parquet(stage).count()  # count the immutable files
     meta = {
@@ -281,11 +318,12 @@ def acid_commit(
         "parent": parent,
         "operation": operation,
         "rows": n,
+        "commit_uuid": tag,
         **(extra or {}),
     }
     # metadata lands INSIDE the snapshot before the marker makes it visible
     _write_json_file(fs, jvm, stage + "/_meta.json", meta)
-    _claim_and_publish(spark, table, stage, ordinal)
+    _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag)
     return {"destination": table, "mode": operation, "rows_loaded": n,
             "ordinal": ordinal, "parent": parent, **(extra or {})}
 
@@ -317,17 +355,24 @@ def _resolve_commit_ordinal(
 
 
 def _claim_and_publish(
-    spark: SparkSession, table: str, stage: str, ordinal: int
+    spark: SparkSession, table: str, stage: str, ordinal: int,
+    commit_uuid: str | None = None,
 ) -> None:
-    """The atomic publish: claim the ordinal's marker (create-if-absent),
-    then rename the staged snapshot dir into place. Raises CommitConflict
-    (own stage removed) when the marker was claimed concurrently."""
+    """The atomic publish: claim the ordinal's marker (create-if-absent,
+    via _atomic_create — genuinely atomic on local fs too), then rename
+    the staged snapshot dir into place. Raises CommitConflict (own stage
+    removed) when the marker was claimed concurrently. When
+    ``commit_uuid`` is given, the published _meta.json is read back and
+    must be OURS: Hadoop's local rename can fall back to a copy INTO an
+    existing destination dir and still return true (FileUtil.copy
+    resolves a dir target to dest/<src-name>), which would otherwise let
+    a racer report success while its rows sit in an ignored subdir."""
     fs, jvm = _fs(spark, table)
     cdir = _hpath(jvm, _commits_dir(table))
     if not fs.exists(cdir):
         fs.mkdirs(cdir)
-    marker = _hpath(jvm, f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}")
-    if not fs.createNewFile(marker):  # the atomic bit
+    marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
+    if not _atomic_create(fs, jvm, marker):  # the atomic bit
         fs.delete(_hpath(jvm, stage), True)  # lost: unstage OWN dir only
         raise CommitConflict(
             f"table {table!r}: ordinal {ordinal} was published concurrently"
@@ -342,6 +387,18 @@ def _claim_and_publish(
             f"marker was claimed; ordinal {ordinal} is burned (readers "
             f"skip it), staged data remains at {stage}"
         )
+    if commit_uuid is not None:
+        got = _read_json_file(fs, jvm, f"{snap}/_meta.json")
+        if got.get("commit_uuid") != commit_uuid:
+            # our stage was copy-fallbacked INTO an existing snap dir:
+            # remove the residue subdir and surface the loss
+            residue = f"{snap}/{stage.rstrip('/').rsplit('/', 1)[-1]}"
+            if fs.exists(_hpath(jvm, residue)):
+                fs.delete(_hpath(jvm, residue), True)
+            raise CommitConflict(
+                f"table {table!r}: ordinal {ordinal} was published by "
+                f"another committer (post-rename ownership check)"
+            )
 
 
 def _write_data_files(
@@ -474,7 +531,8 @@ def _commit_manifest(
 
     fs, jvm = _fs(spark, table)
     _, ordinal = _resolve_commit_ordinal(spark, table, parent)
-    stage = f"{table.rstrip('/')}/__stage-{uuid.uuid4().hex}"
+    tag = uuid.uuid4().hex
+    stage = f"{table.rstrip('/')}/__stage-{tag}"
     fs.mkdirs(_hpath(jvm, stage))
     _write_json_file(fs, jvm, stage + "/_manifest.json", manifest)
     meta = {
@@ -482,10 +540,11 @@ def _commit_manifest(
         "parent": parent,
         "operation": operation,
         "rows": rows,
+        "commit_uuid": tag,
         **(extra or {}),
     }
     _write_json_file(fs, jvm, stage + "/_meta.json", meta)
-    _claim_and_publish(spark, table, stage, ordinal)
+    _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag)
     return {
         "destination": table,
         "mode": operation,
@@ -581,8 +640,16 @@ def acid_merge_upsert(
                     source, keys,
                 ).coalesce(len(touched))
             else:
-                # pure insert: no file holds these keys — one log file
-                merged = source.coalesce(1)
+                # pure insert: no file holds these keys — one log file.
+                # Still MERGE against an empty relation of the manifest's
+                # pinned schema so the semantics stay identical to
+                # table-COW: intra-batch duplicate keys dedupe keep-latest,
+                # and a schema-mismatched batch fails BEFORE committing
+                # instead of null-filling the table (code-review r12).
+                merged = merge_upsert(
+                    _read_manifest_files(spark, table, man, []),
+                    source, keys,
+                ).coalesce(1)
         new_files = _write_data_files(spark, table, merged, keys)
         manifest = {
             "files": {**untouched, **new_files},

@@ -373,22 +373,33 @@ def stream_acid_merge(
     window the table must serve.
 
     ``exactly_once=True`` upgrades replay handling from value-idempotent
-    to SKIP: every commit's _meta.json records this stream's epoch
-    ('e'+md5(realpath(checkpoint_dir)) — the stream_index_maintenance
-    convention) and batch_id; a replayed batch whose (epoch, batch_id)
-    is already in the visible commit log returns without committing, so
-    a restart adds NO duplicate snapshot (the default re-merges: same
-    content, one more ordinal). The lookup is one pass over visible
-    snapshot metadata — O(retained history), which is why it pairs with
-    ``vacuum_every``; and if vacuum has swept the recording snapshot the
-    skip silently degrades to the value-idempotent re-merge (correctness
-    never depends on the skip; size ``vacuum_keep`` ≥ the replay window
-    to keep it firing)."""
+    to SKIP: every commit's _meta.json records this stream's run epoch
+    and batch_id; a replayed batch whose (epoch, batch_id) is already in
+    the visible commit log returns without committing, so a restart adds
+    NO duplicate snapshot (the default re-merges: same content, one more
+    ordinal). The epoch is the CHECKPOINT's streaming-query id (the
+    ``metadata`` file Spark writes inside the checkpoint dir), NOT a hash
+    of the path: batch ids are only comparable within one checkpoint
+    lifetime — if the checkpoint state is lost and rebuilt, batch numbers
+    restart at 0 over a possibly-different file assignment, and skipping
+    "already seen" ids would silently drop new data; a rebuilt checkpoint
+    gets a fresh query id, so those batches fall back to the
+    value-idempotent re-merge (Delta's txnAppId carries the same
+    contract). The commit-log lookup runs ONCE per stream start (then a
+    closure high-water mark takes over — O(1) per batch); history is
+    bounded by ``vacuum_keep``, and if vacuum has swept the recording
+    snapshot the skip degrades to the re-merge — correctness never
+    depends on it; size ``vacuum_keep`` ≥ the replay window to keep it
+    firing."""
     from ..sinks.acid import (
         acid_compact, acid_history, acid_merge_upsert, acid_vacuum,
     )
 
-    epoch = _checkpoint_epoch(checkpoint_dir) if exactly_once else None
+    # closure state, per stream incarnation: exactly-once high-water mark
+    # and the merge-commit counter driving maintenance cadence (counting
+    # MERGES, not ordinals — compaction's own commit advances the ordinal,
+    # so an ordinal-parity rule degenerates to compact-every-batch)
+    state = {"done": None, "merges": 0}
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -396,26 +407,28 @@ def stream_acid_merge(
         spark = batch_df.sparkSession
         extra = None
         if exactly_once:
-            done = max(
-                (
-                    h["batch_id"]
-                    for h in acid_history(spark, table)
-                    if h.get("epoch") == epoch
-                ),
-                default=-1,
-            )
-            if batch_id <= done:
+            epoch = _stream_query_epoch(spark, checkpoint_dir)
+            if state["done"] is None:
+                state["done"] = max(
+                    (
+                        h["batch_id"]
+                        for h in acid_history(spark, table)
+                        if h.get("epoch") == epoch
+                    ),
+                    default=-1,
+                )
+            if batch_id <= state["done"]:
                 return  # this batch's merge already committed — replay skip
             extra = {"epoch": epoch, "batch_id": batch_id}
-        res = acid_merge_upsert(
+        acid_merge_upsert(
             spark, table, batch_df, keys, file_cow=file_cow, extra=extra
         )
-        ordinal = res["ordinal"]
-        # maintenance cadence keys off the COMMITTED ordinal, not batch_id:
-        # replays and empty batches must not double- or never-trigger it
-        if compact_every and file_cow and ordinal % compact_every == 0:
+        if exactly_once:
+            state["done"] = batch_id
+        state["merges"] += 1
+        if compact_every and file_cow and state["merges"] % compact_every == 0:
             acid_compact(spark, table, target_rows=compact_target_rows)
-        if vacuum_every and ordinal % vacuum_every == 0:
+        if vacuum_every and state["merges"] % vacuum_every == 0:
             acid_vacuum(spark, table, keep=vacuum_keep)
 
     return (
@@ -1153,6 +1166,31 @@ def _checkpoint_epoch(checkpoint_dir: str) -> str:
             os.path.realpath(checkpoint_dir).encode("utf-8")
         ).hexdigest()[:12]
     )
+
+
+def _stream_query_epoch(spark, checkpoint_dir: str) -> str:
+    """Epoch id for EXACTLY-ONCE commit records: 'q' + the checkpoint's
+    streaming-query id (the ``metadata`` JSON Spark writes at the
+    checkpoint root when the query first starts). Unlike the path-hash
+    epoch (_checkpoint_epoch — right for the index trees, where a
+    respelled path must keep its epoch), batch-id comparability must die
+    WITH the checkpoint state: a wiped-and-rebuilt checkpoint restarts
+    batch numbering over a different file assignment, and a path-derived
+    epoch would skip those "already seen" ids — silently dropping new
+    data. The query id is regenerated exactly when the state is, which is
+    the txnAppId contract. Called inside foreachBatch, where the metadata
+    file is guaranteed to exist."""
+    from ..sinks.acid import _fs, _read_json_file
+
+    fs, jvm = _fs(spark, checkpoint_dir)
+    meta = _read_json_file(fs, jvm, f"{checkpoint_dir.rstrip('/')}/metadata")
+    qid = meta.get("id")
+    if not qid:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r}: no streaming-query id in its "
+            f"metadata file — cannot establish an exactly-once epoch"
+        )
+    return f"q{qid}"
 
 
 def _legacy_epochs(

@@ -824,3 +824,40 @@ def test_acid_compact_noop_and_table_cow_guard(spark, tmp_path):
     rep = acid.acid_compact(spark, fcow, target_rows=100)
     assert rep["files_compacted"] == 0
     assert acid._current_ordinal(spark, fcow) == 1  # no commit happened
+
+
+def test_acid_file_cow_pure_insert_keeps_merge_semantics(spark, tmp_path):
+    """Code-review r12: the pure-insert branch (no file holds the batch's
+    keys) must keep MERGE semantics identical to table-COW — intra-batch
+    duplicate keys dedupe to one row, and a schema-mismatched batch fails
+    BEFORE committing instead of null-filling the table."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    rows = lambda df: sorted((r["k"], r["v"]) for r in df.collect())
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1)
+    cow, tbl = str(tmp_path / "pi_cow"), str(tmp_path / "pi_tbl")
+    acid.acid_merge_upsert(spark, cow, base, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, base, ["k"])
+
+    # intra-batch duplicate key, keys OUTSIDE every file's bounds
+    dup = spark.createDataFrame(
+        [(100, "a"), (100, "b")], "k long, v string"
+    )
+    acid.acid_merge_upsert(spark, cow, dup, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, dup, ["k"])
+    got_cow, got_tbl = rows(acid.acid_read(spark, cow)), rows(acid.acid_read(spark, tbl))
+    assert got_cow == got_tbl  # pinned equal, including the dedupe
+    assert sum(1 for k, _ in got_cow if k == 100) == 1
+
+    # schema-mismatched insert batch: fails before any commit, both modes
+    bad = spark.createDataFrame([(300,)], "k long")
+    before = acid._current_ordinal(spark, cow)
+    with _pt.raises(Exception):
+        acid.acid_merge_upsert(spark, cow, bad, ["k"], file_cow=True)
+    assert acid._current_ordinal(spark, cow) == before  # nothing committed
+    with _pt.raises(Exception):
+        acid.acid_merge_upsert(spark, tbl, bad, ["k"])

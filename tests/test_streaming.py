@@ -1171,12 +1171,15 @@ def test_stream_acid_merge_maintenance_under_load(spark, events_dir, tmp_path):
 
 
 def test_stream_acid_merge_exactly_once_replay_skip(spark, events_dir, tmp_path):
-    """exactly_once=True: commits record (epoch, batch_id); a full replay
-    through the SAME checkpoint path (wiped checkpoint state — the
-    crash-before-checkpoint shape) re-offers every batch and every one is
-    SKIPPED from the commit log — zero new snapshots, identical content.
-    A different checkpoint (new epoch) is outside the skip scope and
-    falls back to the value-idempotent re-merge."""
+    """exactly_once=True: commits record (query-id epoch, batch_id). A
+    crash-before-checkpoint-commit restart (same checkpoint state, last
+    commit record removed — Spark re-runs that batch with the SAME id)
+    is SKIPPED from the commit log: zero new snapshots, identical
+    content. A WIPED checkpoint gets a fresh query id — batch numbering
+    restarts over a possibly-different file assignment, so those batches
+    must NOT be skipped (a path-derived epoch would silently drop new
+    data); they fall back to the value-idempotent re-merge."""
+    import os
     import shutil
 
     from stock_etl_pipeline_spark.sinks import acid
@@ -1193,23 +1196,34 @@ def test_stream_acid_merge_exactly_once_replay_skip(spark, events_dir, tmp_path)
             file_cow=True, exactly_once=True,
         ).start()
         q.awaitTermination(120)
+        q.stop()  # release the checkpoint before the same-path restart
+        q.awaitTermination(30)
 
     run(ckpt)
     total = load_table(spark, SF, "events").count()
     assert acid.acid_read(spark, table).count() == total
     hist = acid.acid_history(spark, table)
     assert len(hist) == 2  # 4 files / maxFilesPerTrigger=2
-    assert all("epoch" in h and "batch_id" in h for h in hist)
+    assert all(h["epoch"].startswith("q") and "batch_id" in h for h in hist)
     before = sorted(map(repr, acid.acid_read(spark, table).collect()))
 
-    # crash-before-checkpoint replay: same path (same epoch), wiped state
-    shutil.rmtree(ckpt)
+    # crash between table commit and checkpoint commit: remove the LAST
+    # checkpoint commit record — the restart re-offers that batch with the
+    # same id under the same query-id epoch, and the skip fires
+    last = max(
+        n for n in os.listdir(f"{ckpt}/commits") if not n.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{last}")
+    crc = f"{ckpt}/commits/.{last}.crc"  # RawLocalFileSystem checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
     run(ckpt)
-    assert len(acid.acid_history(spark, table)) == len(hist)  # all skipped
+    assert len(acid.acid_history(spark, table)) == len(hist)  # skipped
     assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
 
-    # a NEW checkpoint is a new epoch: batches re-merge (extra snapshots,
-    # same values) — the documented fallback semantics
-    run(str(tmp_path / "ckpt_eo2"))
+    # a WIPED checkpoint is a NEW query id: batches re-merge (extra
+    # snapshots, same values) — never skipped on stale batch ids
+    shutil.rmtree(ckpt)
+    run(ckpt)
     assert len(acid.acid_history(spark, table)) > len(hist)
     assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
