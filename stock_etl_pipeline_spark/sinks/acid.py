@@ -555,6 +555,37 @@ def _commit_manifest(
     }
 
 
+def _widen_for_new_columns(target: DataFrame, source: DataFrame) -> DataFrame:
+    """Schema evolution, relation form: ``target`` widened with the
+    source's NEW columns as typed NULLs (existing rows read NULL in an
+    added column — the Delta/Iceberg mergeSchema contract)."""
+    from pyspark.sql import functions as F
+
+    existing = set(target.columns)
+    for f in source.schema.fields:
+        if f.name not in existing:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return target
+
+
+def _widened_schema_json(schema_json: str, src_schema) -> str:
+    """Schema evolution, manifest form: the pinned schema JSON widened
+    with the source's new fields (forced nullable — pre-evolution files
+    lack the column and must read as NULL)."""
+    from pyspark.sql.types import StructField, StructType
+
+    cur = StructType.fromJson(json.loads(schema_json))
+    names = {f.name for f in cur.fields}
+    new = [
+        StructField(f.name, f.dataType, True)
+        for f in src_schema.fields
+        if f.name not in names
+    ]
+    if not new:
+        return schema_json
+    return StructType(list(cur.fields) + new).json()
+
+
 def acid_merge_upsert(
     spark: SparkSession,
     table: str,
@@ -563,6 +594,7 @@ def acid_merge_upsert(
     *,
     max_retries: int = 2,
     file_cow: bool = False,
+    allow_new_columns: bool = False,
     extra: dict | None = None,
 ) -> dict:
     """Transactional MERGE: read the current snapshot, merge (broadcast
@@ -581,7 +613,17 @@ def acid_merge_upsert(
     first file_cow commit onto a table-COW parent is a one-time
     conversion (rewrites everything into data/ files); acid_read resolves
     either kind. Results are pinned equal to the table-COW merge in
-    tests/test_sources_sinks.py."""
+    tests/test_sources_sinks.py.
+
+    ``allow_new_columns=True`` is SCHEMA EVOLUTION: source columns the
+    table lacks are added as nullable (existing rows read NULL; on a
+    manifest table the pinned schema widens and pre-evolution data files
+    — including untouched carried-forward ones — read NULL-filled, no
+    rewrite). The source must still carry every EXISTING column: a
+    missing column stays a fail-before-commit error in both modes. The
+    strict default keeps today's contract — extra source columns are
+    dropped by the MERGE projection. Old snapshots keep their
+    at-commit schema (time travel is schema-faithful)."""
     from ..operators.upsert import merge_upsert
 
     if not file_cow:
@@ -590,9 +632,10 @@ def acid_merge_upsert(
             if parent == 0:
                 merged = source
             else:
-                merged = merge_upsert(
-                    spark.read.parquet(_snap_dir(table, parent)), source, keys
-                )
+                target = spark.read.parquet(_snap_dir(table, parent))
+                if allow_new_columns:
+                    target = _widen_for_new_columns(target, source)
+                merged = merge_upsert(target, source, keys)
             try:
                 return acid_commit(
                     spark, table, merged,
@@ -615,10 +658,21 @@ def acid_merge_upsert(
         elif man is None:
             # table-COW parent: one-time conversion commit (everything
             # rewrites into data/ files; increments are file-level after)
-            merged = merge_upsert(
-                spark.read.parquet(_snap_dir(table, parent)), source, keys
-            )
+            target = spark.read.parquet(_snap_dir(table, parent))
+            if allow_new_columns:
+                target = _widen_for_new_columns(target, source)
+            merged = merge_upsert(target, source, keys)
         else:
+            if allow_new_columns:
+                # widen the PINNED schema: touched files (and the empty
+                # insert relation) read through it below, untouched files
+                # carry forward and read NULL in the added columns
+                man = {
+                    **man,
+                    "schema": _widened_schema_json(
+                        man["schema"], source.schema
+                    ),
+                }
             touched = _touched_file_names(spark, table, man, source, keys)
             untouched = {
                 n: s for n, s in man["files"].items() if n not in touched

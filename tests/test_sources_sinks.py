@@ -861,3 +861,55 @@ def test_acid_file_cow_pure_insert_keeps_merge_semantics(spark, tmp_path):
     assert acid._current_ordinal(spark, cow) == before  # nothing committed
     with _pt.raises(Exception):
         acid.acid_merge_upsert(spark, tbl, bad, ["k"])
+
+
+def test_acid_schema_evolution_allow_new_columns(spark, tmp_path):
+    """allow_new_columns=True (round 12): a merge batch carrying a column
+    the table lacks widens the schema — existing rows (including
+    untouched carried-forward files on a manifest table) read NULL, both
+    COW modes stay pinned equal, time travel keeps the at-commit schema,
+    and the strict default still drops extra source columns."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    ).repartitionByRange(2, "k")
+    cow, tbl = str(tmp_path / "ev_cow"), str(tmp_path / "ev_tbl")
+    acid.acid_merge_upsert(spark, cow, base, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, base, ["k"])
+
+    # strict default: the extra column is dropped by the MERGE projection
+    up0 = spark.createDataFrame([(0, "V0", 9.5)], "k long, v string, w double")
+    acid.acid_merge_upsert(spark, cow, up0, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, up0, ["k"])
+    assert acid.acid_read(spark, cow).columns == ["k", "v"]
+    assert rows(acid.acid_read(spark, cow)) == rows(acid.acid_read(spark, tbl))
+
+    # evolution: w lands nullable; only ONE file rewrites on the manifest
+    # table — the untouched file reads NULL through the widened schema
+    up = spark.createDataFrame(
+        [(1, "V1", 1.5), (100, "new", 2.5)], "k long, v string, w double"
+    )
+    rep = acid.acid_merge_upsert(
+        spark, cow, up, ["k"], file_cow=True, allow_new_columns=True
+    )
+    acid.acid_merge_upsert(spark, tbl, up, ["k"], allow_new_columns=True)
+    assert rep["files_rewritten"] == 1
+    got_cow, got_tbl = acid.acid_read(spark, cow), acid.acid_read(spark, tbl)
+    assert set(got_cow.columns) == {"k", "v", "w"}
+    assert rows(got_cow.select("k", "v", "w")) == rows(got_tbl.select("k", "v", "w"))
+    by_k = {r["k"]: r["w"] for r in got_cow.collect()}
+    assert by_k[1] == 1.5 and by_k[100] == 2.5
+    assert all(by_k[k] is None for k in by_k if k not in (1, 100))
+
+    # time travel: the pre-evolution snapshot keeps its 2-column schema
+    assert acid.acid_read(spark, cow, ordinal=2).columns == ["k", "v"]
+
+    # subsequent strict merges speak the widened schema; compaction
+    # preserves content across the evolution boundary
+    up2 = spark.createDataFrame([(2, "V2", 3.5)], "k long, v string, w double")
+    acid.acid_merge_upsert(spark, cow, up2, ["k"], file_cow=True)
+    before = rows(acid.acid_read(spark, cow).select("k", "v", "w"))
+    acid.acid_compact(spark, cow, target_rows=1000)
+    assert rows(acid.acid_read(spark, cow).select("k", "v", "w")) == before
