@@ -742,6 +742,8 @@ def acid_compact(
     target_rows: int = 1_000_000,
     min_group: int = 2,
     max_retries: int = 2,
+    zorder_cols: Sequence[str] | None = None,
+    zorder_bits: int = 8,
 ) -> dict:
     """Bin-pack a manifest table's small data files into ~``target_rows``
     files, published as a normal snapshot commit (operation="compact") —
@@ -760,7 +762,15 @@ def acid_compact(
     on the first merge key, so the new files carry tight disjoint bounds
     and stay prunable. Only meaningful for file-COW tables; a table-COW
     snapshot is one directory and needs no per-file maintenance
-    (ValueError directs the caller)."""
+    (ValueError directs the caller).
+
+    ``zorder_cols`` clusters the packed files on the Z-order curve over
+    those columns instead (sinks.zorder_write's equi-depth curve — the
+    at-rest layout doctrine applied to the ACID table, Delta's
+    OPTIMIZE ... ZORDER BY): right when reads filter on MULTIPLE
+    dimensions. The trade is explicit: per-file bounds on any single key
+    become boxes (looser single-key merge pruning) in exchange for
+    multi-column scan pruning; content is pinned identical either way."""
     from pyspark.sql import functions as F
 
     fs, jvm = _fs(spark, table)
@@ -786,7 +796,16 @@ def acid_compact(
         packed = _read_manifest_files(spark, table, man, small)
         total = sum(man["files"][n]["rows"] for n in small)
         n_out = max(1, -(-total // target_rows))  # ceil
-        if keys:
+        if zorder_cols:
+            from . import _with_zvalue
+
+            packed, _ = _with_zvalue(packed, list(zorder_cols), bits=zorder_bits)
+            packed = (
+                packed.repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif keys:
             packed = packed.repartitionByRange(n_out, keys[0])
         else:
             packed = packed.repartition(n_out)
