@@ -100,6 +100,31 @@ def _sh_pairs(spark, sf_dir):
     )
 
 
+# --- SimHash-128 + capped MinHash (round-12 watch cells) ---------------------
+# Both flagged 1.3-1.5x normalized on the r11→r12 builder pairs with
+# byte-identical code (drift-suspected, SCALING round 12); these prefixes
+# are the ready decompose harness if either repeats on the r12→r13 pair.
+
+
+def _sh128_signatures(spark, sf_dir):
+    return dedup.simhash128_signatures(_docs(spark, sf_dir))
+
+
+def _sh128_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.simhash128_near_dup_pairs(
+        d, max_hamming=docs._SH_MAX_HAMMING, n_docs=d.count()
+    )
+
+
+def _mhc_shingles(spark, sf_dir):
+    return dedup.word_shingles_b60(_docs(spark, sf_dir))
+
+
+def _mhc_pairs(spark, sf_dir):
+    return docs.q_doc_minhash_capped(spark, sf_dir)
+
+
 # --- embedding near-dup (block GEMM) ----------------------------------------
 
 
@@ -158,6 +183,14 @@ STAGES: dict[str, list[tuple[str, Builder]]] = {
         ("tok_freq", _sh_tokfreq),
         ("signatures", _sh_signatures),
         ("pairs", _sh_pairs),
+    ],
+    "doc_simhash128_pairs": [
+        ("signatures128", _sh128_signatures),
+        ("pairs", _sh128_pairs),
+    ],
+    "doc_minhash_capped": [
+        ("shingles_b60", _mhc_shingles),
+        ("pairs", _mhc_pairs),
     ],
     "embedding_near_dup": [
         ("gemm_pairs", _gemm_pairs),
