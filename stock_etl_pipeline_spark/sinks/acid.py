@@ -558,12 +558,20 @@ def _commit_manifest(
 def _widen_for_new_columns(target: DataFrame, source: DataFrame) -> DataFrame:
     """Schema evolution, relation form: ``target`` widened with the
     source's NEW columns as typed NULLs (existing rows read NULL in an
-    added column — the Delta/Iceberg mergeSchema contract)."""
+    added column — the Delta/Iceberg mergeSchema contract).
+
+    "New" is decided CASE-INSENSITIVELY, matching Spark's default
+    analyzer resolution: a Python case-sensitive check would classify a
+    differently-cased spelling of an existing column ('V' vs 'v') as
+    new, and withColumn — which resolves case-insensitively — would then
+    REPLACE the existing column with all-NULL table-wide (silent data
+    loss; code-review r12). A case-only respelling is therefore NOT
+    evolution: it resolves to the existing column."""
     from pyspark.sql import functions as F
 
-    existing = set(target.columns)
+    existing = {c.lower() for c in target.columns}
     for f in source.schema.fields:
-        if f.name not in existing:
+        if f.name.lower() not in existing:
             target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     return target
 
@@ -571,15 +579,17 @@ def _widen_for_new_columns(target: DataFrame, source: DataFrame) -> DataFrame:
 def _widened_schema_json(schema_json: str, src_schema) -> str:
     """Schema evolution, manifest form: the pinned schema JSON widened
     with the source's new fields (forced nullable — pre-evolution files
-    lack the column and must read as NULL)."""
+    lack the column and must read as NULL). Same case-insensitive
+    newness rule as _widen_for_new_columns: a case-only respelling must
+    not fork a duplicate-modulo-case field into the pinned schema."""
     from pyspark.sql.types import StructField, StructType
 
     cur = StructType.fromJson(json.loads(schema_json))
-    names = {f.name for f in cur.fields}
+    names = {f.name.lower() for f in cur.fields}
     new = [
         StructField(f.name, f.dataType, True)
         for f in src_schema.fields
-        if f.name not in names
+        if f.name.lower() not in names
     ]
     if not new:
         return schema_json
@@ -626,16 +636,21 @@ def acid_merge_upsert(
     at-commit schema (time travel is schema-faithful)."""
     from ..operators.upsert import merge_upsert
 
+    def _merge_against_snapshot(parent: int) -> DataFrame:
+        # shared by the table-COW path and the file-COW conversion commit:
+        # read the parent snapshot, apply evolution, MERGE
+        target = spark.read.parquet(_snap_dir(table, parent))
+        if allow_new_columns:
+            target = _widen_for_new_columns(target, source)
+        return merge_upsert(target, source, keys)
+
     if not file_cow:
         for _ in range(max_retries + 1):
             parent = _current_ordinal(spark, table)
             if parent == 0:
                 merged = source
             else:
-                target = spark.read.parquet(_snap_dir(table, parent))
-                if allow_new_columns:
-                    target = _widen_for_new_columns(target, source)
-                merged = merge_upsert(target, source, keys)
+                merged = _merge_against_snapshot(parent)
             try:
                 return acid_commit(
                     spark, table, merged,
@@ -658,10 +673,7 @@ def acid_merge_upsert(
         elif man is None:
             # table-COW parent: one-time conversion commit (everything
             # rewrites into data/ files; increments are file-level after)
-            target = spark.read.parquet(_snap_dir(table, parent))
-            if allow_new_columns:
-                target = _widen_for_new_columns(target, source)
-            merged = merge_upsert(target, source, keys)
+            merged = _merge_against_snapshot(parent)
         else:
             if allow_new_columns:
                 # widen the PINNED schema: touched files (and the empty

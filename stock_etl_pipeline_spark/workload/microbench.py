@@ -107,7 +107,10 @@ def _sh_pairs(spark, sf_dir):
 
 
 def _sh128_signatures(spark, sf_dir):
-    return dedup.simhash128_signatures(_docs(spark, sf_dir))
+    # the SHIPPED backend at bench SFs (auto → arrow ≤ SIG_ARROW_MAX_DOCS),
+    # same rule as the 64-bit prefix — the deltas must subtract the
+    # signature builder the pairs stage actually runs
+    return dedup.simhash128_signatures_arrow(_docs(spark, sf_dir))
 
 
 def _sh128_pairs(spark, sf_dir):

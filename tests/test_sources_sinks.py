@@ -910,9 +910,27 @@ def test_acid_schema_evolution_allow_new_columns(spark, tmp_path):
     # preserves content across the evolution boundary
     up2 = spark.createDataFrame([(2, "V2", 3.5)], "k long, v string, w double")
     acid.acid_merge_upsert(spark, cow, up2, ["k"], file_cow=True)
+    acid.acid_merge_upsert(spark, tbl, up2, ["k"])
     before = rows(acid.acid_read(spark, cow).select("k", "v", "w"))
     acid.acid_compact(spark, cow, target_rows=1000)
     assert rows(acid.acid_read(spark, cow).select("k", "v", "w")) == before
+
+    # a case-only respelling of an existing column is NOT evolution: it
+    # resolves to the existing column (Spark analyzes case-insensitively;
+    # a case-sensitive newness check would have NULLed 'v' table-wide —
+    # code-review r12) and the schema gains no duplicate-modulo-case field
+    upc = spark.createDataFrame([(3, "VC", 4.5)], "k long, V string, w double")
+    acid.acid_merge_upsert(spark, cow, upc, ["k"], file_cow=True,
+                           allow_new_columns=True)
+    acid.acid_merge_upsert(spark, tbl, upc, ["k"], allow_new_columns=True)
+    got = acid.acid_read(spark, cow)
+    assert [c.lower() for c in got.columns].count("v") == 1
+    by_k = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+    assert by_k[3] == ("VC", 4.5)      # the respelled batch merged into v
+    assert by_k[5] == ("v5", None)     # untouched rows keep their v data
+    assert rows(got.select("k", "v", "w")) == rows(
+        acid.acid_read(spark, tbl).select("k", "v", "w")
+    )
 
 
 def test_acid_compact_zorder_clusters_and_preserves_content(spark, tmp_path):
@@ -948,9 +966,15 @@ def test_acid_compact_zorder_clusters_and_preserves_content(spark, tmp_path):
     man = acid._manifest(spark, table, rep["ordinal"])
     assert all("k" in s["bounds"] for s in man["files"].values())
 
-    # the packed layout prunes a 2-col box better than chance: audit the
-    # footer stats directly (sinks.scan_pruning_stats over data/)
+    # the packed layout prunes a 2-col box: vacuum first so data/ holds
+    # ONLY the manifest's packed files (the superseded pre-compaction
+    # files never prune — auditing them would floor the fraction at
+    # their share), then require real multi-file pruning, not one lucky
+    # file
+    acid.acid_vacuum(spark, table, keep=1)
     stats = sinks.scan_pruning_stats(
         acid._data_dir(table), {"x": (0.0, 7.0), "y": (0.0, 11.0)}
     )
-    assert stats["candidate_fraction"] < 1.0
+    assert stats["n_files"] == 5
+    assert stats["candidate_fraction"] <= 0.6
+    assert rows() == before  # still intact post-vacuum
