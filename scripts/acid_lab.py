@@ -3,9 +3,10 @@
 
 Two studies over sinks/acid.py:
 
---cow    Commit-cost scaling: seed tables at 1x/2x/4x the sf0.1 lineitem
-         row count (key-range-partitioned so file bounds prune), then
-         merge a CONSTANT-size update batch touching a narrow key range.
+--cow    Commit-cost scaling: seed tables at 4x/16x/64x the sf0.1
+         lineitem row count (key-range-partitioned so file bounds prune;
+         override with --mults), then merge a CONSTANT-size update batch
+         touching a narrow key range.
          table-COW rewrites the whole table per commit (cost grows with
          table size); file-COW rewrites only the touched files (cost
          ~flat). The VERDICT r11 item-3 acceptance measurement.
@@ -228,9 +229,12 @@ def main():
     ap.add_argument("--scale", type=int, default=10,
                     help="table size as a multiple of sf0.1 lineitem (10 = the 10x tier)")
     ap.add_argument("--arm", default="both", choices=["none", "maintained", "both"])
+    ap.add_argument("--mults", type=lambda s: tuple(int(x) for x in s.split(",")),
+                    default=(4, 16, 64),
+                    help="--cow table sizes as multiples of sf0.1 lineitem")
     args = ap.parse_args()
     if args.cow:
-        run_cow(args.sf)
+        run_cow(args.sf, mults=args.mults)
     if args.churn:
         run_churn(args.commits, args.batch_rows, args.scale, args.arm)
     if not (args.cow or args.churn):

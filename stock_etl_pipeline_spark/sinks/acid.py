@@ -596,6 +596,107 @@ def _widened_schema_json(schema_json: str, src_schema) -> str:
     return StructType(list(cur.fields) + new).json()
 
 
+def _nullable_normalized(dt):
+    """``dt`` with every nested nullability flag forced True — type
+    comparison for the pinned-schema conformance check must not treat a
+    nullability-only difference as a type change (parquet data written
+    from a non-null frame reads fine through a nullable pin)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable_normalized(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_normalized(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_normalized(dt.keyType),
+            _nullable_normalized(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def _is_safe_widening(src, dst) -> bool:
+    """True when every ``src`` value is exactly representable as ``dst``
+    (the Iceberg/parquet type-promotion set, conservatively): integral
+    chain byte→short→int→long, float→double, ≤32-bit integrals→double
+    (all exact in an IEEE double; long→double is NOT — it silently loses
+    precision past 2^53), byte/short→float, decimal precision/scale
+    widening. Anything else must be cast explicitly by the caller."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    if src == dst:
+        return True
+    chain = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(src, chain) and isinstance(dst, chain):
+        return chain.index(type(src)) <= chain.index(type(dst))
+    if isinstance(src, (ByteType, ShortType, IntegerType, FloatType)) and isinstance(
+        dst, DoubleType
+    ):
+        return True
+    if isinstance(src, (ByteType, ShortType)) and isinstance(dst, FloatType):
+        return True
+    if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+        return (
+            dst.scale >= src.scale
+            and (dst.precision - dst.scale) >= (src.precision - src.scale)
+        )
+    return False
+
+
+def _conform_source_to_pinned(source: DataFrame, schema_json: str) -> DataFrame:
+    """Cast the source's columns to the manifest's PINNED types before a
+    file-COW merge writes anything. merge_upsert's unionByName coerces
+    mismatched types to a common one (a double batch column against a
+    long table column yields double output), so without this the commit
+    could publish data files whose physical parquet type disagrees with
+    the pinned read schema — and the failure would surface at acid_read
+    time, AFTER the commit, breaking the fail-before-commit contract the
+    pure-insert branch advertises (ADVICE r12). Safe widenings cast
+    silently; anything lossy raises BEFORE any file is written. Columns
+    the pin lacks pass through untouched (the strict MERGE projection
+    drops them; evolution already widened the pin with them)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    pinned = {
+        f.name.lower(): f
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    cols, changed = [], False
+    for f in source.schema.fields:
+        p = pinned.get(f.name.lower())
+        if p is None or _nullable_normalized(f.dataType) == _nullable_normalized(
+            p.dataType
+        ):
+            cols.append(F.col(f.name))
+            continue
+        if not _is_safe_widening(f.dataType, p.dataType):
+            raise ValueError(
+                f"merge source column {f.name!r} has type "
+                f"{f.dataType.simpleString()} but the table's pinned schema "
+                f"requires {p.dataType.simpleString()} — not a safe widening; "
+                f"cast the source explicitly (pinned-schema conformance is "
+                f"checked BEFORE any data file is written)"
+            )
+        cols.append(F.col(f.name).cast(p.dataType).alias(f.name))
+        changed = True
+    return source.select(*cols) if changed else source
+
+
 def acid_merge_upsert(
     spark: SparkSession,
     table: str,
@@ -685,6 +786,9 @@ def acid_merge_upsert(
                         man["schema"], source.schema
                     ),
                 }
+            # conform BEFORE anything is written: a type-drifted batch
+            # either casts (safe widening) or fails loudly right here
+            source = _conform_source_to_pinned(source, man["schema"])
             touched = _touched_file_names(spark, table, man, source, keys)
             untouched = {
                 n: s for n, s in man["files"].items() if n not in touched

@@ -399,7 +399,7 @@ def stream_acid_merge(
     # and the merge-commit counter driving maintenance cadence (counting
     # MERGES, not ordinals — compaction's own commit advances the ordinal,
     # so an ordinal-parity rule degenerates to compact-every-batch)
-    state = {"done": None, "merges": 0}
+    state = {"epoch": None, "done": None, "merges": 0}
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -408,7 +408,14 @@ def stream_acid_merge(
         extra = None
         if exactly_once:
             epoch = _stream_query_epoch(spark, checkpoint_dir)
-            if state["done"] is None:
+            # the high-water mark is only meaningful WITHIN one checkpoint
+            # lifetime: if this writer object is .start()ed again after the
+            # checkpoint was wiped (new query id, batch ids restart at 0),
+            # a mark carried over from the previous epoch would make
+            # batch_id <= done true for NEW batches and silently skip them
+            # (ADVICE r12) — re-derive it whenever the epoch changes
+            if state["done"] is None or state["epoch"] != epoch:
+                state["epoch"] = epoch
                 state["done"] = max(
                     (
                         h["batch_id"]

@@ -933,6 +933,52 @@ def test_acid_schema_evolution_allow_new_columns(spark, tmp_path):
     )
 
 
+def test_acid_file_cow_pinned_schema_type_conformance(spark, tmp_path):
+    """ADVICE r12: file-COW pins the parent manifest schema but used to
+    write the merge output's ACTUAL types — merge_upsert's unionByName
+    coerces a double batch column against a long table column to double,
+    so the commit could publish parquet whose physical type disagrees
+    with the pinned read schema, and the failure surfaced at acid_read
+    time AFTER the commit. Now: a lossy type drift fails loudly BEFORE
+    any file is written; a safe widening (int batch into a long pin)
+    casts silently and the committed files read through the pin."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    table = str(tmp_path / "pin_types")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long"
+    ).coalesce(1)
+    acid.acid_merge_upsert(spark, table, base, ["k"], file_cow=True)
+
+    # lossy drift (double into a long pin): ValueError before ANY commit
+    # or data-file write — on BOTH the touched-file and pure-insert paths
+    bad_touch = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    bad_insert = spark.createDataFrame([(100, 1.5)], "k long, v double")
+    before = acid._current_ordinal(spark, table)
+    for bad in (bad_touch, bad_insert):
+        with _pt.raises(ValueError, match="pinned"):
+            acid.acid_merge_upsert(spark, table, bad, ["k"], file_cow=True)
+    assert acid._current_ordinal(spark, table) == before
+    fs, jvm = acid._fs(spark, table)
+    n_data = len(list(fs.listStatus(acid._hpath(jvm, acid._data_dir(table)))))
+    man = acid._manifest(spark, table, before)
+    assert n_data == len(man["files"])  # no orphan files from the refusals
+
+    # safe widening: int batch casts up to the pinned long, both paths
+    up = spark.createDataFrame([(1, 111), (200, 222)], "k int, v int")
+    acid.acid_merge_upsert(
+        spark, table, up.select(up.k.cast("long"), up.v), ["k"], file_cow=True
+    )
+    got = acid.acid_read(spark, table)
+    assert dict(got.dtypes)["v"] == "bigint"  # pin holds, read succeeds
+    by_k = {r["k"]: r["v"] for r in got.collect()}
+    assert by_k[1] == 111 and by_k[200] == 222 and by_k[2] == 20
+    assert len(rows(got)) == 11
+
+
 def test_acid_compact_zorder_clusters_and_preserves_content(spark, tmp_path):
     """acid_compact(zorder_cols=...): the packed files are z-order
     clustered (multi-column row-group pruning beats the single-key range

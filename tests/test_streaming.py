@@ -1227,3 +1227,49 @@ def test_stream_acid_merge_exactly_once_replay_skip(spark, events_dir, tmp_path)
     run(ckpt)
     assert len(acid.acid_history(spark, table)) > len(hist)
     assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
+
+
+def test_stream_acid_merge_exactly_once_stale_writer_restart(
+    spark, events_dir, tmp_path
+):
+    """The ADVICE-r12 hole: ONE writer object, .start()ed again after its
+    checkpoint is wiped. The closure's high-water mark was filled under
+    the first epoch; the wiped checkpoint restarts batch ids at 0 under a
+    NEW query id, so carrying the stale mark forward would make
+    ``batch_id <= done`` true for every new batch and silently drop them
+    all. The mark must be re-derived when the observed epoch changes —
+    the restart must re-merge (value-idempotent), never skip."""
+    import shutil
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_eo_stale")
+    ckpt = str(tmp_path / "ckpt_eo_stale")
+    stream = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=2
+    )
+    writer = streaming.stream_acid_merge(  # built ONCE, reused across runs
+        stream, table, keys=["event_id"], checkpoint_dir=ckpt,
+        file_cow=True, exactly_once=True,
+    )
+
+    def run():
+        q = writer.start()
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    run()
+    n_commits = len(acid.acid_history(spark, table))
+    assert n_commits >= 1
+    before = sorted(map(repr, acid.acid_read(spark, table).collect()))
+    epoch_first = acid.acid_history(spark, table)[-1]["epoch"]
+
+    shutil.rmtree(ckpt)  # new epoch, batch ids restart at 0 — SAME writer
+    run()
+    hist = acid.acid_history(spark, table)
+    # every re-offered batch must have re-merged under the fresh epoch
+    fresh = [h for h in hist if h.get("epoch") not in (None, epoch_first)]
+    assert len(hist) > n_commits, "stale high-water mark skipped new batches"
+    assert len(fresh) == n_commits
+    assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
