@@ -23,10 +23,19 @@ Two studies over sinks/acid.py:
          The VERDICT r11 item-7 soak; the retention-policy numbers in
          SCALING round 12 come from here.
 
+--oslab  The --churn loop under SIMULATED OBJECT-STORE semantics
+         (sinks/objectstore.SimulatedObjectStore: claim-first publish,
+         conditional-PUT markers, copy-based renames) — reports
+         per-commit REQUEST counts by class (paged LIST / HEAD / GET /
+         PUT / COPY / DELETE) instead of local wall-clock, plus the
+         isolated cost of one ordinal resolution at each checkpoint's
+         marker count. The round-13 object-store acceptance study.
+
 Usage:
   python scripts/acid_lab.py --cow  [--sf /root/testdata/sf0.1]
   python scripts/acid_lab.py --churn [--commits 1000] [--batch-rows 200]
                              [--scale 10] [--arm none|maintained|both]
+  python scripts/acid_lab.py --oslab [--commits 1000] [--scale 2]
 
 Output: one JSON line per measurement row, then a summary block.
 Run on an idle host; commit costs are wall-clock.
@@ -205,6 +214,85 @@ def _churn_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
     return rows_out
 
 
+def _oslab_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
+               scale: int, checkpoints: set[int]):
+    """Churn under SIMULATED OBJECT-STORE semantics (claim-first publish,
+    conditional-PUT markers, copy-based renames): the metadata cost of
+    every commit measured in the store's native unit — REQUESTS —
+    instead of local-disk wall-clock. The headline cell is paged LIST
+    requests per commit for marker/ordinal resolution: S3-class stores
+    return ≤1000 keys per LIST, so an unmaintained table crosses to
+    2 LIST requests per resolution past 1000 accumulated markers and
+    keeps climbing; the maintained arm's vacuum holds the marker count
+    (and so the page count) flat. (VERDICT r12 item 1 acceptance row.)"""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.sinks import acid
+    from stock_etl_pipeline_spark.sinks.objectstore import SimulatedObjectStore
+
+    be = SimulatedObjectStore()
+    tbl = f"{root}/oslab_{arm}"
+    base, key_span = _base_rows(spark, SF, scale)
+    seeded = base.repartitionByRange(8 * scale, "id")
+    acid.acid_merge_upsert(spark, tbl, seeded, ["id"], file_cow=True,
+                           backend=be)
+    prev = dict(be.counts)
+    prev_commit = 0
+    rows_out = []
+    for b in range(1, n_commits + 1):
+        lo = (b * 7919 * batch_rows) % key_span
+        batch = spark.range(lo, lo + batch_rows).select(
+            F.col("id"),
+            F.lit(1).alias("l_partkey"),
+            F.lit(float(b)).alias("l_quantity"),
+            F.lit(1.0).alias("l_extendedprice"),
+            F.lit("1996-01-01").cast("date").alias("l_shipdate"),
+        )
+        acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=True,
+                               backend=be)
+        if arm == "maintained" and b % 50 == 0:
+            acid.acid_compact(spark, tbl, target_rows=1_000_000, backend=be)
+            acid.acid_vacuum(spark, tbl, keep=2, backend=be)
+        if b in checkpoints:
+            window = b - prev_commit
+            delta = {k: be.counts[k] - prev[k] for k in be.counts}
+            n_markers = len(acid._marker_ordinals(spark, tbl, be))
+            # isolate ONE ordinal resolution's cost at this marker count
+            snap0 = dict(be.counts)
+            acid._current_ordinal(spark, tbl, be)
+            resolve = {k: be.counts[k] - snap0[k]
+                       for k in ("list_requests", "head")}
+            row = {
+                "study": "oslab", "arm": arm, "commit": b,
+                "n_markers": n_markers,
+                "resolve_list_requests": resolve["list_requests"],
+                "resolve_heads": resolve["head"],
+                **{f"{k}_per_commit": round(delta[k] / window, 2)
+                   for k in ("list_requests", "head", "get", "put",
+                             "copy", "delete", "conditional_put")},
+            }
+            print(json.dumps(row), flush=True)
+            rows_out.append(row)
+            prev = dict(be.counts)
+            prev_commit = b
+    shutil.rmtree(tbl, ignore_errors=True)
+    return rows_out
+
+
+def run_oslab(n_commits: int, batch_rows: int, scale: int, arm: str):
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="acid_oslab_")
+    cps = {1, 10, 50, 100, 250, 500, 750, 1000}
+    cps = {c for c in cps if c <= n_commits} | {n_commits}
+    try:
+        arms = ["none", "maintained"] if arm == "both" else [arm]
+        for a in arms:
+            _oslab_arm(spark, root, a, n_commits, batch_rows, scale, cps)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_churn(n_commits: int, batch_rows: int, scale: int, arm: str):
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -223,6 +311,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cow", action="store_true")
     ap.add_argument("--churn", action="store_true")
+    ap.add_argument("--oslab", action="store_true",
+                    help="churn under simulated OBJECT-STORE semantics; "
+                         "reports per-commit request counts by class")
     ap.add_argument("--sf", default=SF)
     ap.add_argument("--commits", type=int, default=1000)
     ap.add_argument("--batch-rows", type=int, default=200)
@@ -237,8 +328,10 @@ def main():
         run_cow(args.sf, mults=args.mults)
     if args.churn:
         run_churn(args.commits, args.batch_rows, args.scale, args.arm)
-    if not (args.cow or args.churn):
-        print("pick --cow and/or --churn", file=sys.stderr)
+    if args.oslab:
+        run_oslab(args.commits, args.batch_rows, args.scale, args.arm)
+    if not (args.cow or args.churn or args.oslab):
+        print("pick --cow, --churn and/or --oslab", file=sys.stderr)
         sys.exit(2)
 
 

@@ -15,28 +15,47 @@ Layout::
     <table>/snap-00000000000000000001/_meta.json
 
 - The CURRENT snapshot is the highest-numbered marker in ``_commits/``
-  whose snapshot directory exists (see the publish sequence below).
-- A commit STAGES into a UNIQUELY-NAMED temp directory (never the
-  shared final path — two racers staging into the same ``snap-N`` would
-  overwrite each other's files and the loser's cleanup would delete the
-  winner's data), then claims the next ordinal's marker with an ATOMIC
-  create-if-absent (``_atomic_create``: POSIX ``O_CREAT|O_EXCL`` for
-  local paths — Hadoop's RawLocalFileSystem createNewFile is a
-  non-atomic exists-then-create — and ``FileSystem.createNewFile`` for
-  HDFS, where it IS atomic; on S3-class stores substitute a conditional
-  PUT ``If-None-Match:*``, the same primitive Iceberg/Delta commit
-  services are built on), and only THEN renames its temp dir to
+  whose snapshot ``_meta.json`` exists — the per-snapshot VISIBILITY
+  BIT (meta-existence, not directory-existence: on object stores a
+  "directory" exists as soon as its first object lands, so only the
+  meta — which a conforming committer makes appear atomically LAST —
+  can gate).
+- Every protocol filesystem operation goes through a pluggable
+  ``CommitBackend`` (VERDICT r12 item 1): ``_HadoopBackend`` for real
+  filesystems, ``_HadoopObjectStoreBackend`` + ``sinks/objectstore.py``
+  for S3-class stores (conditional-PUT marker claim, claim-first
+  publish — see below), ``SimulatedObjectStore`` as the test/
+  measurement harness imposing object-store semantics locally.
+- On a store WITH atomic rename (local POSIX, HDFS), a commit STAGES
+  into a UNIQUELY-NAMED temp directory (never the shared final path —
+  two racers staging into the same ``snap-N`` would overwrite each
+  other's files and the loser's cleanup would delete the winner's
+  data), then claims the next ordinal's marker with an ATOMIC
+  create-if-absent (``atomic_create``: POSIX ``O_CREAT|O_EXCL`` when
+  the RESOLVED filesystem scheme is ``file`` — Hadoop's
+  RawLocalFileSystem createNewFile is a non-atomic
+  exists-then-create — and ``FileSystem.createNewFile`` for HDFS,
+  where it IS atomic), and only THEN renames its temp dir to
   ``snap-N`` (a rename to a path nothing else can claim — the marker
   serialized it), and verifies the published ``_meta.json`` is its own
   (Hadoop's local rename can fall back to copy-INTO an existing dir and
   still return true).
-- Readers resolve the max marker WITH an existing snapshot dir once and
-  then scan immutable files: SNAPSHOT ISOLATION — a concurrent commit
-  cannot disturb a running query. A crash before the marker leaves an
-  invisible temp dir (vacuum sweeps it); a crash between marker and
-  rename leaves a DANGLING marker readers skip (its ordinal is burned,
-  never reused — ordinal allocation uses max marker, data resolution
-  uses max marker-with-dir).
+- On a store WITHOUT atomic rename (object stores — rename is
+  per-object copy+delete), the sequence is CLAIM-FIRST: conditional-PUT
+  the marker (``If-None-Match:*`` — the same primitive Iceberg/Delta
+  commit services are built on; pluggable via
+  ``objectstore.register_conditional_put``), write the snapshot's
+  files directly at their final path (the marker made this committer
+  the ordinal's only writer; each single PUT is atomic), and write
+  ``_meta.json`` LAST. A crash mid-write leaves a dangling marker plus
+  an invisible partial snapshot; vacuum sweeps both.
+- Readers resolve the max marker WITH meta once and then scan immutable
+  files: SNAPSHOT ISOLATION — a concurrent commit cannot disturb a
+  running query. A crash before the marker leaves an invisible temp dir
+  (vacuum sweeps it); a crash between marker and publish leaves a
+  DANGLING marker readers skip (its ordinal is burned, never reused —
+  ordinal allocation uses max marker, data resolution uses
+  max marker-with-meta).
 - Concurrency control is OPTIMISTIC: racers both stage, createNewFile
   admits exactly one per ordinal; the loser gets ``CommitConflict``,
   removes its own temp dir (never a shared path), and must re-read +
@@ -45,7 +64,7 @@ Layout::
   ``parent + 1`` — never a later ordinal. Allocating past an unresolved
   marker would let a committer slide in ABOVE an in-flight commit it
   never read (the winner claims N, hasn't renamed yet; the loser reads
-  parent = N-1 via max-marker-WITH-DIR, passes the expected_parent
+  parent = N-1 via max-marker-with-meta, passes the expected_parent
   check, claims N+1, publishes — and the N commit is silently dropped
   even though both callers returned success; ADVICE r11). An unresolved
   marker above the parent is therefore a ``CommitConflict``: it is an
@@ -53,10 +72,12 @@ Layout::
   one (``acid_vacuum`` reclaims it), and the two are indistinguishable
   without a clock.
 
-Metadata (row count, parent ordinal, operation) is written to the
-snapshot's ``_meta.json`` BEFORE the marker, so any visible snapshot's
-metadata is complete. Markers are empty: everything derives from the
-ordinal, so marker visibility is the one atomic bit.
+Metadata (row count, parent ordinal, operation) is complete in the
+snapshot's ``_meta.json`` before that meta becomes visible (inside the
+stage before the rename; the final PUT on claim-first stores), so any
+visible snapshot's metadata is complete. Markers are empty: everything
+derives from the ordinal, so the marker claim is the one atomic bit and
+the meta the one visibility bit.
 
 FILE-LEVEL COW (round 12, VERDICT r11 item 3 — the 100 TB isolation
 path): a table-COW commit stages the WHOLE table, so a 1% daily merge
@@ -151,71 +172,171 @@ def _write_json_file(fs, jvm, path: str, obj: dict) -> None:
         out.close()
 
 
-def _local_fs_path(path: str) -> str | None:
-    """The local-filesystem path for a file:/bare spelling, else None."""
-    if path.startswith("file:"):
-        from urllib.parse import urlparse
+class _HadoopBackend:
+    """Default CommitBackend: every PROTOCOL operation (markers, snapshot
+    publish, JSON metadata, listings, deletes) through the table's
+    RESOLVED Hadoop FileSystem. ``atomic_create`` is the one primitive
+    the protocol rests on: Hadoop's RawLocalFileSystem implements
+    createNewFile as a non-atomic exists()-then-create (two racers can
+    BOTH get true — observed in the OS-process race tests), so the
+    file scheme takes POSIX ``O_CREAT|O_EXCL`` directly; HDFS-class
+    filesystems use ``FileSystem.createNewFile`` (atomic there). The
+    local-vs-remote decision comes from the RESOLVED filesystem's
+    scheme, never from the path string: a scheme-less path resolves
+    against ``fs.defaultFS``, which on a cluster is typically HDFS —
+    path-string sniffing would create the marker on the driver's LOCAL
+    disk while every other operation goes to HDFS, silently breaking
+    the protocol (ADVICE r12)."""
 
-        return urlparse(path).path or None
-    head = path.split("/", 1)[0]
-    return path if ":" not in head else None
+    name = "hadoop"
+    atomic_rename = True  # FileSystem.rename is an atomic metadata move
+
+    def __init__(self, spark: SparkSession, table: str) -> None:
+        self.fs, self.jvm = _fs(spark, table)
+        self.scheme = self.fs.getScheme()
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(_hpath(self.jvm, path))
+
+    def mkdirs(self, path: str) -> None:
+        self.fs.mkdirs(_hpath(self.jvm, path))
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return self.fs.delete(_hpath(self.jvm, path), recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return self.fs.rename(_hpath(self.jvm, src), _hpath(self.jvm, dst))
+
+    def list_names(self, path: str) -> list[str]:
+        p = _hpath(self.jvm, path)
+        if not self.fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self.fs.listStatus(p)]
+
+    def read_json(self, path: str) -> dict:
+        return _read_json_file(self.fs, self.jvm, path)
+
+    def write_json(self, path: str, obj: dict) -> None:
+        _write_json_file(self.fs, self.jvm, path, obj)
+
+    def _local_path(self, path: str) -> str:
+        """POSIX path for a file-scheme path, via the filesystem's own
+        qualification (handles bare, relative and file:/ spellings)."""
+        return self.fs.makeQualified(_hpath(self.jvm, path)).toUri().getPath()
+
+    def atomic_create(self, path: str) -> bool:
+        if self.scheme == "file":
+            import os
+
+            try:
+                fd = os.open(
+                    self._local_path(path),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                return False
+            os.close(fd)
+            return True
+        return self.fs.createNewFile(_hpath(self.jvm, path))
 
 
-def _atomic_create(fs, jvm, path: str) -> bool:
-    """Atomic create-if-absent — THE one primitive the commit protocol
-    rests on. Hadoop's RawLocalFileSystem implements createNewFile as a
-    non-atomic exists()-then-create (two racing committers can BOTH get
-    true — observed in the OS-process race tests), so local paths take
-    POSIX ``O_CREAT|O_EXCL`` directly; everything else goes through
-    ``FileSystem.createNewFile`` (atomic on HDFS; substitute a
-    conditional PUT ``If-None-Match:*`` on S3-class stores)."""
-    local = _local_fs_path(path)
-    if local is not None:
-        import os
-
-        try:
-            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        os.close(fd)
-        return True
-    return fs.createNewFile(_hpath(jvm, path))
+#: schemes whose Hadoop connectors are object stores: rename is per-object
+#: copy+delete (non-atomic) and createNewFile is HEAD-then-PUT (not atomic)
+_OBJECT_STORE_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "cosn", "swift",
+}
 
 
-def _marker_ordinals(spark: SparkSession, table: str) -> list[int]:
-    fs, jvm = _fs(spark, table)
-    cdir = _hpath(jvm, _commits_dir(table))
-    if not fs.exists(cdir):
-        return []
+class _HadoopObjectStoreBackend(_HadoopBackend):
+    """Object-store arm over the Hadoop connectors (s3a/gs/abfs...):
+    reads, writes, listings and per-OBJECT renames still go through the
+    connector (whose ``create()`` uploads on close — single-PUT
+    visibility), but ``atomic_rename=False`` switches the publish
+    sequence to claim-first (see ``_publish_direct``), and the marker
+    claim requires the store's CONDITIONAL PUT, plugged in via
+    ``sinks.objectstore.register_conditional_put`` — Hadoop's API does
+    not expose it, and a HEAD-then-PUT stand-in would reintroduce the
+    double-claim race."""
+
+    name = "hadoop-objectstore"
+    atomic_rename = False
+
+    def atomic_create(self, path: str) -> bool:
+        from .objectstore import conditional_put_for
+
+        fn = conditional_put_for(self.scheme)
+        if fn is None:
+            raise RuntimeError(
+                f"no conditional-PUT primitive registered for scheme "
+                f"{self.scheme!r}: object-store commits need the store's "
+                f"atomic create-if-absent (S3 'If-None-Match: *', GCS "
+                f"'x-goog-if-generation-match: 0', Azure "
+                f"'If-None-Match: *') — register the SDK call via "
+                f"sinks.objectstore.register_conditional_put"
+            )
+        return fn(path)
+
+
+def _backend(spark: SparkSession, table: str, backend=None):
+    """Resolve the table's CommitBackend: an explicit instance wins, a
+    string names one ('hadoop', 'hadoop-objectstore', 'sim-objectstore'),
+    None auto-detects from the RESOLVED filesystem scheme."""
+    if backend is None:
+        be = _HadoopBackend(spark, table)
+        if be.scheme in _OBJECT_STORE_SCHEMES:
+            return _HadoopObjectStoreBackend(spark, table)
+        return be
+    if isinstance(backend, str):
+        if backend == "hadoop":
+            return _HadoopBackend(spark, table)
+        if backend == "hadoop-objectstore":
+            return _HadoopObjectStoreBackend(spark, table)
+        if backend == "sim-objectstore":
+            from .objectstore import SimulatedObjectStore
+
+            return SimulatedObjectStore()
+        raise ValueError(f"unknown commit backend {backend!r}")
+    return backend
+
+
+def _marker_ordinals(spark: SparkSession, table: str, be=None) -> list[int]:
+    be = be or _backend(spark, table)
     return sorted(
-        int(st.getPath().getName())
-        for st in fs.listStatus(cdir)
-        if st.getPath().getName().isdigit()
+        int(n) for n in be.list_names(_commits_dir(table)) if n.isdigit()
     )
 
 
-def _current_ordinal(spark: SparkSession, table: str) -> int:
-    """Highest published ordinal WHOSE SNAPSHOT DIR EXISTS (a marker
-    without a dir is a commit that crashed between claiming its ordinal
-    and renaming its staging into place — skipped, never resolved), 0
-    when the table has no commits yet."""
-    fs, jvm = _fs(spark, table)
-    for o in reversed(_marker_ordinals(spark, table)):
-        if fs.exists(_hpath(jvm, _snap_dir(table, o))):
+def _current_ordinal(spark: SparkSession, table: str, be=None) -> int:
+    """Highest published ordinal whose snapshot ``_meta.json`` EXISTS —
+    the per-snapshot visibility bit. A marker without it is a commit
+    that crashed between claiming its ordinal and publishing (skipped,
+    never resolved); 0 when the table has no commits yet. The gate is
+    meta-existence, not directory-existence: a conforming committer
+    makes _meta.json land atomically LAST (inside the renamed stage on
+    atomic-rename stores; as the final single PUT on object stores,
+    where a 'directory' exists as soon as its first object lands)."""
+    be = be or _backend(spark, table)
+    for o in reversed(_marker_ordinals(spark, table, be)):
+        if be.exists(_snap_dir(table, o) + "/_meta.json"):
             return o
     return 0
 
 
-def _next_ordinal(spark: SparkSession, table: str) -> int:
+def _next_ordinal(spark: SparkSession, table: str, be=None) -> int:
     """Ordinal a new commit should claim: one past the highest MARKER
     (dangling markers burn their ordinal — reusing it would let a commit
     resurrect a crashed commit's claim)."""
-    ords = _marker_ordinals(spark, table)
+    ords = _marker_ordinals(spark, table, be)
     return (ords[-1] if ords else 0) + 1
 
 
 def acid_read(
-    spark: SparkSession, table: str, *, ordinal: int | None = None
+    spark: SparkSession,
+    table: str,
+    *,
+    ordinal: int | None = None,
+    backend=None,
 ) -> DataFrame:
     """The current snapshot as a DataFrame — or TIME TRAVEL to a specific
     published ``ordinal`` (any snapshot vacuum has not swept; the commit
@@ -224,41 +345,45 @@ def acid_read(
     query runs do not change (or corrupt) its result — re-call acid_read
     to observe them. Raises on a table with no commits or an unpublished
     ordinal."""
+    be = _backend(spark, table, backend)
     if ordinal is None:
-        ordinal = _current_ordinal(spark, table)
+        ordinal = _current_ordinal(spark, table, be)
         if ordinal == 0:
             raise FileNotFoundError(f"acid table {table!r} has no commits")
     else:
-        fs, jvm = _fs(spark, table)
-        marker = _hpath(jvm, f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}")
-        if not fs.exists(marker) or not fs.exists(
-            _hpath(jvm, _snap_dir(table, ordinal))
+        marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
+        if not be.exists(marker) or not be.exists(
+            _snap_dir(table, ordinal) + "/_meta.json"
         ):
             raise FileNotFoundError(
                 f"acid table {table!r}: ordinal {ordinal} was never "
                 f"published (crashed commit or vacuumed)"
             )
-    man = _manifest(spark, table, ordinal)
+    man = _manifest(spark, table, ordinal, be)
     if man is not None:  # file-COW snapshot: resolve the data-file list once
         return _read_manifest_files(spark, table, man)
     return spark.read.parquet(_snap_dir(table, ordinal))
 
 
-def acid_snapshot_meta(spark: SparkSession, table: str, ordinal: int) -> dict:
-    fs, jvm = _fs(spark, table)
-    return _read_json_file(fs, jvm, _snap_dir(table, ordinal) + "/_meta.json")
+def acid_snapshot_meta(
+    spark: SparkSession, table: str, ordinal: int, be=None
+) -> dict:
+    be = be or _backend(spark, table)
+    return be.read_json(_snap_dir(table, ordinal) + "/_meta.json")
 
 
-def _manifest(spark: SparkSession, table: str, ordinal: int) -> dict | None:
+def _manifest(
+    spark: SparkSession, table: str, ordinal: int, be=None
+) -> dict | None:
     """The snapshot's file manifest — None for a table-COW snapshot (whose
     data IS the snap dir's parquet). Shape: {"files": {name: {"rows": n,
     "bounds": {key: [lo, hi]}}}, "schema": <StructType json>,
     "keys": [...]}."""
-    fs, jvm = _fs(spark, table)
+    be = be or _backend(spark, table)
     p = _snap_dir(table, ordinal) + "/_manifest.json"
-    if not fs.exists(_hpath(jvm, p)):
+    if not be.exists(p):
         return None
-    return _read_json_file(fs, jvm, p)
+    return be.read_json(p)
 
 
 def _read_manifest_files(
@@ -285,6 +410,7 @@ def acid_commit(
     operation: str = "overwrite",
     expected_parent: int | None = None,
     extra: dict | None = None,
+    backend=None,
 ) -> dict:
     """Publish ``df`` as the table's next snapshot. ``expected_parent``
     pins the optimistic check: if another commit published after the
@@ -301,42 +427,65 @@ def acid_commit(
     renames; ADVICE r11). The in-flight/crashed ambiguity resolves
     itself: retries succeed once the winner renames (parent advances),
     and a crashed claimant's dangling marker is reclaimed by
-    ``acid_vacuum``."""
+    ``acid_vacuum``.
+
+    On a store WITHOUT atomic rename (``backend.atomic_rename`` False —
+    object stores), the publish sequence is CLAIM-FIRST instead:
+    conditional-PUT the marker, write the snapshot's files directly at
+    their final path (the marker made this committer the ordinal's only
+    writer; each single PUT is atomic), then write ``_meta.json`` LAST —
+    the visibility bit readers gate on. Conflicts surface BEFORE any
+    data is written, at the price of the marker staying unresolved for
+    the duration of the write — concurrent conditional commits retry
+    until the meta lands, exactly the in-flight rule above. A crash
+    mid-write leaves a dangling marker plus an invisible partial
+    snapshot; vacuum sweeps both."""
     import uuid
 
-    fs, jvm = _fs(spark, table)
-    parent, ordinal = _resolve_commit_ordinal(spark, table, expected_parent)
-    # stage into a path ONLY this committer knows — racers must never
-    # share a staging dir (overwrite/cleanup would destroy the winner's
-    # files); the final snap-<ordinal> path is claimed via the marker
+    be = _backend(spark, table, backend)
+    parent, ordinal = _resolve_commit_ordinal(spark, table, expected_parent, be)
     tag = uuid.uuid4().hex
-    stage = f"{table.rstrip('/')}/__stage-{tag}"
-    df.write.mode("overwrite").parquet(stage)
-    n = spark.read.parquet(stage).count()  # count the immutable files
     meta = {
         "ordinal": ordinal,
         "parent": parent,
         "operation": operation,
-        "rows": n,
         "commit_uuid": tag,
         **(extra or {}),
     }
-    # metadata lands INSIDE the snapshot before the marker makes it visible
-    _write_json_file(fs, jvm, stage + "/_meta.json", meta)
-    _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag)
+    if be.atomic_rename:
+        # stage into a path ONLY this committer knows — racers must never
+        # share a staging dir (overwrite/cleanup would destroy the winner's
+        # files); the final snap-<ordinal> path is claimed via the marker
+        stage = f"{table.rstrip('/')}/__stage-{tag}"
+        df.write.mode("overwrite").parquet(stage)
+        n = spark.read.parquet(stage).count()  # count the immutable files
+        # metadata lands INSIDE the snapshot before the marker publishes it
+        be.write_json(stage + "/_meta.json", {**meta, "rows": n})
+        _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
+    else:
+        _claim_marker(table, ordinal, be)
+        snap = _snap_dir(table, ordinal)
+        try:
+            df.write.mode("overwrite").parquet(snap)
+            n = spark.read.parquet(snap).count()
+            be.write_json(snap + "/_meta.json", {**meta, "rows": n})  # LAST
+        except BaseException:
+            be.delete(snap, recursive=True)  # best-effort; ordinal burned
+            raise
     return {"destination": table, "mode": operation, "rows_loaded": n,
             "ordinal": ordinal, "parent": parent, **(extra or {})}
 
 
 def _resolve_commit_ordinal(
-    spark: SparkSession, table: str, expected_parent: int | None
+    spark: SparkSession, table: str, expected_parent: int | None, be=None
 ) -> tuple[int, int]:
     """(parent, ordinal to claim) under the optimistic rules: a conditional
     commit targets EXACTLY expected_parent + 1 and conflicts on a stale
     parent OR any unresolved marker above it (in-flight or crashed commit
     — see module docstring); an unconditional commit claims one past the
     max marker (burned ordinals are never reused)."""
-    parent = _current_ordinal(spark, table)
+    be = be or _backend(spark, table)
+    parent = _current_ordinal(spark, table, be)
     if expected_parent is not None:
         if parent != expected_parent:
             raise CommitConflict(
@@ -344,57 +493,66 @@ def _resolve_commit_ordinal(
                 f"current is {parent}"
             )
         ordinal = parent + 1
-        if _next_ordinal(spark, table) != ordinal:
+        if _next_ordinal(spark, table, be) != ordinal:
             raise CommitConflict(
                 f"table {table!r}: unresolved marker(s) above parent "
                 f"{parent} — a commit is in flight (retry) or crashed "
                 f"(acid_vacuum reclaims its marker)"
             )
         return parent, ordinal
-    return parent, _next_ordinal(spark, table)
+    return parent, _next_ordinal(spark, table, be)
+
+
+def _claim_marker(table: str, ordinal: int, be) -> None:
+    """Claim the ordinal's marker — create-if-absent, THE atomic bit the
+    whole protocol rests on (POSIX O_EXCL / HDFS createNewFile /
+    object-store conditional PUT, per the backend). Raises CommitConflict
+    when another committer claimed it first."""
+    be.mkdirs(_commits_dir(table))
+    marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
+    if not be.atomic_create(marker):
+        raise CommitConflict(
+            f"table {table!r}: ordinal {ordinal} was published concurrently"
+        )
 
 
 def _claim_and_publish(
     spark: SparkSession, table: str, stage: str, ordinal: int,
-    commit_uuid: str | None = None,
+    commit_uuid: str | None = None, be=None,
 ) -> None:
-    """The atomic publish: claim the ordinal's marker (create-if-absent,
-    via _atomic_create — genuinely atomic on local fs too), then rename
-    the staged snapshot dir into place. Raises CommitConflict (own stage
-    removed) when the marker was claimed concurrently. When
-    ``commit_uuid`` is given, the published _meta.json is read back and
-    must be OURS: Hadoop's local rename can fall back to a copy INTO an
-    existing destination dir and still return true (FileUtil.copy
-    resolves a dir target to dest/<src-name>), which would otherwise let
-    a racer report success while its rows sit in an ignored subdir."""
-    fs, jvm = _fs(spark, table)
-    cdir = _hpath(jvm, _commits_dir(table))
-    if not fs.exists(cdir):
-        fs.mkdirs(cdir)
-    marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
-    if not _atomic_create(fs, jvm, marker):  # the atomic bit
-        fs.delete(_hpath(jvm, stage), True)  # lost: unstage OWN dir only
-        raise CommitConflict(
-            f"table {table!r}: ordinal {ordinal} was published concurrently"
-        )
+    """The atomic publish for stores WITH atomic rename: claim the
+    ordinal's marker, then rename the staged snapshot dir into place.
+    Raises CommitConflict (own stage removed) when the marker was claimed
+    concurrently. When ``commit_uuid`` is given, the published _meta.json
+    is read back and must be OURS: Hadoop's local rename can fall back to
+    a copy INTO an existing destination dir and still return true
+    (FileUtil.copy resolves a dir target to dest/<src-name>), which would
+    otherwise let a racer report success while its rows sit in an ignored
+    subdir."""
+    be = be or _backend(spark, table)
+    try:
+        _claim_marker(table, ordinal, be)
+    except CommitConflict:
+        be.delete(stage, recursive=True)  # lost: unstage OWN dir only
+        raise
     # the marker serialized ownership of snap-<ordinal>: nothing else can
     # rename onto it now. A crash before this rename leaves a dangling
     # marker readers skip (the ordinal is burned, not reused).
     snap = _snap_dir(table, ordinal)
-    if not fs.rename(_hpath(jvm, stage), _hpath(jvm, snap)):
+    if not be.rename(stage, snap):
         raise RuntimeError(
             f"table {table!r}: rename {stage} -> {snap} failed after the "
             f"marker was claimed; ordinal {ordinal} is burned (readers "
             f"skip it), staged data remains at {stage}"
         )
     if commit_uuid is not None:
-        got = _read_json_file(fs, jvm, f"{snap}/_meta.json")
+        got = be.read_json(f"{snap}/_meta.json")
         if got.get("commit_uuid") != commit_uuid:
             # our stage was copy-fallbacked INTO an existing snap dir:
             # remove the residue subdir and surface the loss
             residue = f"{snap}/{stage.rstrip('/').rsplit('/', 1)[-1]}"
-            if fs.exists(_hpath(jvm, residue)):
-                fs.delete(_hpath(jvm, residue), True)
+            if be.exists(residue):
+                be.delete(residue, recursive=True)
             raise CommitConflict(
                 f"table {table!r}: ordinal {ordinal} was published by "
                 f"another committer (post-rename ownership check)"
@@ -402,19 +560,22 @@ def _claim_and_publish(
 
 
 def _write_data_files(
-    spark: SparkSession, table: str, df: DataFrame, keys: Sequence[str]
+    spark: SparkSession, table: str, df: DataFrame, keys: Sequence[str],
+    be=None,
 ) -> dict:
     """Write ``df`` as new immutable files in the table's shared ``data/``
     dir and return their manifest entries {name: {"rows", "bounds"}}.
     Stats (row count + per-key min/max) come from ONE aggregate over the
     just-written files — never a second full-table pass. Files land in
     data/ BEFORE any marker: a crashed/conflicted commit leaves them as
-    unreferenced orphans that acid_vacuum sweeps."""
+    unreferenced orphans that acid_vacuum sweeps. The stage→data move is
+    one rename per FILE — on an object-store backend that is a single
+    server-side COPY each (atomic per object), never a directory rename."""
     import uuid
 
     from pyspark.sql import functions as F
 
-    fs, jvm = _fs(spark, table)
+    be = be or _backend(spark, table)
     tag = uuid.uuid4().hex
     stage = f"{table.rstrip('/')}/__stage-{tag}"
     df.write.mode("overwrite").parquet(stage)
@@ -429,15 +590,12 @@ def _write_data_files(
         .collect()  # bounded: one row per written file
     )
     ddir = _data_dir(table)
-    if not fs.exists(_hpath(jvm, ddir)):
-        fs.mkdirs(_hpath(jvm, ddir))
+    be.mkdirs(ddir)
     files: dict = {}
     for r in stats:
         base = r["_file"].split("/")[-1]
         name = f"{tag}-{base}"  # commit-unique: no collision in data/
-        if not fs.rename(
-            _hpath(jvm, f"{stage}/{base}"), _hpath(jvm, f"{ddir}/{name}")
-        ):
+        if not be.rename(f"{stage}/{base}", f"{ddir}/{name}"):
             raise RuntimeError(
                 f"table {table!r}: staging {stage}/{base} -> data/{name} "
                 f"rename failed"
@@ -454,7 +612,7 @@ def _write_data_files(
             ):
                 bounds[k] = [lo, hi]
         files[name] = {"rows": r["_rows"], "bounds": bounds}
-    fs.delete(_hpath(jvm, stage), True)  # empty shell (+ zero-row parts)
+    be.delete(stage, recursive=True)  # empty shell (+ zero-row parts)
     return files
 
 
@@ -523,18 +681,18 @@ def _commit_manifest(
     operation: str,
     rows: int,
     extra: dict | None = None,
+    be=None,
 ) -> dict:
-    """Publish a MANIFEST snapshot (file-COW): the stage dir holds only
-    two JSON files; the marker/rename protocol — including the
-    conditional parent+1 rule — is byte-identical to acid_commit."""
+    """Publish a MANIFEST snapshot (file-COW): the snapshot is only two
+    JSON files; the publish protocol — including the conditional parent+1
+    rule — is byte-identical to acid_commit (stage/marker/rename on
+    atomic-rename stores; claim-first with _meta.json as the final
+    visibility PUT on object stores)."""
     import uuid
 
-    fs, jvm = _fs(spark, table)
-    _, ordinal = _resolve_commit_ordinal(spark, table, parent)
+    be = be or _backend(spark, table)
+    _, ordinal = _resolve_commit_ordinal(spark, table, parent, be)
     tag = uuid.uuid4().hex
-    stage = f"{table.rstrip('/')}/__stage-{tag}"
-    fs.mkdirs(_hpath(jvm, stage))
-    _write_json_file(fs, jvm, stage + "/_manifest.json", manifest)
     meta = {
         "ordinal": ordinal,
         "parent": parent,
@@ -543,8 +701,21 @@ def _commit_manifest(
         "commit_uuid": tag,
         **(extra or {}),
     }
-    _write_json_file(fs, jvm, stage + "/_meta.json", meta)
-    _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag)
+    if be.atomic_rename:
+        stage = f"{table.rstrip('/')}/__stage-{tag}"
+        be.mkdirs(stage)
+        be.write_json(stage + "/_manifest.json", manifest)
+        be.write_json(stage + "/_meta.json", meta)
+        _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
+    else:
+        _claim_marker(table, ordinal, be)
+        snap = _snap_dir(table, ordinal)
+        try:
+            be.write_json(snap + "/_manifest.json", manifest)
+            be.write_json(snap + "/_meta.json", meta)  # LAST: visibility bit
+        except BaseException:
+            be.delete(snap, recursive=True)  # best-effort; ordinal burned
+            raise
     return {
         "destination": table,
         "mode": operation,
@@ -630,12 +801,15 @@ def _is_safe_widening(src, dst) -> bool:
     widening. Anything else must be cast explicitly by the caller."""
     from pyspark.sql.types import (
         ByteType,
+        DateType,
         DecimalType,
         DoubleType,
         FloatType,
         IntegerType,
         LongType,
         ShortType,
+        TimestampNTZType,
+        TimestampType,
     )
 
     if src == dst:
@@ -649,6 +823,10 @@ def _is_safe_widening(src, dst) -> bool:
         return True
     if isinstance(src, (ByteType, ShortType)) and isinstance(dst, FloatType):
         return True
+    if isinstance(src, DateType) and isinstance(
+        dst, (TimestampType, TimestampNTZType)
+    ):
+        return True  # midnight-of-day: lossless (Spark's own upcast set)
     if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
         return (
             dst.scale >= src.scale
@@ -707,6 +885,7 @@ def acid_merge_upsert(
     file_cow: bool = False,
     allow_new_columns: bool = False,
     extra: dict | None = None,
+    backend=None,
 ) -> dict:
     """Transactional MERGE: read the current snapshot, merge (broadcast
     anti join + union — operators/upsert.py, the reference's MERGE
@@ -745,9 +924,10 @@ def acid_merge_upsert(
             target = _widen_for_new_columns(target, source)
         return merge_upsert(target, source, keys)
 
+    be = _backend(spark, table, backend)
     if not file_cow:
         for _ in range(max_retries + 1):
-            parent = _current_ordinal(spark, table)
+            parent = _current_ordinal(spark, table, be)
             if parent == 0:
                 merged = source
             else:
@@ -756,6 +936,7 @@ def acid_merge_upsert(
                 return acid_commit(
                     spark, table, merged,
                     operation="merge", expected_parent=parent, extra=extra,
+                    backend=be,
                 )
             except CommitConflict:
                 continue
@@ -763,10 +944,9 @@ def acid_merge_upsert(
             f"table {table!r}: lost the commit race {max_retries + 1} times"
         )
 
-    fs, jvm = _fs(spark, table)
     for _ in range(max_retries + 1):
-        parent = _current_ordinal(spark, table)
-        man = _manifest(spark, table, parent) if parent else None
+        parent = _current_ordinal(spark, table, be)
+        man = _manifest(spark, table, parent, be) if parent else None
         untouched: dict = {}
         n_rewritten = 0
         if parent == 0:
@@ -820,7 +1000,7 @@ def acid_merge_upsert(
                     _read_manifest_files(spark, table, man, []),
                     source, keys,
                 ).coalesce(1)
-        new_files = _write_data_files(spark, table, merged, keys)
+        new_files = _write_data_files(spark, table, merged, keys, be)
         manifest = {
             "files": {**untouched, **new_files},
             # pin the parent's schema when extending it — nullability
@@ -839,12 +1019,13 @@ def acid_merge_upsert(
                     "files_new": len(new_files),
                     **(extra or {}),
                 },
+                be=be,
             )
         except CommitConflict:
             # this attempt's data files are unreferenced — drop them now
             # instead of leaving orphans for vacuum
             for n in new_files:
-                fs.delete(_hpath(jvm, f"{_data_dir(table)}/{n}"), False)
+                be.delete(f"{_data_dir(table)}/{n}")
             continue
     raise CommitConflict(
         f"table {table!r}: lost the commit race {max_retries + 1} times"
@@ -860,6 +1041,7 @@ def acid_compact(
     max_retries: int = 2,
     zorder_cols: Sequence[str] | None = None,
     zorder_bits: int = 8,
+    backend=None,
 ) -> dict:
     """Bin-pack a manifest table's small data files into ~``target_rows``
     files, published as a normal snapshot commit (operation="compact") —
@@ -889,12 +1071,12 @@ def acid_compact(
     multi-column scan pruning; content is pinned identical either way."""
     from pyspark.sql import functions as F
 
-    fs, jvm = _fs(spark, table)
+    be = _backend(spark, table, backend)
     for _ in range(max_retries + 1):
-        parent = _current_ordinal(spark, table)
+        parent = _current_ordinal(spark, table, be)
         if parent == 0:
             raise ValueError(f"table {table!r}: nothing committed yet")
-        man = _manifest(spark, table, parent)
+        man = _manifest(spark, table, parent, be)
         if man is None:
             raise ValueError(
                 f"table {table!r}: snapshot {parent} is table-COW (one "
@@ -925,7 +1107,7 @@ def acid_compact(
             packed = packed.repartitionByRange(n_out, keys[0])
         else:
             packed = packed.repartition(n_out)
-        new_files = _write_data_files(spark, table, packed, keys)
+        new_files = _write_data_files(spark, table, packed, keys, be)
         manifest = {
             "files": {
                 **{n: s for n, s in man["files"].items() if n not in small},
@@ -944,31 +1126,25 @@ def acid_compact(
                     "files_compacted": len(small),
                     "files_new": len(new_files),
                 },
+                be=be,
             )
         except CommitConflict:
             for n in new_files:
-                fs.delete(_hpath(jvm, f"{_data_dir(table)}/{n}"), False)
+                be.delete(f"{_data_dir(table)}/{n}")
             continue
     raise CommitConflict(
         f"table {table!r}: lost the compact race {max_retries + 1} times"
     )
 
 
-def acid_history(spark: SparkSession, table: str) -> list[dict]:
+def acid_history(spark: SparkSession, table: str, backend=None) -> list[dict]:
     """Commit log, oldest first — each visible snapshot's _meta.json."""
-    fs, jvm = _fs(spark, table)
-    cdir = _hpath(jvm, _commits_dir(table))
-    if not fs.exists(cdir):
-        return []
-    ordinals = sorted(
-        int(st.getPath().getName())
-        for st in fs.listStatus(cdir)
-        if st.getPath().getName().isdigit()
-    )
+    be = _backend(spark, table, backend)
+    ordinals = _marker_ordinals(spark, table, be)
     out = []
     for o in ordinals:
         try:
-            out.append(acid_snapshot_meta(spark, table, o))
+            out.append(acid_snapshot_meta(spark, table, o, be))
         except Exception:
             # a conforming committer writes _meta.json BEFORE the marker;
             # flag a non-conforming snapshot instead of breaking the log
@@ -976,37 +1152,41 @@ def acid_history(spark: SparkSession, table: str) -> list[dict]:
     return out
 
 
-def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
+def acid_vacuum(
+    spark: SparkSession, table: str, *, keep: int = 2, backend=None
+) -> dict:
     """Remove snapshots (and their markers) older than the newest ``keep``
-    resolvable ones, ALL dangling markers (crashed between marker and
-    rename), and leftover ``__stage-`` dirs from crashed commits. Run
-    only with no commit in flight (a live committer's stage dir or
-    fresh marker is indistinguishable from a crashed one — the same
-    single-maintainer contract as lakehouse vacuums); under that
-    contract every marker-without-dir is a crashed commit. Dangling
+    resolvable ones, ALL dangling markers (crashed between claim and
+    publish), partial snapshots (claim-first object-store commits that
+    died before their ``_meta.json`` visibility PUT), and leftover
+    ``__stage-`` dirs from crashed commits. Run only with no commit in
+    flight (a live committer's stage dir, fresh marker, or half-written
+    claim-first snapshot is indistinguishable from a crashed one — the
+    same single-maintainer contract as lakehouse vacuums); under that
+    contract every marker-without-meta is a crashed commit. Dangling
     markers BELOW current stay burned after deletion (removing them
     cannot lower the max-marker ordinal allocator); the dangling marker
     ABOVE current is RECLAIMED — conditional commits refuse to build
     past an unresolved marker (see acid_commit), so a crashed claimant
     would otherwise block merges forever. Reclaiming is safe because the
-    crashed commit's stage dirs are swept in the same pass (and first):
-    a zombie committer's later rename has nothing to rename. Queries
-    still running against a vacuumed snapshot fail on their next file
-    read — size ``keep`` to cover the longest reader. The current
-    snapshot is always kept."""
-    fs, jvm = _fs(spark, table)
-    current = _current_ordinal(spark, table)
-    markers = set(_marker_ordinals(spark, table))
+    crashed commit's stage dirs and partial snapshots are swept in the
+    same pass (and first): a zombie committer's later rename has nothing
+    to rename. Queries still running against a vacuumed snapshot fail on
+    their next file read — size ``keep`` to cover the longest reader.
+    The current snapshot is always kept."""
+    be = _backend(spark, table, backend)
+    current = _current_ordinal(spark, table, be)
+    markers = set(_marker_ordinals(spark, table, be))
     resolvable = sorted(
-        o for o in markers if fs.exists(_hpath(jvm, _snap_dir(table, o)))
+        o for o in markers
+        if be.exists(_snap_dir(table, o) + "/_meta.json")
     )
     keep_set = set(resolvable[-max(1, keep):]) | {current}
     removed, removed_stages = [], 0
-    root = _hpath(jvm, table.rstrip("/"))
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
+    root = table.rstrip("/")
+    for name in be.list_names(root):
         if name.startswith("__stage-"):
-            fs.delete(st.getPath(), True)
+            be.delete(f"{root}/{name}", recursive=True)
             removed_stages += 1
             continue
         if not name.startswith("snap-"):
@@ -1015,36 +1195,36 @@ def acid_vacuum(spark: SparkSession, table: str, *, keep: int = 2) -> dict:
             o = int(name[len("snap-"):])
         except ValueError:
             continue
-        if o not in keep_set:
-            fs.delete(st.getPath(), True)
-            fs.delete(
-                _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
-            )
+        if o not in resolvable:
+            # PARTIAL claim-first snapshot (crashed before its _meta.json
+            # visibility PUT): sweep the residue; its dangling marker is
+            # handled — and counted — by the reclaim loop below
+            be.delete(f"{root}/{name}", recursive=True)
+        elif o not in keep_set:
+            be.delete(f"{root}/{name}", recursive=True)
+            be.delete(f"{_commits_dir(table)}/{o:0{_ORD_W}d}")
             removed.append(o)
     reclaimed = []
     for o in markers - set(resolvable):
-        # dangling marker from a crashed commit; the stage-dir sweep above
-        # already ran, so a zombie claimant cannot rename into snap-<o>
-        fs.delete(
-            _hpath(jvm, f"{_commits_dir(table)}/{o:0{_ORD_W}d}"), False
-        )
+        # dangling marker from a crashed commit; the stage/partial sweep
+        # above already ran, so a zombie claimant's rename (or late meta
+        # PUT, on claim-first stores) re-creates nothing readers trust
+        be.delete(f"{_commits_dir(table)}/{o:0{_ORD_W}d}")
         if o > current:
             reclaimed.append(o)  # unblocks conditional commits
     # file-COW hygiene: sweep shared data files no SURVIVING manifest
     # references — orphans from crashed/conflicted commits and files whose
     # last referencing snapshot was just removed above
     removed_data = 0
-    ddir = _hpath(jvm, _data_dir(table))
-    if fs.exists(ddir):
-        referenced: set[str] = set()
-        for o in sorted(set(resolvable) & keep_set):
-            man = _manifest(spark, table, o)
-            if man:
-                referenced |= set(man["files"])
-        for st in fs.listStatus(ddir):
-            if st.getPath().getName() not in referenced:
-                fs.delete(st.getPath(), False)
-                removed_data += 1
+    referenced: set[str] = set()
+    for o in sorted(set(resolvable) & keep_set):
+        man = _manifest(spark, table, o, be)
+        if man:
+            referenced |= set(man["files"])
+    for name in be.list_names(_data_dir(table)):
+        if name not in referenced:
+            be.delete(f"{_data_dir(table)}/{name}")
+            removed_data += 1
     return {"destination": table, "removed": sorted(removed),
             "removed_stage_dirs": removed_stages,
             "removed_data_files": removed_data,

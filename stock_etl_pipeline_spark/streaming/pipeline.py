@@ -342,6 +342,7 @@ def stream_acid_merge(
     compact_every: int | None = None,
     compact_target_rows: int = 1_000_000,
     exactly_once: bool = False,
+    backend=None,
 ):
     """MERGE per micro-batch into a snapshot-committed ACID table
     (sinks/acid.py): each batch becomes one atomically-published snapshot,
@@ -428,15 +429,17 @@ def stream_acid_merge(
                 return  # this batch's merge already committed — replay skip
             extra = {"epoch": epoch, "batch_id": batch_id}
         acid_merge_upsert(
-            spark, table, batch_df, keys, file_cow=file_cow, extra=extra
+            spark, table, batch_df, keys, file_cow=file_cow, extra=extra,
+            backend=backend,
         )
         if exactly_once:
             state["done"] = batch_id
         state["merges"] += 1
         if compact_every and file_cow and state["merges"] % compact_every == 0:
-            acid_compact(spark, table, target_rows=compact_target_rows)
+            acid_compact(spark, table, target_rows=compact_target_rows,
+                         backend=backend)
         if vacuum_every and state["merges"] % vacuum_every == 0:
-            acid_vacuum(spark, table, keep=vacuum_keep)
+            acid_vacuum(spark, table, keep=vacuum_keep, backend=backend)
 
     return (
         stream.writeStream.foreachBatch(_merge)

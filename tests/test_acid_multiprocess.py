@@ -30,6 +30,7 @@ _RACER = textwrap.dedent(
     from pyspark.sql import SparkSession
 
     table, writer, file_cow = sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1"
+    backend = sys.argv[4] if len(sys.argv) > 4 else None
     spark = (
         SparkSession.builder.master("local[2]")
         .appName(f"acid-racer-{{writer}}")
@@ -56,7 +57,7 @@ _RACER = textwrap.dedent(
             try:
                 rep = acid.acid_merge_upsert(
                     spark, table, src, ["k"],
-                    max_retries=10, file_cow=file_cow,
+                    max_retries=10, file_cow=file_cow, backend=backend,
                 )
                 done.append(rep["ordinal"])
                 break
@@ -108,6 +109,41 @@ _CRASHER = textwrap.dedent(
     sys.stdout.write(f"claimed {{ordinal}}\\n")
     sys.stdout.flush()
     os._exit(137)  # SIGKILL-style death: no cleanup, no rename
+    '''
+)
+
+
+_OS_CRASHER = textwrap.dedent(
+    '''
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+
+    table = sys.argv[1]
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("acid-os-crasher")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from stock_etl_pipeline_spark.sinks import acid
+    from stock_etl_pipeline_spark.sinks.objectstore import SimulatedObjectStore
+
+    # replay the CLAIM-FIRST publish sequence under object-store semantics
+    # and DIE at its worst point: marker conditional-PUT done, snapshot
+    # content partially written, _meta.json (the visibility bit) never PUT
+    be = SimulatedObjectStore()
+    ordinal = acid._next_ordinal(spark, table, be)
+    acid._claim_marker(table, ordinal, be)
+    snap = acid._snap_dir(table, ordinal)
+    be.write_json(
+        snap + "/_manifest.json",
+        {{"files": {{}}, "schema": "{{}}", "keys": ["k"]}},
+    )
+    sys.stdout.write(f"claimed {{ordinal}}\\n")
+    sys.stdout.flush()
+    os._exit(137)  # SIGKILL-style death: no meta PUT, no cleanup
     '''
 )
 
@@ -204,4 +240,86 @@ def test_killed_committer_leaves_no_partial_state(spark, tmp_path):
     rep = acid.acid_merge_upsert(spark, table, up, ["k"])
     assert rep["ordinal"] == 2 and rep["parent"] == 1
     got = sorted((r["k"], r["v"]) for r in acid.acid_read(spark, table).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_two_process_committers_objectstore_semantics(spark, tmp_path):
+    """The lost-update race re-run under OBJECT-STORE semantics: two OS
+    processes race file-COW merges through SimulatedObjectStore (claim-
+    first publish, conditional-PUT markers, per-object copy renames).
+    Every key survives and the history chain stays linear — the same
+    guarantees the rename-based arm proved, now without atomic rename."""
+    from stock_etl_pipeline_spark.sinks import acid
+    from stock_etl_pipeline_spark.sinks.objectstore import SimulatedObjectStore
+
+    table = str(tmp_path / "os_race")
+    procs = [
+        _run_py(_RACER.format(repo=REPO), table, "0", "1", "sim-objectstore"),
+        _run_py(_RACER.format(repo=REPO), table, "1", "1", "sim-objectstore"),
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"racer failed: {err[-2000:]}"
+        json.loads(out.strip().splitlines()[-1])
+
+    be = SimulatedObjectStore()
+    got = {
+        (r["k"], r["v"])
+        for r in acid.acid_read(spark, table, backend=be).collect()
+    }
+    want = {
+        (w * 100 + i * 3 + j, f"w{w}c{i}")
+        for w in (0, 1) for i in range(3) for j in range(3)
+    }
+    assert got == want, f"lost updates: {sorted(want - got)}"
+    hist = [h for h in acid.acid_history(spark, table, backend=be)
+            if "commit_uuid" in h]
+    ords = [h["ordinal"] for h in hist]
+    assert ords == sorted(ords) and len(ords) == 6
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur["parent"] == prev["ordinal"]
+
+
+def test_killed_objectstore_committer_leaves_no_partial_state(spark, tmp_path):
+    """A committer killed between the conditional-PUT claim and the
+    _meta.json visibility PUT — in a REAL separate process, under
+    object-store semantics: readers never see the partial snapshot,
+    conditional commits refuse until vacuum reclaims, and the next merge
+    proceeds on intact data."""
+    import pytest
+
+    from stock_etl_pipeline_spark.sinks import acid
+    from stock_etl_pipeline_spark.sinks.objectstore import SimulatedObjectStore
+
+    be = SimulatedObjectStore()
+    table = str(tmp_path / "os_mp_crash")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    acid.acid_merge_upsert(spark, table, base, ["k"], file_cow=True,
+                           backend=be)
+
+    p = _run_py(_OS_CRASHER.format(repo=REPO), table)
+    out, err = p.communicate(timeout=600)
+    assert p.returncode == 137, (
+        f"crasher misbehaved: rc={p.returncode} {err[-1500:]}"
+    )
+    assert out.strip().endswith("claimed 2")
+
+    assert acid._current_ordinal(spark, table, be) == 1
+    got = sorted((r["k"], r["v"])
+                 for r in acid.acid_read(spark, table, backend=be).collect())
+    assert got == [(1, "a"), (2, "b")]
+    with pytest.raises(FileNotFoundError):
+        acid.acid_read(spark, table, ordinal=2, backend=be)
+    up = spark.createDataFrame([(3, "c")], "k long, v string")
+    with pytest.raises(acid.CommitConflict):
+        acid.acid_merge_upsert(spark, table, up, ["k"], file_cow=True,
+                               max_retries=0, backend=be)
+
+    vac = acid.acid_vacuum(spark, table, keep=2, backend=be)
+    assert vac["reclaimed_ordinals"] == [2]
+    rep = acid.acid_merge_upsert(spark, table, up, ["k"], file_cow=True,
+                                 backend=be)
+    assert rep["ordinal"] == 2 and rep["parent"] == 1
+    got = sorted((r["k"], r["v"])
+                 for r in acid.acid_read(spark, table, backend=be).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]

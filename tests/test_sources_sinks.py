@@ -490,10 +490,16 @@ def test_acid_table_merge_snapshot_isolation_and_conflict(spark, tmp_path):
     assert acid._current_ordinal(spark, table) == 2
 
     # raced marker: pre-publish ordinal 3 out from under a commit — the
-    # direct commit conflicts, the merge loop retries against the winner
+    # direct commit conflicts, the merge loop retries against the winner.
+    # The winner's meta carries NO commit_uuid/rows: acid_history still
+    # lists it, flagged nonconforming below.
     fs, jvm = acid._fs(spark, table)
     winner = spark.createDataFrame([(9, "w")], "k long, v string")
     winner.write.parquet(acid._snap_dir(table, 3))
+    acid._write_json_file(
+        fs, jvm, acid._snap_dir(table, 3) + "/_meta.json",
+        {"ordinal": 3, "parent": 2, "operation": "merge"},
+    )
     fs.createNewFile(
         jvm.org.apache.hadoop.fs.Path(
             f"{acid._commits_dir(table)}/{3:020d}"
@@ -507,7 +513,7 @@ def test_acid_table_merge_snapshot_isolation_and_conflict(spark, tmp_path):
 
     hist = acid.acid_history(spark, table)
     assert [h["ordinal"] for h in hist] == [1, 2, 3, 4]
-    assert hist[2].get("meta_missing")  # the bare-marker race winner
+    assert "commit_uuid" not in hist[2]  # the out-of-band race winner
     assert hist[-1]["operation"] == "merge" and hist[-1]["parent"] == 3
 
     # time travel: any published ordinal reads; an unpublished one refuses
@@ -682,13 +688,19 @@ def test_acid_inflight_marker_blocks_conditional_commit(spark, tmp_path):
     assert acid._current_ordinal(spark, table) == 1
 
     # committer A mid-flight: marker 2 claimed, snapshot staged but NOT
-    # renamed yet (simulate the marker→rename window)
+    # renamed yet (simulate the marker→rename window). A conforming
+    # committer writes _meta.json INTO its stage before claiming — the
+    # published meta is the visibility bit readers gate on.
     fs, jvm = acid._fs(spark, table)
     stage = f"{table}/__stage-inflight"
     # A's staged snapshot is its MERGE result (old rows + its upsert)
     spark.createDataFrame(
         [(1, "a"), (2, "inflight")], "k long, v string"
     ).write.parquet(stage)
+    acid._write_json_file(
+        fs, jvm, stage + "/_meta.json",
+        {"ordinal": 2, "parent": 1, "operation": "merge", "rows": 2},
+    )
     assert fs.createNewFile(
         jvm.org.apache.hadoop.fs.Path(f"{acid._commits_dir(table)}/{2:020d}")
     )

@@ -1158,15 +1158,11 @@ def test_stream_acid_merge_maintenance_under_load(spark, events_dir, tmp_path):
     assert man is not None
     assert sum(s["rows"] for s in man["files"].values()) == total
 
-    # the maintained table keeps merging: one more upsert batch
-    one = acid.acid_read(spark, table).limit(1).collect()[0]
-    up = spark.createDataFrame(
-        [(one["event_id"],)], "event_id string"
-    ).join(acid.acid_read(spark, table), "event_id")
-    acid.acid_merge_upsert(
-        spark, table, up.select(*acid.acid_read(spark, table).columns),
-        ["event_id"], file_cow=True,
-    )
+    # the maintained table keeps merging: one more upsert batch (typed
+    # exactly as the pinned schema — a string-typed key against the
+    # bigint pin now fails loudly per the r12 conformance fix)
+    up = acid.acid_read(spark, table).limit(1)
+    acid.acid_merge_upsert(spark, table, up, ["event_id"], file_cow=True)
     assert acid.acid_read(spark, table).count() == total
 
 
