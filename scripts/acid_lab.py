@@ -293,6 +293,106 @@ def run_oslab(n_commits: int, batch_rows: int, scale: int, arm: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_manifest(sizes=(1_000, 10_000, 100_000), batch_rows=200):
+    """Manifest-scale sweep (VERDICT r12 item 2): per-commit metadata cost
+    at 10^3..10^5 manifest entries, DECOMPOSED. A tiny real table gets its
+    manifest padded with synthetic entries carrying disjoint bounds (fake
+    files are never read: the merge batch touches only the one real
+    file's key range, so bounds pruning excludes every synthetic entry —
+    the metadata path exercised is the REAL one: whole-manifest JSON
+    read, driver-side bounds loop over all N entries, whole-manifest JSON
+    write). Reported per size: manifest JSON read sec, bounds-loop sec,
+    JSON write sec, manifest bytes, and the full merge-commit wall —
+    versus the ~constant data-rewrite term."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="acid_manifest_")
+    try:
+        for n in sizes:
+            tbl = f"{root}/man_{n}"
+            be = acid._backend(spark, tbl)
+            seed = spark.range(0, 1000).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).coalesce(1)
+            acid.acid_merge_upsert(spark, tbl, seed, ["id"], file_cow=True)
+            cur = acid._current_ordinal(spark, tbl, be)
+            man = acid._manifest(spark, tbl, cur, be)
+            # pad with synthetic entries in disjoint key ranges FAR above
+            # the real file's [0, 999] — never candidates, never read
+            pad = {
+                f"synthetic-{i:07d}.parquet": {
+                    "rows": 1_000_000,
+                    "bounds": {"id": [10_000 + i * 2_000,
+                                      10_000 + i * 2_000 + 999]},
+                }
+                for i in range(n - len(man["files"]))
+            }
+            man = {**man, "files": {**man["files"], **pad}}
+            acid._commit_manifest(
+                spark, tbl, man, parent=cur, operation="inject",
+                rows=sum(s["rows"] for s in man["files"].values()), be=be,
+            )
+            cur = acid._current_ordinal(spark, tbl, be)
+
+            # decomposed metadata terms (3 reps, median)
+            def med(f, reps=3):
+                walls = []
+                for _ in range(reps):
+                    t0 = time.monotonic()
+                    f()
+                    walls.append(time.monotonic() - t0)
+                return sorted(walls)[1]
+
+            read_sec = med(lambda: acid._manifest(spark, tbl, cur, be))
+            live = acid._manifest(spark, tbl, cur, be)
+
+            def bounds_loop():
+                lo, hi = 100, 100 + batch_rows  # the real file's range
+                cands = []
+                for name, s in live["files"].items():
+                    b = s.get("bounds") or {}
+                    if "id" in b and (b["id"][1] < lo or b["id"][0] > hi):
+                        continue
+                    cands.append(name)
+                return cands
+
+            loop_sec = med(bounds_loop)
+            write_sec = med(
+                lambda: be.write_json(f"{tbl}/__probe.json", live)
+            )
+            be.delete(f"{tbl}/__probe.json")
+            mpath = f"{tbl}/snap-{cur:020d}/_manifest.json"
+            mbytes = os.path.getsize(mpath)
+
+            # full merge wall, warm (2 reps), batch touches ONLY real keys
+            batch = spark.range(100, 100 + batch_rows).select(
+                F.col("id"), F.lit(7).cast("long").alias("v")
+            )
+            walls = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                rep = acid.acid_merge_upsert(spark, tbl, batch, ["id"],
+                                             file_cow=True)
+                walls.append(time.monotonic() - t0)
+            row = {
+                "study": "manifest", "entries": n,
+                "manifest_bytes": mbytes,
+                "read_sec": round(read_sec, 4),
+                "bounds_loop_sec": round(loop_sec, 4),
+                "write_sec": round(write_sec, 4),
+                "merge_commit_sec_warm": round(walls[-1], 3),
+                "files_rewritten": rep.get("files_rewritten"),
+            }
+            print(json.dumps(row), flush=True)
+            shutil.rmtree(tbl, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_churn(n_commits: int, batch_rows: int, scale: int, arm: str):
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -314,6 +414,9 @@ def main():
     ap.add_argument("--oslab", action="store_true",
                     help="churn under simulated OBJECT-STORE semantics; "
                          "reports per-commit request counts by class")
+    ap.add_argument("--manifest", action="store_true",
+                    help="manifest-scale sweep: per-commit metadata cost "
+                         "decomposed at 1k/10k/100k manifest entries")
     ap.add_argument("--sf", default=SF)
     ap.add_argument("--commits", type=int, default=1000)
     ap.add_argument("--batch-rows", type=int, default=200)
@@ -330,8 +433,11 @@ def main():
         run_churn(args.commits, args.batch_rows, args.scale, args.arm)
     if args.oslab:
         run_oslab(args.commits, args.batch_rows, args.scale, args.arm)
-    if not (args.cow or args.churn or args.oslab):
-        print("pick --cow, --churn and/or --oslab", file=sys.stderr)
+    if args.manifest:
+        run_manifest()
+    if not (args.cow or args.churn or args.oslab or args.manifest):
+        print("pick --cow, --churn, --oslab and/or --manifest",
+              file=sys.stderr)
         sys.exit(2)
 
 

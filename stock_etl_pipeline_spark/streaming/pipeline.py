@@ -337,6 +337,7 @@ def stream_acid_merge(
     checkpoint_dir: str,
     *,
     file_cow: bool = False,
+    allow_new_columns: bool = False,
     vacuum_every: int | None = None,
     vacuum_keep: int = 2,
     compact_every: int | None = None,
@@ -354,6 +355,14 @@ def stream_acid_merge(
     ``file_cow=True`` publishes manifest snapshots (only files containing
     the batch's keys rewrite) — the right mode for a long-running stream
     on a large table, where per-batch whole-table COW would compound.
+
+    ``allow_new_columns=True`` threads SCHEMA EVOLUTION through the
+    stream (VERDICT r12 item 3): a mid-stream batch carrying a column
+    the table lacks widens the pinned schema once — nullable, existing
+    rows and untouched carried-forward files read NULL — instead of
+    forcing a stream restart through the batch API; pre-evolution
+    snapshots keep their at-commit schema under time travel. The strict
+    default drops extra source columns, exactly as acid_merge_upsert.
 
     RETENTION (round 12 — the 1k-batch churn soak, SCALING): a stream
     that only commits grows the table's fixed costs without bound — one
@@ -429,17 +438,32 @@ def stream_acid_merge(
                 return  # this batch's merge already committed — replay skip
             extra = {"epoch": epoch, "batch_id": batch_id}
         acid_merge_upsert(
-            spark, table, batch_df, keys, file_cow=file_cow, extra=extra,
+            spark, table, batch_df, keys, file_cow=file_cow,
+            allow_new_columns=allow_new_columns, extra=extra,
             backend=backend,
         )
         if exactly_once:
             state["done"] = batch_id
         state["merges"] += 1
+        # maintenance runs under the table's LEASE: when an out-of-band
+        # maintainer holds it, the cadence point is SKIPPED (benign — the
+        # other maintainer is doing the work; the next cadence point
+        # retries). Merge commits above never take the lease: a compactor
+        # racing a merge is already benign via conditional-commit retry.
+        from ..sinks.acid import MaintenanceBusy
+
         if compact_every and file_cow and state["merges"] % compact_every == 0:
-            acid_compact(spark, table, target_rows=compact_target_rows,
-                         backend=backend)
+            try:
+                acid_compact(spark, table, target_rows=compact_target_rows,
+                             lease=True, backend=backend)
+            except MaintenanceBusy:
+                pass
         if vacuum_every and state["merges"] % vacuum_every == 0:
-            acid_vacuum(spark, table, keep=vacuum_keep, backend=backend)
+            try:
+                acid_vacuum(spark, table, keep=vacuum_keep, lease=True,
+                            backend=backend)
+            except MaintenanceBusy:
+                pass
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -1036,3 +1036,55 @@ def test_acid_compact_zorder_clusters_and_preserves_content(spark, tmp_path):
     assert stats["n_files"] == 5
     assert stats["candidate_fraction"] <= 0.6
     assert rows() == before  # still intact post-vacuum
+
+
+def test_acid_maintenance_lease_mutual_exclusion(spark, tmp_path):
+    """VERDICT r12 item 8: the single-maintainer contract as CHECKED
+    behavior. The lease is the same atomic create-if-absent primitive as
+    commit markers: exactly one holder; a leased compact/vacuum raises
+    MaintenanceBusy without touching the table; release requires the
+    owner token; a crashed holder's lease is broken only with
+    force=True."""
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "lease_tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1)
+    acid.acid_merge_upsert(spark, table, base, ["k"], file_cow=True)
+    for i in range(3):  # small-file tail so compact has work
+        acid.acid_merge_upsert(
+            spark, table,
+            spark.createDataFrame([(100 + i, "x")], "k long, v string"),
+            ["k"], file_cow=True,
+        )
+
+    token = acid.acid_acquire_maintenance(spark, table)
+    with _pt.raises(acid.MaintenanceBusy):
+        acid.acid_acquire_maintenance(spark, table)
+    hist_before = len(acid.acid_history(spark, table))
+    with _pt.raises(acid.MaintenanceBusy):
+        acid.acid_compact(spark, table, target_rows=1000, lease=True)
+    with _pt.raises(acid.MaintenanceBusy):
+        acid.acid_vacuum(spark, table, keep=1, lease=True)
+    assert len(acid.acid_history(spark, table)) == hist_before  # untouched
+
+    with _pt.raises(acid.MaintenanceBusy):  # wrong token cannot release
+        acid.acid_release_maintenance(spark, table, "not-the-token")
+    acid.acid_release_maintenance(spark, table, token)
+
+    # released: leased maintenance proceeds, and the lease is freed after
+    rep = acid.acid_compact(spark, table, target_rows=1000, lease=True)
+    assert rep["files_compacted"] >= 2
+    token2 = acid.acid_acquire_maintenance(spark, table)
+
+    # crashed-holder path: break requires force, then reacquire works
+    with _pt.raises(ValueError):
+        acid.acid_break_maintenance_lease(spark, table)
+    assert acid.acid_break_maintenance_lease(spark, table, force=True)
+    acid.acid_release_maintenance(
+        spark, table, acid.acid_acquire_maintenance(spark, table)
+    )
+    del token2

@@ -1269,3 +1269,151 @@ def test_stream_acid_merge_exactly_once_stale_writer_restart(
     assert len(hist) > n_commits, "stale high-water mark skipped new batches"
     assert len(fresh) == n_commits
     assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
+
+
+def test_stream_acid_merge_schema_evolution_mid_stream(spark, tmp_path):
+    """allow_new_columns threaded through stream_acid_merge (VERDICT r12
+    item 3): a widening batch arriving mid-table-life evolves the pinned
+    manifest schema ONCE (nullable; untouched carried-forward files read
+    NULL), later wide batches re-use the evolved schema, pre-evolution
+    snapshots time-travel with their at-commit schema, and an
+    exactly-once replay of the widening stream adds no duplicate
+    snapshot."""
+    import os
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    narrow_dir = str(tmp_path / "narrow")
+    wide_dir = str(tmp_path / "wide")
+    for i in (0, 1):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i * 10 + j}") for j in range(3)],
+            "k long, v string",
+        ).coalesce(1).write.mode("append").parquet(narrow_dir)
+    # wide files: one updates an existing key, one inserts new keys
+    spark.createDataFrame(
+        [(0, "V0", 0.5)], "k long, v string, w double"
+    ).coalesce(1).write.mode("append").parquet(wide_dir)
+    spark.createDataFrame(
+        [(100, "new", 1.5)], "k long, v string, w double"
+    ).coalesce(1).write.mode("append").parquet(wide_dir)
+
+    table = str(tmp_path / "acid_ev_stream")
+    ckpt1, ckpt2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def run(writer):
+        q = writer.start()
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    narrow = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(narrow_dir)
+    run(streaming.stream_acid_merge(
+        narrow, table, keys=["k"], checkpoint_dir=ckpt1,
+        file_cow=True, exactly_once=True,
+    ))
+    pre_ord = acid._current_ordinal(spark, table)
+    assert acid.acid_read(spark, table).columns == ["k", "v"]
+
+    wide = spark.readStream.schema("k long, v string, w double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(wide_dir)
+    writer2 = streaming.stream_acid_merge(
+        wide, table, keys=["k"], checkpoint_dir=ckpt2,
+        file_cow=True, allow_new_columns=True, exactly_once=True,
+    )
+    run(writer2)
+
+    got = acid.acid_read(spark, table)
+    assert got.columns == ["k", "v", "w"]
+    by_k = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+    assert by_k[0] == ("V0", 0.5) and by_k[100] == ("new", 1.5)
+    assert by_k[1] == ("v1", None)  # untouched rows read NULL through w
+
+    # the pinned schema widened ONCE: both wide commits carry the SAME
+    # schema json, with w appearing exactly once
+    hist = acid.acid_history(spark, table)
+    wide_ords = [h["ordinal"] for h in hist if h["ordinal"] > pre_ord]
+    assert len(wide_ords) == 2
+    schemas = [acid._manifest(spark, table, o)["schema"] for o in wide_ords]
+    assert schemas[0] == schemas[1]
+    assert schemas[0].count('"w"') == 1
+
+    # time travel: pre-evolution snapshots keep their at-commit schema
+    assert acid.acid_read(spark, table, ordinal=pre_ord).columns == ["k", "v"]
+
+    # exactly-once replay of the WIDENING stream: remove the last
+    # checkpoint commit record — the re-offered batch is skipped from the
+    # commit log (no new snapshot), content identical
+    before = sorted(map(repr, got.collect()))
+    n_before = len(acid.acid_history(spark, table))
+    last = max(
+        n for n in os.listdir(f"{ckpt2}/commits") if not n.startswith(".")
+    )
+    os.remove(f"{ckpt2}/commits/{last}")
+    crc = f"{ckpt2}/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(writer2)
+    assert len(acid.acid_history(spark, table)) == n_before
+    assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
+
+
+def test_stream_maintenance_skips_benignly_when_lease_held(
+    spark, events_dir, tmp_path
+):
+    """VERDICT r12 item 8, the racing-maintainer outcome as pinned
+    behavior: while an OUT-OF-BAND maintainer holds the table's lease,
+    the stream's every-batch maintenance cadence SKIPS (merge commits
+    keep landing — the lease never blocks committers, only maintainers),
+    so no compact/vacuum commit appears and markers accumulate one per
+    batch. After the lease is released, a second stream run's cadence
+    maintains again: history ops include compact and the marker count
+    collapses to the retention window."""
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "acid_lease_stream")
+
+    def run(ckpt):
+        stream = streaming.read_events_stream(
+            spark, events_dir, max_files_per_trigger=1  # 4 micro-batches
+        )
+        q = streaming.stream_acid_merge(
+            stream, table, keys=["event_id"], checkpoint_dir=ckpt,
+            file_cow=True,
+            vacuum_every=1, vacuum_keep=2,
+            compact_every=1, compact_target_rows=1_000_000,
+        ).start()
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination(30)
+
+    token = acid.acid_acquire_maintenance(spark, table)
+    run(str(tmp_path / "ck_held"))
+    hist = acid.acid_history(spark, table)
+    ops = [h["operation"] for h in hist]
+    assert ops and all(op == "merge" for op in ops)  # cadence skipped
+    assert len(acid._marker_ordinals(spark, table)) == 4  # one per batch
+    total = load_table(spark, SF, "events").count()
+    assert acid.acid_read(spark, table).count() == total  # commits landed
+
+    acid.acid_release_maintenance(spark, table, token)
+    files_before = len(
+        acid._manifest(spark, table, acid._current_ordinal(spark, table))["files"]
+    )
+    run(str(tmp_path / "ck_free"))  # re-offers all 4 batches (new ckpt)
+    # cadence maintains again — the evidence is PHYSICAL (retention erases
+    # the compact commits from history by design: vacuum_keep=2): the
+    # marker count collapsed to the retention window instead of growing by
+    # 8+ commits, the small-file tail folded, and the lease is free again
+    assert len(acid._marker_ordinals(spark, table)) <= 3
+    files_after = len(
+        acid._manifest(spark, table, acid._current_ordinal(spark, table))["files"]
+    )
+    assert files_after < files_before
+    assert acid.acid_read(spark, table).count() == total
+    acid.acid_release_maintenance(
+        spark, table, acid.acid_acquire_maintenance(spark, table)
+    )
