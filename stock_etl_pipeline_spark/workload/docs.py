@@ -1126,7 +1126,12 @@ WITH scored AS (
 """.strip()
 
 
-@spec_tests_only(
+# Promoted to the driver tier (round 13, VERDICT r12 item 7): the
+# property-tested NULL-contract selection operator
+# (operators/sampling.py:183) now has a direct external-oracle row; the
+# slot came from embedding_ann_multitable (workload/vectors.py), demoted
+# as the third driver slot of one kernel shape.
+@spec(
     "doc_token_budget_sample",
     oracle=_TOKEN_BUDGET_ORACLE,
     tags=("sampling", "tokens", "quality"),
