@@ -154,6 +154,23 @@ def run_cow(sf_dir: str, mults=(4, 16, 64), files_per_mult=2, batch_rows=1000):
     print(json.dumps(summary), flush=True)
 
 
+def _churn_batch(spark, b: int, batch_rows: int, key_span: int):
+    """One churn micro-batch (shared by --churn and --oslab so the two
+    studies measure the SAME workload): alternates upserts into existing
+    ranges and fresh inserts — the daily-feed mix (some files rewrite,
+    table grows slowly)."""
+    from pyspark.sql import functions as F
+
+    lo = (b * 7919 * batch_rows) % key_span
+    return spark.range(lo, lo + batch_rows).select(
+        F.col("id"),
+        F.lit(1).alias("l_partkey"),
+        F.lit(float(b)).alias("l_quantity"),
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit("1996-01-01").cast("date").alias("l_shipdate"),
+    )
+
+
 def _churn_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
                scale: int, checkpoints: set[int]):
     """One churn arm: sequential file-COW merges, maintenance per the arm."""
@@ -169,16 +186,7 @@ def _churn_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
     win: list[float] = []
     fs, jvm = acid._fs(spark, tbl)
     for b in range(1, n_commits + 1):
-        # alternate upserts into existing ranges and fresh inserts — the
-        # daily-feed mix (some files rewrite, table grows slowly)
-        lo = (b * 7919 * batch_rows) % key_span
-        batch = spark.range(lo, lo + batch_rows).select(
-            F.col("id"),
-            F.lit(1).alias("l_partkey"),
-            F.lit(float(b)).alias("l_quantity"),
-            F.lit(1.0).alias("l_extendedprice"),
-            F.lit("1996-01-01").cast("date").alias("l_shipdate"),
-        )
+        batch = _churn_batch(spark, b, batch_rows, key_span)
         t0 = time.monotonic()
         rep = acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=True)
         win.append(time.monotonic() - t0)
@@ -240,14 +248,7 @@ def _oslab_arm(spark, root, arm: str, n_commits: int, batch_rows: int,
     prev_commit = 0
     rows_out = []
     for b in range(1, n_commits + 1):
-        lo = (b * 7919 * batch_rows) % key_span
-        batch = spark.range(lo, lo + batch_rows).select(
-            F.col("id"),
-            F.lit(1).alias("l_partkey"),
-            F.lit(float(b)).alias("l_quantity"),
-            F.lit(1.0).alias("l_extendedprice"),
-            F.lit("1996-01-01").cast("date").alias("l_shipdate"),
-        )
+        batch = _churn_batch(spark, b, batch_rows, key_span)
         acid.acid_merge_upsert(spark, tbl, batch, ["id"], file_cow=True,
                                backend=be)
         if arm == "maintained" and b % 50 == 0:
@@ -393,6 +394,71 @@ def run_manifest(sizes=(1_000, 10_000, 100_000), batch_rows=200):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_zorder_trade(rows=400_000, n_batches=16, batch_rows=2_000,
+                     target_rows=50_000):
+    """Measure the documented z-order compaction trade (VERDICT r12 item
+    6): acid_compact(zorder_cols=[x, y]) clusters packed files on the
+    Z-curve — multi-column SCAN pruning improves (measured for the plain
+    zorder sink, SCALING round 10) at the cost of per-file bounds on the
+    single MERGE key becoming boxes. This quantifies the cost side: the
+    same narrow-key-range churn batch merged into a range-packed vs a
+    z-ordered table — touched-file count, merge wall, and the manifest's
+    key-bounds overlap factor (sum of per-file key spans / table key
+    span; ~1.0 = disjoint range layout, >>1 = boxy)."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="acid_ztrade_")
+    base = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 2654435761, 100_000) / 1000.0).alias("x"),
+        (F.pmod(F.col("id") * 40503 + 7, 100_000) / 1000.0).alias("y"),
+    )
+    per = rows // n_batches
+    try:
+        for arm, zcols in (("range_pack", None), ("zorder", ["x", "y"])):
+            tbl = f"{root}/{arm}"
+            for b in range(n_batches):  # small-file insert tail
+                acid.acid_merge_upsert(
+                    spark, tbl,
+                    base.filter(
+                        (F.col("k") >= b * per) & (F.col("k") < (b + 1) * per)
+                    ).coalesce(1),
+                    ["k"], file_cow=True,
+                )
+            acid.acid_compact(spark, tbl, target_rows=target_rows,
+                              zorder_cols=zcols)
+            be = acid._backend(spark, tbl)
+            man = acid._manifest(spark, tbl, acid._current_ordinal(spark, tbl, be), be)
+            spans = [s["bounds"]["k"][1] - s["bounds"]["k"][0] + 1
+                     for s in man["files"].values() if "k" in (s.get("bounds") or {})]
+            overlap = round(sum(spans) / rows, 2)
+            walls, reps = [], {}
+            for lo in (rows // 3, 2 * rows // 3):  # two narrow k ranges
+                batch = base.filter(
+                    (F.col("k") >= lo) & (F.col("k") < lo + batch_rows)
+                ).withColumn("x", F.col("x") + 1000.0)
+                t0 = time.monotonic()
+                reps = acid.acid_merge_upsert(spark, tbl, batch, ["k"],
+                                              file_cow=True)
+                walls.append(round(time.monotonic() - t0, 3))
+            row = {
+                "study": "zorder_trade", "arm": arm, "rows": rows,
+                "files_after_compact": len(man["files"]),
+                "key_bounds_overlap_factor": overlap,
+                "batch_rows": batch_rows,
+                "files_rewritten_warm": reps.get("files_rewritten"),
+                "merge_sec_cold": walls[0], "merge_sec_warm": walls[-1],
+            }
+            print(json.dumps(row), flush=True)
+            shutil.rmtree(tbl, ignore_errors=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_churn(n_commits: int, batch_rows: int, scale: int, arm: str):
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -417,6 +483,9 @@ def main():
     ap.add_argument("--manifest", action="store_true",
                     help="manifest-scale sweep: per-commit metadata cost "
                          "decomposed at 1k/10k/100k manifest entries")
+    ap.add_argument("--zorder-trade", action="store_true",
+                    help="merge cost on a range-packed vs z-order-clustered "
+                         "table: touched files, wall, bounds overlap")
     ap.add_argument("--sf", default=SF)
     ap.add_argument("--commits", type=int, default=1000)
     ap.add_argument("--batch-rows", type=int, default=200)
@@ -435,9 +504,12 @@ def main():
         run_oslab(args.commits, args.batch_rows, args.scale, args.arm)
     if args.manifest:
         run_manifest()
-    if not (args.cow or args.churn or args.oslab or args.manifest):
-        print("pick --cow, --churn, --oslab and/or --manifest",
-              file=sys.stderr)
+    if args.zorder_trade:
+        run_zorder_trade()
+    if not (args.cow or args.churn or args.oslab or args.manifest
+            or args.zorder_trade):
+        print("pick --cow, --churn, --oslab, --manifest and/or "
+              "--zorder-trade", file=sys.stderr)
         sys.exit(2)
 
 

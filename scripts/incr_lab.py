@@ -103,6 +103,11 @@ def main() -> int:
     )  # short incr arms need ~3 reps to reach the warm floor (ivf: 8s
     # rep0 vs 1.75s rep2 in a fresh JVM) — artifact runs default to 3
     json_out = argv[argv.index("--json") + 1] if "--json" in argv else None
+    incr_ratio = (
+        int(argv[argv.index("--incr-ratio") + 1])
+        if "--incr-ratio" in argv
+        else None
+    )
     family = (
         argv[argv.index("--family") + 1]
         if "--family" in argv
@@ -122,7 +127,8 @@ def main() -> int:
         for fam in families:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--tier", tier, "--reps", str(reps), "--family", fam],
+                 "--tier", tier, "--reps", str(reps), "--family", fam]
+                + (["--incr-ratio", str(incr_ratio)] if incr_ratio else []),
                 capture_output=True, text=True,
             )
             sys.stdout.write(res.stdout)
@@ -143,7 +149,8 @@ def main() -> int:
         summaries[fam] = (
             _ivf_flow(spark, tier, reps)
             if fam == "ivf"
-            else _pair_family_flow(spark, tier, reps, fam)
+            else _pair_family_flow(spark, tier, reps, fam,
+                                   incr_ratio=incr_ratio)
         )
     if json_out:
         try:
@@ -171,7 +178,8 @@ def main() -> int:
     return 0
 
 
-def _pair_family_flow(spark, tier: str, reps: int, family: str) -> dict:
+def _pair_family_flow(spark, tier: str, reps: int, family: str,
+                      incr_ratio: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from stock_etl_pipeline_spark.datasets import load_table
@@ -193,9 +201,20 @@ def _pair_family_flow(spark, tier: str, reps: int, family: str) -> dict:
         load_table(spark, "/root/testdata/sf0.1", "documents")
         .select((F.col("doc_id") + INCR_OFFSET).alias("doc_id"), "text")
     )
-    n_corpus, n_incr = corpus.count(), incr.count()
+    n_corpus = corpus.count()
+    if incr_ratio:
+        # corpus:increment >= incr_ratio via deterministic mod-sampling of
+        # the increment feed (representative doc mix, no ordering pass) —
+        # VERDICT r12 item 5: the minhash gap is corpus-size-dependent and
+        # the default 10:1 shape understates the at-rest index's advantage
+        n_src = incr.count()
+        m = max(1, -(-n_src * incr_ratio // n_corpus))  # ceil
+        incr = incr.filter(F.pmod(F.col("doc_id"), m) == 0)
+    n_incr = incr.count()
     print(json.dumps({"family": family, "corpus_docs": n_corpus,
-                      "incr_docs": n_incr}), flush=True)
+                      "incr_docs": n_incr,
+                      "ratio": round(n_corpus / max(1, n_incr), 1)}),
+          flush=True)
 
     idx = os.path.join(
         os.path.dirname(tier.rstrip("/")), f"{family}_incr_index"
@@ -291,6 +310,9 @@ def _pair_family_flow(spark, tier: str, reps: int, family: str) -> dict:
         "tier": tier,
         "family": family,
         "reps": reps,
+        "corpus_docs": n_corpus,
+        "incr_docs": n_incr,
+        "corpus_over_incr": round(n_corpus / max(1, n_incr), 1),
         "index_once_sec": round(t_index, 2),
         "incr_min_sec": round(min(results["incr"]), 2),
         "full_min_sec": round(min(results["full"]), 2),

@@ -74,10 +74,13 @@ Layout::
 
 Metadata (row count, parent ordinal, operation) is complete in the
 snapshot's ``_meta.json`` before that meta becomes visible (inside the
-stage before the rename; the final PUT on claim-first stores), so any
-visible snapshot's metadata is complete. Markers are empty: everything
-derives from the ordinal, so the marker claim is the one atomic bit and
-the meta the one visibility bit.
+stage before the rename; the final if-absent PUT on claim-first stores),
+so any visible snapshot's metadata is complete. Markers carry only the
+claimant's commit uuid — the fencing token the claim-first publish
+verifies before its visibility PUT, so a zombie whose presumed-crashed
+claim was vacuum-reclaimed aborts instead of overwriting a successor's
+snapshot; everything else derives from the ordinal, so the marker claim
+is the one atomic bit and the meta the one visibility bit.
 
 FILE-LEVEL COW (round 12, VERDICT r11 item 3 — the 100 TB isolation
 path): a table-COW commit stages the WHOLE table, so a 1% daily merge
@@ -233,7 +236,14 @@ class _HadoopBackend:
         qualification (handles bare, relative and file:/ spellings)."""
         return self.fs.makeQualified(_hpath(self.jvm, path)).toUri().getPath()
 
-    def atomic_create(self, path: str) -> bool:
+    def atomic_create(self, path: str, data: bytes = b"") -> bool:
+        """Atomic create-if-absent, optionally WITH content — the content
+        (e.g. the claimant's commit uuid) is the zombie-fencing token the
+        claim-first publish verifies before its final visibility PUT. On
+        POSIX, O_EXCL + write; on HDFS, create(overwrite=False) is the
+        atomic claim and content lands at close — a reader inside that
+        window sees an empty claim, which ownership checks treat as
+        not-ours (the safe direction)."""
         if self.scheme == "file":
             import os
 
@@ -244,9 +254,24 @@ class _HadoopBackend:
                 )
             except FileExistsError:
                 return False
-            os.close(fd)
+            try:
+                if data:
+                    os.write(fd, data)
+            finally:
+                os.close(fd)
             return True
-        return self.fs.createNewFile(_hpath(self.jvm, path))
+        try:
+            out = self.fs.create(_hpath(self.jvm, path), False)
+        except Exception as e:
+            if "exists" in str(e).lower():
+                return False
+            raise
+        try:
+            if data:
+                out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
 
 
 #: schemes whose Hadoop connectors are object stores: rename is per-object
@@ -271,7 +296,7 @@ class _HadoopObjectStoreBackend(_HadoopBackend):
     name = "hadoop-objectstore"
     atomic_rename = False
 
-    def atomic_create(self, path: str) -> bool:
+    def atomic_create(self, path: str, data: bytes = b"") -> bool:
         from .objectstore import conditional_put_for
 
         fn = conditional_put_for(self.scheme)
@@ -284,7 +309,7 @@ class _HadoopObjectStoreBackend(_HadoopBackend):
                 f"'If-None-Match: *') — register the SDK call via "
                 f"sinks.objectstore.register_conditional_put"
             )
-        return fn(path)
+        return fn(path, data)
 
 
 def _backend(spark: SparkSession, table: str, backend=None):
@@ -294,7 +319,10 @@ def _backend(spark: SparkSession, table: str, backend=None):
     if backend is None:
         be = _HadoopBackend(spark, table)
         if be.scheme in _OBJECT_STORE_SCHEMES:
-            return _HadoopObjectStoreBackend(spark, table)
+            # same resolved fs/jvm state, object-store protocol arm — a
+            # second construction would repeat the Py4J filesystem
+            # resolution just performed (code-review r13)
+            be.__class__ = _HadoopObjectStoreBackend
         return be
     if isinstance(backend, str):
         if backend == "hadoop":
@@ -472,14 +500,19 @@ def acid_commit(
         be.write_json(stage + "/_meta.json", {**meta, "rows": n})
         _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
     else:
-        _claim_marker(table, ordinal, be)
+        _claim_marker(table, ordinal, be, tag)
         snap = _snap_dir(table, ordinal)
         try:
             df.write.mode("overwrite").parquet(snap)
             n = spark.read.parquet(snap).count()
-            be.write_json(snap + "/_meta.json", {**meta, "rows": n})  # LAST
-        except BaseException:
-            be.delete(snap, recursive=True)  # best-effort; ordinal burned
+            _publish_meta_fenced(table, ordinal, be, {**meta, "rows": n})
+        except BaseException as e:
+            # clean own residue ONLY while the marker is still ours — after
+            # a reclaim a successor may own snap-<ordinal> (code-review r13)
+            if not isinstance(e, CommitConflict) and _owns_marker(
+                table, ordinal, be, tag
+            ):
+                be.delete(snap, recursive=True)  # best-effort; burned
             raise
     return {"destination": table, "mode": operation, "rows_loaded": n,
             "ordinal": ordinal, "parent": parent, **(extra or {})}
@@ -512,16 +545,60 @@ def _resolve_commit_ordinal(
     return parent, _next_ordinal(spark, table, be)
 
 
-def _claim_marker(table: str, ordinal: int, be) -> None:
+def _claim_marker(table: str, ordinal: int, be, tag: str | None = None) -> None:
     """Claim the ordinal's marker — create-if-absent, THE atomic bit the
-    whole protocol rests on (POSIX O_EXCL / HDFS createNewFile /
+    whole protocol rests on (POSIX O_EXCL / HDFS create(overwrite=False) /
     object-store conditional PUT, per the backend). Raises CommitConflict
-    when another committer claimed it first."""
+    when another committer claimed it first. ``tag`` (the commit uuid) is
+    written INTO the marker as the fencing token: the claim-first publish
+    re-verifies it before its final visibility PUT, so a zombie claimant
+    whose marker was vacuum-reclaimed (and possibly re-claimed by a
+    successor) aborts instead of overwriting the successor's snapshot."""
     be.mkdirs(_commits_dir(table))
     marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
-    if not be.atomic_create(marker):
+    data = json.dumps({"commit_uuid": tag}).encode() if tag else b""
+    if not be.atomic_create(marker, data):
         raise CommitConflict(
             f"table {table!r}: ordinal {ordinal} was published concurrently"
+        )
+
+
+def _owns_marker(table: str, ordinal: int, be, tag: str) -> bool:
+    """Whether the ordinal's marker still exists AND carries OUR fencing
+    uuid. False on a missing marker (vacuum reclaimed it), a successor's
+    marker, or unreadable/empty content (the HDFS pre-close window — the
+    safe direction is not-ours)."""
+    marker = f"{_commits_dir(table)}/{ordinal:0{_ORD_W}d}"
+    try:
+        return be.read_json(marker).get("commit_uuid") == tag
+    except Exception:
+        return False
+
+
+def _publish_meta_fenced(table: str, ordinal: int, be, meta: dict) -> None:
+    """Final visibility PUT for the CLAIM-FIRST arm, zombie-fenced
+    (code-review r13): (1) the marker must still exist and carry OUR
+    commit uuid — a vacuum reclaim followed by a successor's re-claim
+    changes it, and the zombie must abort rather than overwrite the
+    successor's published snapshot; (2) the meta itself is PUT if-absent,
+    never overwrite. The interleaving between (1) and (2) is closed by
+    acid_vacuum's no-commit-in-flight contract, not by code — the same
+    assumption lakehouse commit services place on their retention jobs
+    (the rename arm's equivalent backstop is the post-rename ownership
+    readback in _claim_and_publish)."""
+    if not _owns_marker(table, ordinal, be, meta["commit_uuid"]):
+        raise CommitConflict(
+            f"table {table!r}: ordinal {ordinal}'s marker is no longer "
+            f"ours (vacuum reclaimed a claim presumed crashed) — this "
+            f"committer's snapshot must not publish"
+        )
+    if not be.atomic_create(
+        _snap_dir(table, ordinal) + "/_meta.json",
+        json.dumps(meta).encode(),
+    ):
+        raise CommitConflict(
+            f"table {table!r}: ordinal {ordinal}'s _meta.json already "
+            f"exists — published by a successor after a marker reclaim"
         )
 
 
@@ -540,7 +617,7 @@ def _claim_and_publish(
     subdir."""
     be = be or _backend(spark, table)
     try:
-        _claim_marker(table, ordinal, be)
+        _claim_marker(table, ordinal, be, commit_uuid)
     except CommitConflict:
         be.delete(stage, recursive=True)  # lost: unstage OWN dir only
         raise
@@ -717,13 +794,16 @@ def _commit_manifest(
         be.write_json(stage + "/_meta.json", meta)
         _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
     else:
-        _claim_marker(table, ordinal, be)
+        _claim_marker(table, ordinal, be, tag)
         snap = _snap_dir(table, ordinal)
         try:
             be.write_json(snap + "/_manifest.json", manifest)
-            be.write_json(snap + "/_meta.json", meta)  # LAST: visibility bit
-        except BaseException:
-            be.delete(snap, recursive=True)  # best-effort; ordinal burned
+            _publish_meta_fenced(table, ordinal, be, meta)
+        except BaseException as e:
+            if not isinstance(e, CommitConflict) and _owns_marker(
+                table, ordinal, be, tag
+            ):
+                be.delete(snap, recursive=True)  # best-effort; burned
             raise
     return {
         "destination": table,
@@ -1009,6 +1089,15 @@ def acid_merge_upsert(
                     _read_manifest_files(spark, table, man, []),
                     source, keys,
                 ).coalesce(1)
+        # cheap pre-write conflict probe: an unresolved marker above the
+        # parent (another merge in flight, or a crashed claim awaiting
+        # vacuum) fails HERE — one LIST — instead of after a full data-file
+        # write that the conflict would immediately orphan (code-review r13;
+        # _commit_manifest re-resolves authoritatively either way)
+        try:
+            _resolve_commit_ordinal(spark, table, parent, be)
+        except CommitConflict:
+            continue
         new_files = _write_data_files(spark, table, merged, keys, be)
         manifest = {
             "files": {**untouched, **new_files},
@@ -1054,20 +1143,34 @@ def acid_acquire_maintenance(
     primitive as commit markers (O_EXCL / createNewFile / conditional
     PUT), so exactly one maintainer holds it per store guarantee, across
     processes. Returns the owner token ``acid_release_maintenance``
-    requires; raises MaintenanceBusy when held. The lease serializes
-    MAINTAINERS against each other — it does not (and need not) block
-    merge committers: a compactor racing a merge is already benign via
-    the conditional-commit conflict/retry loop; what the lease prevents
-    is two vacuums concurrently sweeping (one's "crashed-commit" marker
-    reclaim racing the other's stage sweep) or two compactors doubling
-    the same small-file fold."""
+    requires; raises MaintenanceBusy when held. Scope — be precise about
+    what the lease does and does not cover (code-review r13):
+
+    - It serializes MAINTAINERS against each other: two vacuums
+      concurrently sweeping (one's crashed-marker reclaim racing the
+      other's stage sweep), or two compactors doubling the same fold.
+    - It does NOT license vacuum to run beside live MERGE committers:
+      vacuum's orphan sweep deletes data files referenced by no manifest,
+      and an in-flight file-COW merge's just-written files are exactly
+      that until its commit publishes — acid_vacuum's
+      no-commit-in-flight contract still stands, lease or not. Inside
+      stream_acid_merge the cadence satisfies it by construction
+      (foreachBatch serializes maintenance with the stream's own
+      commits, PROVIDED the stream is the table's only writer); an
+      out-of-band vacuum against a live writer remains unsafe.
+    - acid_compact beside a live merge IS benign without any lease: its
+      commit is conditional (expected_parent), so a racing merge just
+      wins/loses the ordinal and the loser retries."""
     import uuid
 
     be = _backend(spark, table, backend)
     token = owner or uuid.uuid4().hex
     lease = _lease_path(table)
     be.mkdirs(table.rstrip("/"))  # leasable before the first commit
-    if not be.atomic_create(lease):
+    # ONE atomic step: the owner token travels INSIDE the create-if-absent
+    # (a create-then-write two-step would leave an ownerless lease if the
+    # maintainer crashed between them; code-review r13)
+    if not be.atomic_create(lease, json.dumps({"owner": token}).encode()):
         try:
             holder = be.read_json(lease).get("owner", "<unknown>")
         except Exception:
@@ -1077,7 +1180,6 @@ def acid_acquire_maintenance(
             f"retry later, or break a crashed holder's lease via "
             f"acid_break_maintenance_lease(force=True)"
         )
-    be.write_json(lease, {"owner": token})  # we own it: record the token
     return token
 
 
@@ -1091,7 +1193,14 @@ def acid_release_maintenance(
     lease = _lease_path(table)
     if not be.exists(lease):
         raise MaintenanceBusy(f"table {table!r}: no maintenance lease held")
-    got = be.read_json(lease).get("owner")
+    try:
+        got = be.read_json(lease).get("owner")
+    except Exception:
+        raise MaintenanceBusy(
+            f"table {table!r}: lease unreadable (empty/corrupt — a holder "
+            f"crashed mid-claim on a non-atomic-content store); break it "
+            f"via acid_break_maintenance_lease(force=True)"
+        )
     if got != token:
         raise MaintenanceBusy(
             f"table {table!r}: lease owned by {got!r}, not {token!r}"
@@ -1157,8 +1266,6 @@ def acid_compact(
     maintainers become a CHECKED benign conflict instead of a documented
     convention (VERDICT r12 item 8); the in-stream cadence uses it and
     skips the cadence point when busy."""
-    from pyspark.sql import functions as F
-
     be = _backend(spark, table, backend)
     token = (
         acid_acquire_maintenance(spark, table, backend=be) if lease else None
@@ -1171,7 +1278,12 @@ def acid_compact(
         )
     finally:
         if token is not None:
-            acid_release_maintenance(spark, table, token, backend=be)
+            try:
+                acid_release_maintenance(spark, table, token, backend=be)
+            except MaintenanceBusy:
+                # lease force-broken (or re-claimed) mid-run: the completed
+                # maintenance result must not be masked by the release
+                pass
 
 
 def _compact_impl(
@@ -1304,7 +1416,11 @@ def acid_vacuum(
         return _vacuum_impl(spark, table, be, keep)
     finally:
         if token is not None:
-            acid_release_maintenance(spark, table, token, backend=be)
+            try:
+                acid_release_maintenance(spark, table, token, backend=be)
+            except MaintenanceBusy:
+                pass  # force-broken mid-run: don't mask the result
+
 
 
 def _vacuum_impl(spark: SparkSession, table: str, be, keep: int) -> dict:
@@ -1314,6 +1430,7 @@ def _vacuum_impl(spark: SparkSession, table: str, be, keep: int) -> dict:
         o for o in markers
         if be.exists(_snap_dir(table, o) + "/_meta.json")
     )
+    rset = set(resolvable)
     keep_set = set(resolvable[-max(1, keep):]) | {current}
     removed, removed_stages = [], 0
     root = table.rstrip("/")
@@ -1328,7 +1445,7 @@ def _vacuum_impl(spark: SparkSession, table: str, be, keep: int) -> dict:
             o = int(name[len("snap-"):])
         except ValueError:
             continue
-        if o not in resolvable:
+        if o not in rset:
             # PARTIAL claim-first snapshot (crashed before its _meta.json
             # visibility PUT): sweep the residue; its dangling marker is
             # handled — and counted — by the reclaim loop below
@@ -1338,7 +1455,7 @@ def _vacuum_impl(spark: SparkSession, table: str, be, keep: int) -> dict:
             be.delete(f"{_commits_dir(table)}/{o:0{_ORD_W}d}")
             removed.append(o)
     reclaimed = []
-    for o in markers - set(resolvable):
+    for o in markers - rset:
         # dangling marker from a crashed commit; the stage/partial sweep
         # above already ran, so a zombie claimant's rename (or late meta
         # PUT, on claim-first stores) re-creates nothing readers trust
@@ -1350,7 +1467,7 @@ def _vacuum_impl(spark: SparkSession, table: str, be, keep: int) -> dict:
     # last referencing snapshot was just removed above
     removed_data = 0
     referenced: set[str] = set()
-    for o in sorted(set(resolvable) & keep_set):
+    for o in sorted(rset & keep_set):
         man = _manifest(spark, table, o, be)
         if man:
             referenced |= set(man["files"])

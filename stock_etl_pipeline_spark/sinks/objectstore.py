@@ -37,10 +37,11 @@ counts every request by class (LIST calls with S3-style 1000-key
 paging, HEAD, GET, PUT, COPY, DELETE, conditional PUT), so the
 protocol's request-count growth (e.g. marker listing at 1k commits) is
 measured in the store's native cost unit rather than local-disk
-wall-clock. Its ``conditional_put`` uses ``O_CREAT|O_EXCL`` as the
-stand-in for the SERVER-side atomicity guarantee of the real header —
-the simulation is of everything AROUND the primitive, not of the
-primitive's own atomicity (which the store contractually provides).
+wall-clock. Its conditional PUT writes a temp object and ``os.link``s it
+into place — atomic create-if-absent WITH body, POSIX atomicity standing
+in for the SERVER-side guarantee of the real header; the simulation is
+of everything AROUND the primitive, not of the primitive's own atomicity
+(which the store contractually provides).
 
 The reference pipeline's own warehouse is an object store + warehouse
 pair (GCS upload + BigQuery MERGE, reference
@@ -55,14 +56,19 @@ import os
 import shutil
 from collections.abc import Callable
 
-#: scheme -> callable(path) -> bool (True = created, False = already
-#: exists). The callable performs the store's conditional PUT of a
-#: zero-byte object, e.g. boto3 ``put_object(..., IfNoneMatch="*")``
-#: catching ``PreconditionFailed``. Registered once per deployment.
-_CONDITIONAL_PUTS: dict[str, Callable[[str], bool]] = {}
+#: scheme -> callable(path, data: bytes) -> bool (True = created, False =
+#: already exists). The callable performs the store's conditional PUT of
+#: ``data`` (possibly empty) at ``path``, e.g. boto3
+#: ``put_object(..., Body=data, IfNoneMatch="*")`` catching
+#: ``PreconditionFailed``. Registered once per deployment. The body
+#: matters: commit markers carry the claimant's uuid as the zombie-fencing
+#: token the claim-first publish verifies.
+_CONDITIONAL_PUTS: dict[str, Callable[[str, bytes], bool]] = {}
 
 
-def register_conditional_put(scheme: str, fn: Callable[[str], bool]) -> None:
+def register_conditional_put(
+    scheme: str, fn: Callable[[str, bytes], bool]
+) -> None:
     """Register the atomic create-if-absent primitive for an object-store
     scheme (``s3a``, ``gs``, ``abfs``...). Required before committing to
     an ACID table on that store — Hadoop's FileSystem API exposes no
@@ -71,7 +77,7 @@ def register_conditional_put(scheme: str, fn: Callable[[str], bool]) -> None:
     _CONDITIONAL_PUTS[scheme] = fn
 
 
-def conditional_put_for(scheme: str) -> Callable[[str], bool] | None:
+def conditional_put_for(scheme: str) -> Callable[[str, bytes], bool] | None:
     return _CONDITIONAL_PUTS.get(scheme)
 
 
@@ -169,19 +175,26 @@ class SimulatedObjectStore:
         os.rename(tmp, p)
         self.counts["put"] += 1
 
-    def atomic_create(self, path: str) -> bool:
-        """The conditional PUT (``If-None-Match: *``). O_EXCL stands in
-        for the SERVER-side atomicity the real header provides; the
-        simulation is of the protocol around the primitive, not of the
-        primitive's own guarantee."""
+    def atomic_create(self, path: str, data: bytes = b"") -> bool:
+        """The conditional PUT (``If-None-Match: *``), body included —
+        create-if-absent WITH content in one atomic step (a real PUT is
+        all-or-nothing; locally: write a temp object, ``os.link`` it into
+        place, which fails atomically when the target exists). POSIX
+        atomicity stands in for the SERVER-side guarantee the real header
+        provides; the simulation is of the protocol around the primitive,
+        not of the primitive's own guarantee."""
         p = self._local(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         self.counts["conditional_put"] += 1
+        tmp = f"{p}.__cput-{os.getpid()}-{id(data)}"
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             return False
-        os.close(fd)
+        finally:
+            os.remove(tmp)
         return True
 
     def rename(self, src: str, dst: str) -> bool:

@@ -429,7 +429,7 @@ def stream_acid_merge(
                 state["done"] = max(
                     (
                         h["batch_id"]
-                        for h in acid_history(spark, table)
+                        for h in acid_history(spark, table, backend=backend)
                         if h.get("epoch") == epoch
                     ),
                     default=-1,
@@ -448,8 +448,13 @@ def stream_acid_merge(
         # maintenance runs under the table's LEASE: when an out-of-band
         # maintainer holds it, the cadence point is SKIPPED (benign — the
         # other maintainer is doing the work; the next cadence point
-        # retries). Merge commits above never take the lease: a compactor
-        # racing a merge is already benign via conditional-commit retry.
+        # retries). Merge commits above never take the lease — the lease
+        # serializes maintainers only. Safety against the STREAM's own
+        # merges comes from foreachBatch serialization (maintenance and
+        # merges never overlap here), which is exactly why out-of-band
+        # VACUUM against a live stream stays unsafe (orphan sweep vs
+        # in-flight data files) while out-of-band COMPACT is benign
+        # (conditional commit, loser retries).
         from ..sinks.acid import MaintenanceBusy
 
         if compact_every and file_cow and state["merges"] % compact_every == 0:

@@ -190,3 +190,59 @@ def test_objectstore_marker_listing_cost_is_paged(spark, tmp_path):
     assert len(ords) == 25
     assert be.counts["list_calls"] - before["list_calls"] == 1
     assert be.counts["list_requests"] - before["list_requests"] == 3  # ceil(25/10)
+
+
+def test_objectstore_zombie_claimant_cannot_overwrite_successor(spark, tmp_path):
+    """Zombie fencing (code-review r13): committer Z claims an ordinal and
+    stalls mid-write (indistinguishable from a crash); vacuum — under its
+    no-commit-in-flight contract — reclaims the marker and sweeps the
+    residue; successor B re-claims the SAME ordinal and publishes. When Z
+    resumes, its visibility PUT must ABORT (the marker no longer carries
+    Z's uuid) and must not disturb B's published snapshot. The rename arm
+    has the post-rename ownership readback for this; the claim-first arm
+    gets the marker-uuid fence + if-absent meta PUT."""
+    be = SimulatedObjectStore()
+    table = str(tmp_path / "os_zombie")
+    acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        ["k"], file_cow=True, backend=be,
+    )
+
+    # Z claims ordinal 2 (fenced with its uuid), writes content, stalls
+    acid._claim_marker(table, 2, be, "zombie-uuid")
+    snap2 = acid._snap_dir(table, 2)
+    be.write_json(snap2 + "/_manifest.json",
+                  {"files": {}, "schema": "{}", "keys": ["k"]})
+
+    # vacuum presumes the claim crashed: reclaims marker 2, sweeps residue
+    vac = acid.acid_vacuum(spark, table, keep=2, backend=be)
+    assert vac["reclaimed_ordinals"] == [2]
+
+    # successor B re-claims ordinal 2 and publishes
+    rep = acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        ["k"], file_cow=True, backend=be,
+    )
+    assert rep["ordinal"] == 2
+    b_uuid = acid.acid_snapshot_meta(spark, table, 2, be)["commit_uuid"]
+    before = sorted(tuple(r)
+                    for r in acid.acid_read(spark, table, backend=be).collect())
+
+    # Z resumes: the fenced publish aborts — marker carries B's uuid now
+    with pytest.raises(acid.CommitConflict, match="no longer ours"):
+        acid._publish_meta_fenced(
+            table, 2, be,
+            {"ordinal": 2, "parent": 1, "operation": "merge",
+             "rows": 0, "commit_uuid": "zombie-uuid"},
+        )
+    # B's snapshot is untouched, still owned by B
+    assert acid.acid_snapshot_meta(spark, table, 2, be)["commit_uuid"] == b_uuid
+    got = sorted(tuple(r)
+                 for r in acid.acid_read(spark, table, backend=be).collect())
+    assert got == before
+
+    # second fence in isolation: even with a matching marker, the meta PUT
+    # is if-absent — it can never overwrite a published visibility bit
+    assert not be.atomic_create(snap2 + "/_meta.json", b"{}")

@@ -1088,3 +1088,64 @@ def test_acid_maintenance_lease_mutual_exclusion(spark, tmp_path):
         spark, table, acid.acid_acquire_maintenance(spark, table)
     )
     del token2
+
+
+def test_acid_maintenance_lease_corrupt_and_force_broken(spark, tmp_path):
+    """Lease robustness (code-review r13): the owner token travels INSIDE
+    the atomic create (no ownerless two-step window); a corrupt/empty
+    lease left by a nonconforming writer surfaces as MaintenanceBusy
+    (never a raw JSON error) and is recoverable via force-break; a lease
+    force-broken while a leased compact runs does not mask the completed
+    compact's result."""
+    import os
+
+    import pytest as _pt
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    table = str(tmp_path / "lease_rob")
+    acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(i, "v") for i in range(6)],
+                              "k long, v string").coalesce(1),
+        ["k"], file_cow=True,
+    )
+    for i in range(3):
+        acid.acid_merge_upsert(
+            spark, table,
+            spark.createDataFrame([(50 + i, "x")], "k long, v string"),
+            ["k"], file_cow=True,
+        )
+
+    # the token is readable directly from the lease object (single-step
+    # create-with-content: no window where the lease exists ownerless)
+    token = acid.acid_acquire_maintenance(spark, table)
+    be = acid._backend(spark, table)
+    assert be.read_json(acid._lease_path(table))["owner"] == token
+    acid.acid_release_maintenance(spark, table, token)
+
+    # corrupt lease (simulating a nonconforming/legacy writer): release
+    # and acquire both speak MaintenanceBusy, force-break recovers
+    with open(acid._lease_path(table), "w") as f:
+        f.write("")  # empty — unreadable as JSON
+    with _pt.raises(acid.MaintenanceBusy, match="unreadable"):
+        acid.acid_release_maintenance(spark, table, "whatever")
+    with _pt.raises(acid.MaintenanceBusy):
+        acid.acid_acquire_maintenance(spark, table)
+    assert acid.acid_break_maintenance_lease(spark, table, force=True)
+
+    # force-break racing a leased compact: compact still returns its result
+    real_impl = acid._compact_impl
+
+    def breaking_impl(*a, **kw):
+        out = real_impl(*a, **kw)
+        acid.acid_break_maintenance_lease(spark, table, force=True)
+        return out
+
+    acid._compact_impl = breaking_impl
+    try:
+        rep = acid.acid_compact(spark, table, target_rows=1000, lease=True)
+    finally:
+        acid._compact_impl = real_impl
+    assert rep["files_compacted"] >= 2  # result not masked by the release
+    assert not os.path.exists(acid._lease_path(table))
