@@ -10,7 +10,9 @@ import pytest
 from stock_etl_pipeline_spark.workload import load_all
 
 SF = "/root/testdata/sf0.01"
-REGISTRY = load_all()
+from stock_etl_pipeline_spark.workload import all_specs
+
+REGISTRY = all_specs()  # driver tier + tests-only (multitable demoted r13)
 
 
 @pytest.fixture(scope="module")
@@ -298,9 +300,7 @@ def test_hyperplane_int_contract_python_reference(spark):
 def test_ann_queries_backend_invariant(spark, monkeypatch):
     """The three ANN queries return identical rows under either signature
     backend (SPARK_GRAFT_ANN_SIG knob) — the contract the default rests on."""
-    from stock_etl_pipeline_spark.workload import load_all
-
-    reg = load_all()
+    reg = all_specs()  # multitable lives in the tests-only tier since r13
     for name in ("embedding_ann_lsh", "embedding_ann_multitable"):
         monkeypatch.setenv("SPARK_GRAFT_ANN_SIG", "arrow")
         a = sorted(map(repr, reg[name].fn(spark, "/root/testdata/sf0.001").collect()))
