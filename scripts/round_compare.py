@@ -58,6 +58,8 @@ ARROW_BAND = {
     "doc_minhash_lsh", "doc_minhash_capped", "doc_simhash_pairs",
     "doc_simhash128_pairs", "embedding_topk", "embedding_near_dup",
     "embedding_bucketed_near_dup", "embedding_ann_lsh",
+    # embedding_ann_multitable: benched r4-r12, demoted to tests-only in
+    # r13 — kept for historical-pair replays, absent from new benches
     "embedding_ann_multiprobe", "embedding_ann_multitable",
     "embedding_ivf_topk", "embedding_ivf_pq", "embedding_semantic_dedup",
 }

@@ -263,7 +263,17 @@ class _HadoopBackend:
         try:
             out = self.fs.create(_hpath(self.jvm, path), False)
         except Exception as e:
-            if "exists" in str(e).lower():
+            # lost-race detection by exception CLASS, not message sniffing:
+            # HDFS can also surface a concurrent (or dead-client) create
+            # as AlreadyBeingCreatedException, whose lease message does
+            # not contain 'exists' — the loser must get CommitConflict
+            # via False, never a raw Py4J error (code-review r13)
+            msg = str(e)
+            if (
+                "FileAlreadyExistsException" in msg
+                or "AlreadyBeingCreatedException" in msg
+                or "exists" in msg.lower()
+            ):
                 return False
             raise
         try:
@@ -500,20 +510,14 @@ def acid_commit(
         be.write_json(stage + "/_meta.json", {**meta, "rows": n})
         _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
     else:
-        _claim_marker(table, ordinal, be, tag)
-        snap = _snap_dir(table, ordinal)
-        try:
+        def _content(snap: str) -> dict:
             df.write.mode("overwrite").parquet(snap)
-            n = spark.read.parquet(snap).count()
-            _publish_meta_fenced(table, ordinal, be, {**meta, "rows": n})
-        except BaseException as e:
-            # clean own residue ONLY while the marker is still ours — after
-            # a reclaim a successor may own snap-<ordinal> (code-review r13)
-            if not isinstance(e, CommitConflict) and _owns_marker(
-                table, ordinal, be, tag
-            ):
-                be.delete(snap, recursive=True)  # best-effort; burned
-            raise
+            meta["rows"] = spark.read.parquet(snap).count()
+            return meta
+
+        _claim_marker(table, ordinal, be, tag)
+        _publish_claim_first(table, ordinal, be, tag, _content)
+        n = meta["rows"]
     return {"destination": table, "mode": operation, "rows_loaded": n,
             "ordinal": ordinal, "parent": parent, **(extra or {})}
 
@@ -573,6 +577,45 @@ def _owns_marker(table: str, ordinal: int, be, tag: str) -> bool:
         return be.read_json(marker).get("commit_uuid") == tag
     except Exception:
         return False
+
+
+def _publish_claim_first(
+    table: str, ordinal: int, be, tag: str, write_content,
+) -> dict:
+    """The full claim-first publish body, shared by acid_commit and
+    _commit_manifest (code-review r13 — the fence sequence must not
+    drift between the two arms). ``write_content(snap_dir)`` performs
+    the snapshot's content writes and returns the meta to publish.
+
+    Zombie fence, PRE-write: this committer's claim may have been
+    vacuum-reclaimed (presumed crashed) and the ordinal re-claimed by a
+    successor while it stalled — the content writes below are
+    DESTRUCTIVE (parquet overwrite / manifest PUT over the shared
+    snap-<ordinal> path), so ownership is re-verified before the first
+    byte lands, not only at the final meta PUT (code-review r13: the
+    meta-only fence let a resumed zombie clobber a successor's published
+    manifest or snapshot while the successor's _meta.json stayed
+    visible). The check-to-write window is closed by acid_vacuum's
+    no-commit-in-flight contract, same as the meta fence's."""
+    snap = _snap_dir(table, ordinal)
+    try:
+        if not _owns_marker(table, ordinal, be, tag):
+            raise CommitConflict(
+                f"table {table!r}: ordinal {ordinal}'s marker is no "
+                f"longer ours (vacuum reclaimed a claim presumed "
+                f"crashed) — this committer must not write"
+            )
+        meta = write_content(snap)
+        _publish_meta_fenced(table, ordinal, be, meta)
+        return meta
+    except BaseException as e:
+        # clean own residue ONLY while the marker is still ours — after
+        # a reclaim a successor may own snap-<ordinal> (code-review r13)
+        if not isinstance(e, CommitConflict) and _owns_marker(
+            table, ordinal, be, tag
+        ):
+            be.delete(snap, recursive=True)  # best-effort; burned
+        raise
 
 
 def _publish_meta_fenced(table: str, ordinal: int, be, meta: dict) -> None:
@@ -794,17 +837,12 @@ def _commit_manifest(
         be.write_json(stage + "/_meta.json", meta)
         _claim_and_publish(spark, table, stage, ordinal, commit_uuid=tag, be=be)
     else:
-        _claim_marker(table, ordinal, be, tag)
-        snap = _snap_dir(table, ordinal)
-        try:
+        def _content(snap: str) -> dict:
             be.write_json(snap + "/_manifest.json", manifest)
-            _publish_meta_fenced(table, ordinal, be, meta)
-        except BaseException as e:
-            if not isinstance(e, CommitConflict) and _owns_marker(
-                table, ordinal, be, tag
-            ):
-                be.delete(snap, recursive=True)  # best-effort; burned
-            raise
+            return meta
+
+        _claim_marker(table, ordinal, be, tag)
+        _publish_claim_first(table, ordinal, be, tag, _content)
     return {
         "destination": table,
         "mode": operation,

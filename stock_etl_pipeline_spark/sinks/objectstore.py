@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from collections.abc import Callable
 
 #: scheme -> callable(path, data: bytes) -> bool (True = created, False =
@@ -169,7 +170,7 @@ class SimulatedObjectStore:
         rename (the real store provides this per-PUT contractually)."""
         p = self._local(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = f"{p}.__put-{os.getpid()}-{id(obj)}"
+        tmp = f"{p}.__put-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(obj, f)
         os.rename(tmp, p)
@@ -186,7 +187,10 @@ class SimulatedObjectStore:
         p = self._local(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         self.counts["conditional_put"] += 1
-        tmp = f"{p}.__cput-{os.getpid()}-{id(data)}"
+        # uuid, not id(data): interned payloads (notably b"") share ids
+        # across same-process racers, and a shared temp name turns a lost
+        # race into FileNotFoundError instead of False (code-review r13)
+        tmp = f"{p}.__cput-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(data)
         try:

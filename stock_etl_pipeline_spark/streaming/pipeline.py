@@ -425,8 +425,11 @@ def stream_acid_merge(
             # batch_id <= done true for NEW batches and silently skip them
             # (ADVICE r12) — re-derive it whenever the epoch changes
             if state["done"] is None or state["epoch"] != epoch:
-                state["epoch"] = epoch
-                state["done"] = max(
+                # derive BEFORE assigning: if the history scan throws
+                # mid-switch, a half-updated state (new epoch, previous
+                # epoch's mark) would silently skip the retried batches
+                # (code-review r13)
+                done = max(
                     (
                         h["batch_id"]
                         for h in acid_history(spark, table, backend=backend)
@@ -434,6 +437,7 @@ def stream_acid_merge(
                     ),
                     default=-1,
                 )
+                state["epoch"], state["done"] = epoch, done
             if batch_id <= state["done"]:
                 return  # this batch's merge already committed — replay skip
             extra = {"epoch": epoch, "batch_id": batch_id}

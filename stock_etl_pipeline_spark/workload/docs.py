@@ -1143,9 +1143,9 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling.sample_to_token_budget — bucketed two-phase selection whose
     kept SET equals the oracle's global ordered cumsum while only the
     straddling quality bucket pays an ordered window (the wholesale-kept
-    mass is a filter). Tests-only tier: full oracle parity via
-    tests/test_oracle_parity.py; the registry's 50 driver slots stay with
-    the scale-shaped dedup/ANN families."""
+    mass is a filter). Driver tier since the r13 slot rotation (the
+    property-tested NULL-contract operator gained its external oracle
+    row; embedding_ann_multitable demoted to tests-only in trade)."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))

@@ -246,3 +246,54 @@ def test_objectstore_zombie_claimant_cannot_overwrite_successor(spark, tmp_path)
     # second fence in isolation: even with a matching marker, the meta PUT
     # is if-absent — it can never overwrite a published visibility bit
     assert not be.atomic_create(snap2 + "/_meta.json", b"{}")
+
+
+def test_objectstore_zombie_fenced_before_content_write(spark, tmp_path):
+    """Pre-write zombie fence (code-review r13, second pass): the meta-PUT
+    fence alone is too late — a zombie resuming at its CONTENT write
+    (manifest PUT / parquet overwrite) would clobber the successor's
+    published snapshot while the successor's _meta.json stayed visible,
+    leaving ordinal N resolving B's meta over Z's file list. The shared
+    _publish_claim_first must abort BEFORE invoking write_content when
+    the marker no longer carries the zombie's uuid."""
+    be = SimulatedObjectStore()
+    table = str(tmp_path / "os_zombie_pre")
+    acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        ["k"], file_cow=True, backend=be,
+    )
+
+    # Z claims ordinal 2, stalls BEFORE writing any content
+    acid._claim_marker(table, 2, be, "zombie-uuid")
+
+    # vacuum reclaims; successor B re-claims ordinal 2 and publishes
+    assert acid.acid_vacuum(spark, table, keep=2,
+                            backend=be)["reclaimed_ordinals"] == [2]
+    rep = acid.acid_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        ["k"], file_cow=True, backend=be,
+    )
+    assert rep["ordinal"] == 2
+    snap2 = acid._snap_dir(table, 2)
+    b_manifest = be.read_json(snap2 + "/_manifest.json")
+    b_uuid = acid.acid_snapshot_meta(spark, table, 2, be)["commit_uuid"]
+
+    # Z resumes at the content write: must abort without calling it
+    calls = []
+
+    def _z_content(snap):
+        calls.append(snap)  # would be the destructive overwrite
+        be.write_json(snap + "/_manifest.json", {"files": {}, "z": True})
+        return {"ordinal": 2, "parent": 1, "operation": "merge",
+                "rows": 0, "commit_uuid": "zombie-uuid"}
+
+    with pytest.raises(acid.CommitConflict, match="must not write"):
+        acid._publish_claim_first(table, 2, be, "zombie-uuid", _z_content)
+    assert calls == []  # fence fired BEFORE the destructive write
+    assert be.read_json(snap2 + "/_manifest.json") == b_manifest
+    assert acid.acid_snapshot_meta(spark, table, 2, be)["commit_uuid"] == b_uuid
+    got = sorted(tuple(r)
+                 for r in acid.acid_read(spark, table, backend=be).collect())
+    assert got == [(1, "a"), (2, "b")]

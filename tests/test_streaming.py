@@ -1271,6 +1271,79 @@ def test_stream_acid_merge_exactly_once_stale_writer_restart(
     assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
 
 
+def test_stream_acid_merge_epoch_rederive_is_atomic(
+    spark, events_dir, tmp_path, monkeypatch
+):
+    """Code-review r13: the epoch switch must derive the new high-water
+    mark BEFORE assigning state — if the history scan throws mid-switch,
+    a half-updated state (new epoch recorded, previous epoch's mark
+    retained) would make ``batch_id <= done`` true for the retried
+    batches and silently drop them. Injected: the first acid_history
+    call under the new epoch fails; the retry run must re-merge every
+    re-offered batch under the fresh epoch."""
+    import shutil as _sh
+
+    from stock_etl_pipeline_spark.sinks import acid
+
+    real_history = acid.acid_history
+    fail = {"n": 0}
+
+    def flaky(spark_, table_, backend=None):
+        if fail["n"] > 0:
+            fail["n"] -= 1
+            raise RuntimeError("injected transient listing failure")
+        return real_history(spark_, table_, backend=backend)
+
+    # patch BEFORE the writer is built: stream_acid_merge binds
+    # acid_history at build time via a function-scope import
+    monkeypatch.setattr(acid, "acid_history", flaky)
+
+    table = str(tmp_path / "acid_eo_atomic")
+    ckpt = str(tmp_path / "ckpt_eo_atomic")
+    stream = streaming.read_events_stream(
+        spark, events_dir, max_files_per_trigger=2
+    )
+    writer = streaming.stream_acid_merge(
+        stream, table, keys=["event_id"], checkpoint_dir=ckpt,
+        file_cow=True, exactly_once=True,
+    )
+
+    def run(expect_fail=False):
+        q = writer.start()
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            assert expect_fail, "unexpected streaming failure"
+        finally:
+            q.stop()
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                # a failed query re-raises its exception on every await
+                assert expect_fail, "unexpected streaming failure"
+        if expect_fail:
+            assert q.exception() is not None
+
+    run()
+    n_commits = len(real_history(spark, table))
+    assert n_commits >= 1
+    before = sorted(map(repr, acid.acid_read(spark, table).collect()))
+    epoch_first = real_history(spark, table)[-1]["epoch"]
+
+    _sh.rmtree(ckpt)  # new epoch; batch ids restart at 0 — SAME writer
+    fail["n"] = 1  # first history scan under the new epoch throws
+    run(expect_fail=True)
+    assert fail["n"] == 0  # the injected failure actually fired
+
+    run()  # retry over the same (new) checkpoint: same epoch, ids re-offered
+    hist = real_history(spark, table)
+    fresh = [h for h in hist if h.get("epoch") not in (None, epoch_first)]
+    assert len(fresh) == n_commits, (
+        "half-updated epoch state skipped the retried batches"
+    )
+    assert sorted(map(repr, acid.acid_read(spark, table).collect())) == before
+
+
 def test_stream_acid_merge_schema_evolution_mid_stream(spark, tmp_path):
     """allow_new_columns threaded through stream_acid_merge (VERDICT r12
     item 3): a widening batch arriving mid-table-life evolves the pinned
