@@ -1135,6 +1135,7 @@ WITH scored AS (
     "doc_token_budget_sample",
     oracle=_TOKEN_BUDGET_ORACLE,
     tags=("sampling", "tokens", "quality"),
+    bench=True,  # r13 rotation: takes the demoted multitable's bench cell
 )
 def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-first selection under a token budget ("fill the
