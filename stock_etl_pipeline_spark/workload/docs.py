@@ -1126,16 +1126,10 @@ WITH scored AS (
 """.strip()
 
 
-# Promoted to the driver tier (round 13, VERDICT r12 item 7): the
-# property-tested NULL-contract selection operator
-# (operators/sampling.py:183) now has a direct external-oracle row; the
-# slot came from embedding_ann_multitable (workload/vectors.py), demoted
-# as the third driver slot of one kernel shape.
-@spec(
+@spec_tests_only(
     "doc_token_budget_sample",
     oracle=_TOKEN_BUDGET_ORACLE,
     tags=("sampling", "tokens", "quality"),
-    bench=True,  # r13 rotation: takes the demoted multitable's bench cell
 )
 def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-first selection under a token budget ("fill the
@@ -1144,9 +1138,9 @@ def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling.sample_to_token_budget — bucketed two-phase selection whose
     kept SET equals the oracle's global ordered cumsum while only the
     straddling quality bucket pays an ordered window (the wholesale-kept
-    mass is a filter). Driver tier since the r13 slot rotation (the
-    property-tested NULL-contract operator gained its external oracle
-    row; embedding_ann_multitable demoted to tests-only in trade)."""
+    mass is a filter). Tests-only: DuckDB parity runs through
+    tests/test_oracle_parity.py (the r13 slot rotation was rolled back to
+    keep the driver registry identical to round 12)."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))

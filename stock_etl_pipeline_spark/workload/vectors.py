@@ -356,13 +356,7 @@ FROM ranked WHERE rnk <= {_TOP_K}
 """.strip()
 
 
-# Demoted to tests-only (round 13, VERDICT r12 item 7): third driver slot
-# of one kernel shape (sign-LSH bucket probe) — the lsh + multiprobe
-# siblings keep the family's driver evidence; full DuckDB parity retained
-# via tests/test_oracle_parity.py. The freed slot went to
-# doc_token_budget_sample (workload/docs.py), whose NULL-contract operator
-# previously had no direct external oracle row.
-@spec_tests_only("embedding_ann_multitable", oracle=_ANN_MT_ORACLE, tags=("similarity", "ann", "lsh", "multitable"))
+@spec("embedding_ann_multitable", oracle=_ANN_MT_ORACLE, tags=("similarity", "ann", "lsh", "multitable"), bench=True)
 def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (8 tables × 5 sign bits, OR-construction): a
     neighbor is a candidate if ANY table agrees — recall ≈ 1-(1-p^5)^8 vs
