@@ -225,10 +225,29 @@ def sample_to_token_budget(
     NULL-quality docs are kept only with leftover budget. Here those rows
     land in a sentinel bucket below bucket 0 and the straddle window pins
     ``desc_nulls_last`` explicitly.
+
+    The input relation is pipeline-cached (``caching.lazy_cache``): this
+    operator drives THREE actions over ``df`` — the quality-range
+    aggregate, the bucket-mass collect, and the returned keep/straddle
+    union — and when ``df`` is the tail of an expensive pipeline (the
+    corpus-construction query feeds it the whole dedup + decontamination
+    chain) each action re-runs that chain from the scan; AQE stage reuse
+    only dedups within ONE action. The cached projection is narrow —
+    (id, count, quality, __n) — so MEMORY_AND_DISK holds it at any corpus
+    size where the straddling-bucket sort is viable at all. Same
+    diamond-DAG discipline as the dedup/ANN signature relations;
+    released at the next pipeline entry, no-op under PLAN_ONLY.
+    ``SPARK_GRAFT_SAMPLE_CACHE=0`` keeps the uncached chain as an A/B arm.
     """
+    import os
+
     from pyspark.sql import Window
 
+    from ..caching import lazy_cache
+
     d = df.withColumn("__n", F.coalesce(F.col(count_col).cast("long"), F.lit(0)))
+    if os.environ.get("SPARK_GRAFT_SAMPLE_CACHE", "1") != "0":
+        d = lazy_cache(d)
     rng = d.agg(
         F.min(quality_col).alias("mn"), F.max(quality_col).alias("mx")
     ).first()
