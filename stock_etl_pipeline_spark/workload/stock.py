@@ -10,6 +10,8 @@ doubles — see functions/__init__.py for the determinism rationale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,15 +146,34 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("symbol").orderBy("date")
     wv = Window.partitionBy("symbol").orderBy(F.col("close_price").desc())
     wu = Window.partitionBy("symbol").orderBy("close_price", "date")
-    days = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date")).cast("long")
-    w7 = Window.partitionBy("symbol").orderBy(days).rangeBetween(-6, 0)
+    # Trailing 7-CALENDAR-day frame as an INTERVAL range over the date
+    # order key itself (the oracle's own spelling). Ordering by a
+    # datediff-derived long is the same order (datediff is monotone) and
+    # the [days-6, days] long range admits exactly the dates in
+    # [date - 6 days, date] — but the derived key is a DIFFERENT order
+    # expression to the planner, which split the date-ordered windows into
+    # two sort groups (4 Window nodes / 4 Sorts). Over ``date`` directly,
+    # w7 joins the w20/wd group: 3 Window nodes, one fewer per-partition
+    # Sort, same rows in every frame.
     strict_avg = F.sum("close_price_u").over(w20) / (
         F.lit(1_000_000.0) * F.count("close_price_u").over(w20)
     )
     prev = F.lag("close_price", 1).over(wd)
-    avg7 = F.sum("close_price_u").over(w7) / (
-        F.lit(1_000_000.0) * F.count("close_price_u").over(w7)
-    )
+    if os.environ.get("SPARK_GRAFT_W7_LEGACY") == "1":  # A/B arm: split group
+        days = F.datediff(
+            F.col("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        w7 = Window.partitionBy("symbol").orderBy(days).rangeBetween(-6, 0)
+        _sum7 = F.sum("close_price_u").over(w7)
+        _cnt7 = F.count("close_price_u").over(w7)
+    else:
+        _w7_frame = (
+            "PARTITION BY symbol ORDER BY date "
+            "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW"
+        )
+        _sum7 = F.expr(f"sum(close_price_u) OVER ({_w7_frame})")
+        _cnt7 = F.expr(f"count(close_price_u) OVER ({_w7_frame})")
+    avg7 = _sum7 / (F.lit(1_000_000.0) * _cnt7)
     return daily.select(
         "symbol",
         "date",
@@ -166,7 +187,7 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wu).cast("int").alias("quartile"),
         (F.floor(F.percent_rank().over(wu) * 1e6 + F.lit(0.5)) / 1e6).alias("pct_rank"),
         avg7.alias("avg_7cd"),
-        F.count("close_price_u").over(w7).alias("n_in_window"),
+        _cnt7.alias("n_in_window"),
     )
 
 

@@ -53,3 +53,30 @@ def test_top_k_per_group_with_tiebreak(spark):
     got = {(r["symbol"], r["date"]) for r in out.collect()}
     # ties on close broken by ascending date: both 9.0 rows kept, 1.0 dropped
     assert got == {("A", 1), ("A", 2), ("B", 1)}
+
+
+def test_window_suite_interval_range_frame_equals_legacy_days_key(spark, monkeypatch):
+    """The 7-calendar-day frame is an INTERVAL range over the date order key
+    (r13 optimization: joins the date-ordered window group — 3 Window nodes
+    instead of 4, one fewer per-partition sort). The legacy spelling ordered
+    by a datediff-derived long; datediff is monotone and [days-6, days]
+    admits exactly the dates in [date-6d, date], so the two arms must be
+    row-identical. SPARK_GRAFT_W7_LEGACY=1 keeps the legacy arm."""
+    import re as _re
+
+    from stock_etl_pipeline_spark.workload import load_all
+
+    sf = "/root/testdata/sf0.001"
+    fn = load_all()["window_suite"].fn
+    monkeypatch.delenv("SPARK_GRAFT_W7_LEGACY", raising=False)
+    new_df = fn(spark, sf)
+    # plan contract first (pre-execution — after collect the AQE explain
+    # repeats the tree in final+initial sections): THREE window sort groups
+    plan = new_df._sc._jvm.PythonSQLUtils.explainString(
+        new_df._jdf.queryExecution(), "formatted"
+    )
+    assert len(_re.findall(r"\(\d+\)\s+Window\b", plan)) == 3
+    new = sorted(map(repr, new_df.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_W7_LEGACY", "1")
+    old = sorted(map(repr, fn(spark, sf).collect()))
+    assert new == old and len(new) > 0
