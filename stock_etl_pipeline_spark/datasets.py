@@ -69,6 +69,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def table_row_count(sf_dir: str, name: str, *, max_files: int = 256) -> int | None:
+    """Exact row count of an UNFILTERED table from parquet footer metadata,
+    driver-side — no Spark job.
+
+    Several pipelines need the corpus size before they can build their plan
+    (LSH tier geometry, signature backend tiers, single-partition spread).
+    ``df.count()`` answers that with a full scheduled job (~0.25 s fixed at
+    bench scale even though the vectorized reader never decodes a column);
+    the footers already carry the identical number. Same driver-side-footer
+    discipline as ``_parquet_ts_is_nanos`` above.
+
+    Returns None (callers fall back to ``df.count()``) when the dataset
+    resolves to more than ``max_files`` fragments — at that file count a
+    sequential driver loop over footers loses to the distributed job — or
+    when anything about the footer read fails (non-local path, schema
+    evolution across files, missing pyarrow)."""
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(table_path(sf_dir, name), format="parquet")
+        files = getattr(dataset, "files", None)
+        if files is not None and len(files) > max_files:
+            return None
+        # count_rows on an unfiltered parquet dataset is resolved from
+        # row-group metadata (no column decode).
+        return int(dataset.count_rows())
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver's events.parquet carries TIMESTAMP(NANOS) which the

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import load_table, table_row_count
 from ..functions import pround, sql_pround
 from ..operators import dedup, sampling
 from ..operators import text as textops
@@ -296,7 +296,7 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a high dup_frac here. Complements doc_minhash_* (whole-doc near-dup)
     and doc_decontaminate (n-gram overlap vs a fixed eval set)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.duplicate_span_stats(d, n=_SPAN_N, n_docs=d.count())
+    return dedup.duplicate_span_stats(d, n=_SPAN_N, n_docs=_n_docs(d, sf_dir))
 
 
 # N-gram Jaccard near-dedup: word-3-shingles → df-capped set join → pair
@@ -550,17 +550,30 @@ WHERE {_MH_JAC} >= {_MH_THRESHOLD}
 _MINHASH_ORACLE = _minhash_oracle(dedup.sql_word_shingles("documents"))
 
 
-def _mh_geometry(d) -> tuple[int, int, int, int]:
+def _n_docs(d, sf_dir: str | None) -> int:
+    """Corpus size for plan-time decisions: parquet-footer count when the
+    relation is the unfiltered table of a known sf_dir (driver-side, no
+    job — datasets.table_row_count), count() job otherwise."""
+    n = table_row_count(sf_dir, "documents") if sf_dir else None
+    return d.count() if n is None else n
+
+
+def _mh_geometry(d, sf_dir: str | None = None) -> tuple[int, int, int, int]:
     """Tiered (num_hashes, bands, est_min_matches, n_docs) for this corpus
-    (operators/dedup.lsh_tier_geometry). The count() is a metadata-only
-    parquet job; every driver/bench SF (≤ 5k docs) lands in tier 0 =
-    (_MH_K, _MH_BANDS, _MH_EST_MIN) — exactly the geometry the static
-    oracle strings above are generated with — so correctness comparisons
-    and golden plans are unaffected. Only the soak tiers (500k+ docs)
-    switch to the sharper r=6/r=8 geometries. n_docs rides along so
-    callers can thread it (backend auto-resolution, single-partition
-    spread) without a second count."""
-    n = d.count()
+    (operators/dedup.lsh_tier_geometry). With ``sf_dir`` the corpus size
+    comes from the parquet footers driver-side (datasets.table_row_count —
+    identical number, no scheduled job; the count() job cost ~0.25 s fixed
+    per query at bench scale); otherwise — or when the footer read bows out
+    — it falls back to the count() job. Every driver/bench SF (≤ 5k docs)
+    lands in tier 0 = (_MH_K, _MH_BANDS, _MH_EST_MIN) — exactly the
+    geometry the static oracle strings above are generated with — so
+    correctness comparisons and golden plans are unaffected. Only the soak
+    tiers (500k+ docs) switch to the sharper r=6/r=8 geometries. n_docs
+    rides along so callers can thread it (backend auto-resolution,
+    single-partition spread) without a second count."""
+    n = table_row_count(sf_dir, "documents") if sf_dir else None
+    if n is None:
+        n = d.count()
     return (*dedup.lsh_tier_geometry(n), n)
 
 # Capped-set variant: shingles with df > cap are removed BEFORE signatures,
@@ -638,7 +651,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min, n = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         d,
         num_hashes=k,
@@ -671,7 +684,7 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_key) md5 buckets — sub-quadratic, skew-free (vs. the raw shingle
     join in doc_ngram_jaccard)."""
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min, n = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         d, num_hashes=k, bands=b, threshold=_MH_THRESHOLD,
         est_min_matches=est_min, n_docs=n,
@@ -698,7 +711,7 @@ def q_doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines. Sits beside doc_minhash_lsh (exact sets) the
     way doc_ngram_jaccard's cap sits beside its uncapped didactic form."""
     d = load_table(spark, sf_dir, "documents")
-    k, b, est_min, n = _mh_geometry(d)
+    k, b, est_min, n = _mh_geometry(d, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
         d,
         num_hashes=k,
@@ -748,7 +761,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no cross join. One aggregate pass computes all 64 signature bits."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(
-        d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS, n_docs=d.count()
+        d, max_hamming=_SH_MAX_HAMMING, bands=_SH_BANDS, n_docs=_n_docs(d, sf_dir)
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
@@ -797,7 +810,7 @@ def q_doc_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's banding stage at the 100x tier."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash128_near_dup_pairs(
-        d, max_hamming=_SH_MAX_HAMMING, n_docs=d.count()
+        d, max_hamming=_SH_MAX_HAMMING, n_docs=_n_docs(d, sf_dir)
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 

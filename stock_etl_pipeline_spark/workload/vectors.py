@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..datasets import load_table
+from ..datasets import load_table, table_row_count
 from ..functions import pround, sql_pround
 from ..operators import dedup, similarity
 from . import spec, spec_tests_only
@@ -483,6 +483,16 @@ def _ann_backend(n_vecs: int) -> str:
     )
 
 
+def _n_vecs(e, sf_dir: str | None) -> int:
+    """Corpus size for backend/tier selection: parquet-footer count when the
+    relation is the unfiltered embeddings table of a known sf_dir
+    (driver-side, no job — datasets.table_row_count), count() job
+    otherwise. The number is identical either way; only the scheduled job
+    (~0.25 s fixed per query at bench scale) disappears."""
+    n = table_row_count(sf_dir, "embeddings") if sf_dir else None
+    return e.count() if n is None else n
+
+
 @spec("embedding_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf", "kmeans"), bench=True)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 2-iteration exact k-means (8 cells) coarse quantizer, 2-cell
@@ -495,7 +505,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = similarity.ivf_topk(
         e, q, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE, k=_TOP_K,
         id_col="vec_id", query_id_col="query_id",
-        assign_backend=_ann_backend(e.count()),
+        assign_backend=_ann_backend(_n_vecs(e, sf_dir)),
     )
     return topk.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk")
@@ -708,7 +718,7 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64, k_clusters=_IVF_K, iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
         n_subspaces=_PQ_SUBS, n_codes=_PQ_CODES, pq_iters=1, k=_TOP_K,
         shortlist_factor=3, id_col="vec_id", query_id_col="query_id",
-        assign_backend=_ann_backend(e.count()),
+        assign_backend=_ann_backend(_n_vecs(e, sf_dir)),
     )
     return topk.select(
         "query_id", "neighbor_id", "approx_cosine", "cosine",
@@ -869,7 +879,7 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SEM_THRESHOLD,
         iters=_IVF_ITERS,
         keep="far_from_centroid",
-        **_sem_tier(e.count()),
+        **_sem_tier(_n_vecs(e, sf_dir)),
     )
 
 
