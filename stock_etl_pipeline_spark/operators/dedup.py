@@ -1013,7 +1013,7 @@ def minhash_lsh_pairs(
     aggregate, the per-doc counts, and both exact-verify join sides, and
     the df window makes recomputation non-trivial).
     """
-    from ..caching import begin_pipeline, eager_cache
+    from ..caching import begin_pipeline, eager_cache, lazy_cache
 
     begin_pipeline()
     assert num_hashes % bands == 0
@@ -1073,6 +1073,18 @@ def minhash_lsh_pairs(
         # the ≤ |sh|/cap hot keys back out (AQE broadcasts the hot relation
         # when small, skew-splits the join when not).
         sh = word_shingles_b60(df, id_col, text_col, shingle_n)
+        # The raw shingle relation has TWO consumers here — the df
+        # aggregate and the anti-join's left side — so without a cache the
+        # text → explode → md5-fold pass runs twice (no exchange below it
+        # for reuse to fire on; the broadcast anti-join streams its left
+        # side straight off the scan). Pipeline-cache it (r13): the cached
+        # rows are the narrow (id, b60) pairs — 16 bytes each, the same
+        # order of storage the sig relation's hash sets already pin —
+        # and MEMORY_AND_DISK spills at scale. Measured at sf0.1: the
+        # capped pipeline's signature fill drops ~0.8 s of its ~2.5 s.
+        # SPARK_GRAFT_MHC_SHINGLE_CACHE=0 keeps the two-pass arm for A/B.
+        if os.environ.get("SPARK_GRAFT_MHC_SHINGLE_CACHE", "1") != "0":
+            sh = lazy_cache(sh)
         hot = (
             sh.groupBy("b60")
             .agg(F.count("*").alias("df"))
