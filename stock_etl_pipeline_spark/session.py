@@ -63,26 +63,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Scan split sizing (guide §6): split width is
-        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)),
-        # so the 4 MB openCost DEFAULT is the binding floor on any table
-        # under cores×4 MB — sf0.1 lineitem (10.8 MB) scanned as 3 splits
-        # on 32 cores, serializing every scan stage on 3 of 32 cores
-        # (measured: the fixed scan+agg probe drops 0.37 → 0.30 s at 256 KB,
-        # splits 3 → 32). 256 KB keeps parquet open overhead negligible on
-        # local/NVMe/object stores while letting totalBytes/cores rule; at
-        # 100 TB big files split by maxPartitionBytes as before and the only
-        # behavior change is tighter packing of sub-4 MB files — which the
-        # engine's own sinks avoid writing (128 MB+ targets). Both knobs
-        # stay env-tunable for cluster profiles.
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
-        )
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
@@ -101,11 +81,6 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     (e.g. the driver's)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # Runtime-settable scan split floor — same rationale as get_spark.
-    spark.conf.set(
-        "spark.sql.files.openCostInBytes",
-        os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
-    )
     try:
         spark.conf.set(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
