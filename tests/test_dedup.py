@@ -1943,3 +1943,20 @@ def test_minhash_index_rewrite_repairs_stoplist_drift(spark, tmp_path):
     prev = set(range(6)) | set(range(10, 15))
     assert flags == {p for p in batch if not (p[0] in prev and p[1] in prev)}
     assert (0, 20) in flags  # body match survives; new boiler can't glue doc 20
+
+
+def test_minhash_capped_shingle_cache_arm_equality(spark, monkeypatch):
+    """The r13 shingle-relation cache (df aggregate + anti-join left share
+    one explode/md5 pass) must not change the pair set: cached and two-pass
+    arms are row-identical on the sf0.001 corpus."""
+    from stock_etl_pipeline_spark.caching import release
+    from stock_etl_pipeline_spark.workload import load_all
+
+    fn = load_all()["doc_minhash_capped"].fn
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_MHC_SHINGLE_CACHE", raising=False)
+    cached = sorted(map(repr, fn(spark, sf).collect()))
+    release()
+    monkeypatch.setenv("SPARK_GRAFT_MHC_SHINGLE_CACHE", "0")
+    twopass = sorted(map(repr, fn(spark, sf).collect()))
+    assert cached == twopass

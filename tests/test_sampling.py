@@ -349,3 +349,24 @@ def test_sample_to_token_budget_by_strata(spark):
     )
     # en: 1, 2 fit 20; de: 5 (best quality) fits 10, 4 would exceed; zh dropped
     assert got == [1, 2, 5]
+
+
+def test_sample_to_token_budget_cache_arm_equality(spark, monkeypatch):
+    """The r13 pipeline cache (the operator's three actions share one
+    computation of the input) must not change the selected set: cached and
+    uncached arms are row-identical, including the straddling bucket."""
+    from stock_etl_pipeline_spark.caching import release
+    from stock_etl_pipeline_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    rows = [(i, (i * 37) % 101 + 1, ((i * 61) % 997) / 997.0) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SAMPLE_CACHE", raising=False)
+    cached = sorted(map(repr, sample_to_token_budget(df, 2_000).collect()))
+    release()
+    monkeypatch.setenv("SPARK_GRAFT_SAMPLE_CACHE", "0")
+    plain = sorted(map(repr, sample_to_token_budget(df, 2_000).collect()))
+    assert cached == plain and 0 < len(cached) < 300
