@@ -48,13 +48,18 @@ def dedup_keep_first(
     without, ``dropDuplicates`` keeps an arbitrary row per key (cheaper:
     partial-aggregate combine instead of a full window sort).
 
-    The tiebreak path is a HASH-AGGREGATE argmin — ``min(struct(tiebreaks…,
-    payload…))`` with map-side partial aggregation — not a window
-    row_number: the aggregate never sorts the group, partial-combines
-    before the exchange (duplicates die map-side), and stays whole-stage
-    codegen. Ordering by the full struct makes even full-tiebreak ties
-    deterministic (lexicographic over the remaining payload), strictly
-    stronger than row_number's arbitrary pick.
+    The tiebreak path is an AGGREGATE argmin — ``min(struct(tiebreaks…,
+    payload…))`` — not a window row_number. Physically it plans as a
+    SortAggregate (struct-typed buffers are not hash-aggregable; the r13
+    plan audit corrected this doc's earlier hash-aggregate claim), but it
+    keeps the property that matters at scale: map-side PARTIAL
+    aggregation, so duplicates die before the exchange, where a window
+    row_number ships every row. The r13 A/B measured all three physical
+    forms (struct-min SortAggregate, window row_number, min_by) at parity
+    at bench scale — the struct-min stays because its shuffle shrinks
+    with the duplicate rate. Ordering by the full struct makes even
+    full-tiebreak ties deterministic (lexicographic over the remaining
+    payload), strictly stronger than row_number's arbitrary pick.
     """
     if not tiebreak_cols:
         return df.dropDuplicates(list(keys))
