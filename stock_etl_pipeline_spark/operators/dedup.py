@@ -137,6 +137,32 @@ def _spread_cache_key(df: DataFrame) -> tuple | None:
     )
 
 
+def _total_row_groups(files: tuple[str, ...], *, max_files: int = 64) -> int | None:
+    """Total parquet row groups across ``files`` from driver-side footer
+    metadata (no Spark job), or None when not cheaply knowable: more than
+    ``max_files`` fragments (a sequential footer loop stops being free),
+    a non-local scheme, a non-parquet file, or missing pyarrow. Same
+    footer discipline as ``datasets.table_row_count``."""
+    if not files or len(files) > max_files:
+        return None
+    try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(
+                unquote(parsed.path) or f
+            ).metadata.num_row_groups
+        return total
+    except Exception:
+        return None
+
+
 def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     """Round-robin a SINGLE-partition relation across the cores before an
     Arrow signature kernel. A mid-size corpus often arrives as one parquet
@@ -163,6 +189,16 @@ def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     single = _spread_decisions.get(key) if key is not None else None
     if single is None:
         single = df.rdd.getNumPartitions() == 1
+        if not single and key is not None:
+            # Split math can plan many splits over a file whose data is ONE
+            # parquet row group — the row group is the true unit of scan
+            # parallelism, so those extra splits are empty and the kernel
+            # still runs single-worker while the ==1 probe reads "many"
+            # (this round's open-cost experiment hit exactly that: 32
+            # planned splits, 1 nonempty, spread silently off, signature
+            # kernels 1.5x slower). For scan-shaped file relations, read
+            # the footers: one total row group == one effective partition.
+            single = _total_row_groups(key[0]) == 1
         if key is not None:
             if len(_spread_decisions) >= _SPREAD_CACHE_MAX:
                 _spread_decisions.clear()

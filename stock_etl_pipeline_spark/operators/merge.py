@@ -6,9 +6,11 @@ drop_duplicates on (date,symbol,data_source) (O4) → multi-key sort (O1).
 
 Scale notes:
 - ``unionByName`` is metadata-only (no shuffle).
-- dedup is ONE hash shuffle on the key; with ``tiebreak_cols`` it is a
-  hash-aggregate argmin (min over an ordered struct — partial-combined
-  map-side, no group sort) so the kept row is deterministic — pandas
+- dedup is ONE hash shuffle on the key; with ``tiebreak_cols`` it is an
+  aggregate argmin (min over an ordered struct — partial-combined
+  map-side; plans as SortAggregate since struct buffers are not
+  hash-aggregable, see merge_sources) so the kept row is deterministic —
+  pandas
   keep-first depends on concat order, which is meaningless on a
   distributed engine (SURVEY.md §7 risk list).
 - the final sort is optional: a global orderBy is a range-partition shuffle

@@ -879,6 +879,64 @@ def test_spread_single_partition_gating(spark):
     )
 
 
+def test_spread_fires_on_single_row_group_despite_split_math(spark, tmp_path):
+    """Split planning can slice a one-row-group file into many byte-range
+    splits (small maxPartitionBytes, tiny openCost), but the row group is
+    the true unit of scan parallelism: all rows land in ONE task and the
+    rest are empty, so the ==1 partition probe reads 'many' while the
+    kernel still serializes through one worker (this round's open-cost
+    experiment measured the signature kernels 1.5x slower with the spread
+    masked that way). The footer probe must see through it: one total row
+    group == one effective partition -> spread fires."""
+    from stock_etl_pipeline_spark.operators import dedup
+
+    p = str(tmp_path / "one_rg")
+    spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet " * 40) for i in range(512)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        scan = spark.read.parquet(p)
+        planned = scan.rdd.getNumPartitions()
+        assert planned > 1  # split math sees many splits...
+        files = tuple(sorted(scan.inputFiles()))
+        assert dedup._total_row_groups(files) == 1  # ...the data is one RG
+        key = dedup._spread_cache_key(scan)
+        dedup._spread_decisions.pop(key, None)
+        out = dedup._spread_single_partition(scan, dedup._SPREAD_MIN_DOCS)
+        assert out.rdd.getNumPartitions() == par  # spread fired anyway
+        assert dedup._spread_decisions.get(key) is True
+        dedup._spread_decisions.pop(key, None)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    # A genuinely multi-row-group, multi-split scan must NOT spread: the
+    # footer probe only ever turns 'many planned' INTO 'single', never the
+    # reverse, and multi-RG parallelism is real.
+    p2 = str(tmp_path / "many_rg")
+    spark.createDataFrame(
+        [(i, "x" * 64) for i in range(4096)], "doc_id long, text string"
+    ).coalesce(1).write.option("parquet.block.size", "4096").parquet(p2)
+    scan2 = spark.read.parquet(p2)
+    files2 = tuple(sorted(scan2.inputFiles()))
+    rgs2 = dedup._total_row_groups(files2)
+    assert rgs2 is not None and rgs2 > 1
+    if scan2.rdd.getNumPartitions() > 1:
+        key2 = dedup._spread_cache_key(scan2)
+        dedup._spread_decisions.pop(key2, None)
+        out2 = dedup._spread_single_partition(scan2, dedup._SPREAD_MIN_DOCS)
+        assert (
+            out2.rdd.getNumPartitions() == scan2.rdd.getNumPartitions()
+        )  # untouched
+        dedup._spread_decisions.pop(key2, None)
+
+
 def test_spread_decision_cached_per_file_set(spark, tmp_path):
     """The exact single-partition probe forces physical planning, so its
     verdict is cached per file set (ADVICE r8) — every projection of the
