@@ -84,10 +84,21 @@ def table_row_count(sf_dir: str, name: str, *, max_files: int = 256) -> int | No
     resolves to more than ``max_files`` fragments — at that file count a
     sequential driver loop over footers loses to the distributed job — or
     when anything about the footer read fails (non-local path, schema
-    evolution across files, missing pyarrow)."""
+    evolution across files, missing pyarrow).
+
+    Non-local schemes are refused UP FRONT (same guard as
+    ``operators.dedup._total_row_groups``, VERDICT r13 item 2): with an
+    fsspec backend installed, ``pyarrow.dataset`` would happily issue up
+    to ``max_files`` SERIAL remote footer reads on the driver inside the
+    query path before the fragment-count check ever ran — the distributed
+    ``count()`` is the right tool there."""
     try:
+        from urllib.parse import urlparse
+
         import pyarrow.dataset as ds
 
+        if urlparse(table_path(sf_dir, name)).scheme not in ("", "file"):
+            return None
         dataset = ds.dataset(table_path(sf_dir, name), format="parquet")
         files = getattr(dataset, "files", None)
         if files is not None and len(files) > max_files:

@@ -618,7 +618,19 @@ def plan_fingerprint(df) -> str:
     bench.py (which times 2 reps of every query before fingerprinting)
     vs a fingerprint-only sweep on byte-identical code. The ``lambda ``
     prefix scopes the strip: genuine column names like ``minh_0`` never
-    carry it, so their ordinals survive."""
+    carry it, so their ordinals survive.
+
+    Round 14 (VERDICT r13 item 1) also masks PARTITION-WIDTH literals:
+    ``Repartition <n>`` / ``RepartitionByExpression [...], <n>`` nodes
+    carry numPartitions, and the dedup spread derives that number from
+    ``defaultParallelism`` — an ENVIRONMENT value, not code. The driver
+    benches the same code at 32 and 8 cores, and the 8-core run flipped
+    five dedup-family plan hashes (PLANHASH d9eaf54 vs 001187f on
+    byte-identical code), misfiring round_compare's touched-set
+    detection. Width edits that ARE code changes still move the kernel
+    hash (the source closure sees the literal)."""
     s = _analyzed_plan_string(df)
     s = re.sub(r"lambda (\w+?)_\d+#", r"lambda \1#", s)
+    s = re.sub(r"\b(Repartition) \d+", r"\1 N", s)
+    s = re.sub(r"\b(RepartitionByExpression \[[^\]]*\]), \d+", r"\1, N", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]

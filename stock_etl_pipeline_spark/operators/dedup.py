@@ -155,9 +155,10 @@ def _total_row_groups(files: tuple[str, ...], *, max_files: int = 64) -> int | N
             parsed = urlparse(f)
             if parsed.scheme not in ("", "file"):
                 return None
-            total += pq.ParquetFile(
-                unquote(parsed.path) or f
-            ).metadata.num_row_groups
+            # read_metadata opens, reads the footer, and closes in one
+            # call — ParquetFile left up to max_files handles open until
+            # GC (ADVICE r13).
+            total += pq.read_metadata(unquote(parsed.path) or f).num_row_groups
         return total
     except Exception:
         return None
@@ -168,7 +169,10 @@ def _spread_single_partition(df: DataFrame, n_docs: int | None) -> DataFrame:
     Arrow signature kernel. A mid-size corpus often arrives as one parquet
     split (sf0.1: 6k docs, 1 partition), which serializes the whole kernel
     through ONE Python worker — measured 6.5 s cold / 0.9 s warm vs 1.7 /
-    0.6 spread at sf0.1. Fires ONLY at exactly one partition AND a known
+    0.6 spread at sf0.1. Fires ONLY at one EFFECTIVE partition (==1
+    planned, or one total parquet row group for scan-shaped file
+    relations — split math can plan many splits whose data all lands in
+    one task) AND a known
     corpus of ≥ _SPREAD_MIN_DOCS docs: the same repartition at the 100x
     tier (30 scan partitions) shuffled the token mass for a 2.4x LOSS
     (SCALING.md round 8) — text/token bytes must not shuffle when the scan

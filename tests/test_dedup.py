@@ -923,18 +923,26 @@ def test_spread_fires_on_single_row_group_despite_split_math(spark, tmp_path):
     spark.createDataFrame(
         [(i, "x" * 64) for i in range(4096)], "doc_id long, text string"
     ).coalesce(1).write.option("parquet.block.size", "4096").parquet(p2)
-    scan2 = spark.read.parquet(p2)
-    files2 = tuple(sorted(scan2.inputFiles()))
-    rgs2 = dedup._total_row_groups(files2)
-    assert rgs2 is not None and rgs2 > 1
-    if scan2.rdd.getNumPartitions() > 1:
+    # Force multi-split planning (ADVICE r13: a host/conf that plans one
+    # split would silently skip this negative case behind an `if`) — the
+    # same conf pattern as the positive half above.
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        scan2 = spark.read.parquet(p2)
+        files2 = tuple(sorted(scan2.inputFiles()))
+        rgs2 = dedup._total_row_groups(files2)
+        assert rgs2 is not None and rgs2 > 1
+        planned2 = scan2.rdd.getNumPartitions()
+        assert planned2 > 1  # precondition must hold, loudly
         key2 = dedup._spread_cache_key(scan2)
         dedup._spread_decisions.pop(key2, None)
         out2 = dedup._spread_single_partition(scan2, dedup._SPREAD_MIN_DOCS)
-        assert (
-            out2.rdd.getNumPartitions() == scan2.rdd.getNumPartitions()
-        )  # untouched
+        assert out2.rdd.getNumPartitions() == planned2  # untouched
         dedup._spread_decisions.pop(key2, None)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
 
 
 def test_spread_decision_cached_per_file_set(spark, tmp_path):

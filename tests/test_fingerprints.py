@@ -354,6 +354,47 @@ def test_plan_fingerprint_lambda_counter_independent(spark, sf_small):
     assert a != b
 
 
+def test_plan_fingerprint_partition_width_independent(spark):
+    """fp_version-3 regression (VERDICT r13 item 1): the dedup spread
+    repartitions to ``defaultParallelism``, an ENVIRONMENT value — the
+    driver's 8-core bench run flipped five dedup-family plan hashes vs
+    the 32-core run on byte-identical code, misfiring round_compare's
+    touched-set detection. The hash must mask partition-width literals
+    in Repartition / RepartitionByExpression nodes while every other
+    plan difference still moves it."""
+    base = spark.range(100).selectExpr("id", "id % 7 AS k")
+    h8 = fingerprints.plan_fingerprint(base.repartition(8))
+    h32 = fingerprints.plan_fingerprint(base.repartition(32))
+    assert h8 == h32
+    r8 = fingerprints.plan_fingerprint(base.repartitionByRange(8, "k"))
+    r32 = fingerprints.plan_fingerprint(base.repartitionByRange(32, "k"))
+    assert r8 == r32
+    # widths are masked, the STRUCTURE is not: a different key, a missing
+    # repartition, or a different node kind all still move the hash
+    assert h8 != fingerprints.plan_fingerprint(base)
+    assert h8 != r8
+    assert r8 != fingerprints.plan_fingerprint(base.repartitionByRange(8, "id"))
+
+
+def test_table_row_count_refuses_remote_schemes(tmp_path):
+    """VERDICT r13 item 2: ``datasets.table_row_count`` must refuse
+    non-local schemes up front (parity with ``_total_row_groups``) —
+    with an fsspec backend installed, pyarrow.dataset would otherwise
+    issue serial remote footer reads on the driver inside the query
+    path. Callers fall back to the distributed count()."""
+    from stock_etl_pipeline_spark import datasets
+
+    assert datasets.table_row_count("s3://bucket/sf0.1", "lineitem") is None
+    assert datasets.table_row_count("hdfs://nn/sf0.1", "documents") is None
+    # local paths (bare and file://) keep working
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"doc_id": [1, 2, 3]}), d)
+    assert datasets.table_row_count(str(tmp_path), "documents") == 3
+
+
 def test_incr_family_kernel_hashes(monkeypatch):
     """INCR freshness gate (round 12, VERDICT r11 item 2): incr_lab records
     one fp3-closure hash per index family; fp_check fails a round close
