@@ -512,9 +512,27 @@ def kmeans_exact(
     )
     # assign_backend="arrow" runs each Lloyd iteration as ONE shuffle-free
     # Arrow kernel job (assignment + per-partition int64 partial sums,
-    # combined driver-side) — last-ulp caveat as assign_to_centroids_arrow;
-    # the jvm default stays oracle-exact.
+    # combined driver-side).
     if assign_backend == "arrow":
+        return _kmeans_exact_arrow(
+            vecs, k_clusters=k_clusters, iters=iters, id_col=id_col
+        )
+    # Round 14: the DEFAULT (oracle) backend is the Arrow iteration kernel
+    # too — with the jvm-order dot fold (_np_dot_jvm_order) its assignment
+    # arithmetic is BIT-IDENTICAL to the relational _DOT_D path, and its
+    # partial-sum/update arithmetic was exact all along, so the last-ulp
+    # caveat that kept it off the oracle path is gone (equality test-pinned
+    # against the fused jvm path; driver-oracle green). One shuffle-free
+    # job per Lloyd iteration instead of broadcast + two aggregate stages:
+    # measured 0.66 s -> ~0.25 s per iteration at sf0.1, on each of the
+    # three kmeans-bearing bench queries. Falls back to the fused jvm path
+    # when the gemm dot arm is active (gemm keeps the ulp caveat) or under
+    # SPARK_GRAFT_KMEANS_ARROW=0 (the A/B arm).
+    if (
+        _assign_dot_mode() == "fold"
+        and os.environ.get("SPARK_GRAFT_KMEANS_ARROW", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_KMEANS_FUSE", "1") != "0"
+    ):
         return _kmeans_exact_arrow(
             vecs, k_clusters=k_clusters, iters=iters, id_col=id_col
         )
@@ -695,9 +713,13 @@ def _kmeans_exact_arrow(
     materialize-collect pair: at bench scale those fixed job costs are the
     whole k-means wall time.
 
-    Same caveat as every Arrow kernel: BLAS dot accumulation order can
-    differ from the jvm fold by one ulp, so assignments within one ulp of a
-    0.5e-6 quantization boundary can differ; the jvm path stays the oracle.
+    Round 14: with the default ``fold`` dot mode the assignment arithmetic
+    is BIT-IDENTICAL to the jvm fold (see ``_np_dot_jvm_order``), so this
+    kernel IS the oracle path now. The ``SPARK_GRAFT_ASSIGN_DOT=gemm`` arm
+    restores BLAS dots and with them the old caveat (accumulation order
+    can differ from the jvm fold by one ulp near a 0.5e-6 quantization
+    boundary) — kmeans_exact routes the oracle default back to the fused
+    jvm path whenever that arm is active.
 
     Returns centroids (cid, c_dbl, cc) as a literal relation, cells with no
     members dropped — the jvm inner-join behavior.
@@ -875,6 +897,34 @@ def _hier_index(C, n_super: int | None = None, iters: int = 3):
     return S, (S * S).sum(axis=1), radius, members
 
 
+def _assign_dot_mode() -> str:
+    """``fold`` (default, round 14): dot products accumulate in the JVM
+    fold's exact IEEE order — the Arrow assignment is then BIT-IDENTICAL
+    to the relational ``_DOT_D`` path and loses the last-ulp caveat.
+    ``SPARK_GRAFT_ASSIGN_DOT=gemm`` keeps the BLAS matmul as the A/B arm
+    (same flop count, fewer memory passes, ulp-order caveat back)."""
+    return os.environ.get("SPARK_GRAFT_ASSIGN_DOT", "fold")
+
+
+def _np_dot_jvm_order(V, C):
+    """rows×K dot-product block accumulated in the JVM fold's exact order:
+    ``acc = ((0 + x0·y0) + x1·y1) + …`` — one vectorized rank-1 update per
+    dimension, so every (row, centroid) pair performs the IDENTICAL
+    sequence of IEEE-754 binary64 mul/add roundings as Catalyst's
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc + v)``
+    (``_DOT_D``) and DuckDB's list fold. numpy ufuncs do not fuse
+    multiply-add, matching the JVM's unfused double arithmetic. ~2-4× the
+    memory traffic of one BLAS GEMM (the accumulator is written ``dim``
+    times), bought back many times over by what bit-exactness enables:
+    the shuffle-free Arrow iteration kernel on the oracle path."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(V.shape[1]):
+        acc += V[:, i, None] * C[None, :, i]
+    return acc
+
+
 def _assign_block(V, vv, C, cc, hier):
     """Quantized-argmin nearest centroid for one Arrow batch. Returns
     (q, pos): the 1e-6-floor-quantized squared distance and the POSITION
@@ -882,15 +932,26 @@ def _assign_block(V, vv, C, cc, hier):
     the JVM struct-min tiebreak). ``hier=None`` is the flat rows×K kernel;
     otherwise the triangle-inequality-pruned two-level path (see the block
     comment above) whose candidate set provably contains every quantized-
-    argmin winner."""
+    argmin winner.
+
+    With the default ``fold`` dot mode (``_assign_dot_mode``) the distance
+    arithmetic — ``(vv + cc) − 2·dot`` with the JVM-order dot, then
+    ``floor(d·1e6 + 0.5)/1e6`` — is the identical sequence of IEEE ops the
+    relational path performs, so q and pos are bit-identical to the JVM
+    argmin; the ``gemm`` arm keeps the documented last-ulp caveat."""
     import numpy as np
 
+    dot = _np_dot_jvm_order if _assign_dot_mode() == "fold" else (
+        lambda A, B: A @ B.T
+    )
     if hier is None:
-        d = vv[:, None] + cc[None, :] - 2.0 * (V @ C.T)
+        d = vv[:, None] + cc[None, :] - 2.0 * dot(V, C)
         dq = np.floor(d * 1e6 + 0.5) / 1e6
         j = dq.argmin(axis=1)
         return dq[np.arange(len(j)), j], j
     S, ss, radius, members = hier
+    # the PRUNING bounds only decide which blocks open (any covering set
+    # yields the identical argmin) — plain BLAS stays correct here
     d2s = np.maximum(vv[:, None] + ss[None, :] - 2.0 * (V @ S.T), 0.0)
     ds = np.sqrt(d2s)
     ub = (ds + radius[None, :]).min(axis=1)
@@ -907,7 +968,7 @@ def _assign_block(V, vv, C, cc, hier):
         rows = np.flatnonzero(cand[:, i])
         if not len(rows):
             continue
-        d = vv[rows, None] + cc[mem][None, :] - 2.0 * (V[rows] @ C[mem].T)
+        d = vv[rows, None] + cc[mem][None, :] - 2.0 * dot(V[rows], C[mem])
         dq = np.floor(d * 1e6 + 0.5) / 1e6
         j = dq.argmin(axis=1)
         q = dq[np.arange(len(rows)), j]
@@ -1051,10 +1112,11 @@ def assign_to_centroids_arrow(
     occurrence), matching the JVM struct-min tiebreak. The narrow
     assignment never shuffles.
 
-    vs the JVM path: BLAS may accumulate the dot in a different order, so
-    a distance within one ulp of a 0.5e-6 quantization boundary can round
-    differently — the same last-ulp caveat as the GEMM pair kernel; the
-    JVM path remains the oracle-exact one. Returns (id_col, cid, cdist)
+    vs the JVM path: bit-identical under the default ``fold`` dot mode
+    (round 14, ``_np_dot_jvm_order`` — the same IEEE op sequence as the
+    ``_DOT_D`` fold); the ``SPARK_GRAFT_ASSIGN_DOT=gemm`` A/B arm restores
+    BLAS accumulation and with it the last-ulp quantization-boundary
+    caveat. Returns (id_col, cid, cdist)
     followed by EVERY non-id input column unchanged (the jvm path's
     payload-passthrough contract, plus cdist), so the backends swap
     without changing a caller's downstream schema. Perf-sensitive callers
@@ -1145,6 +1207,15 @@ def ivf_topk(
     # like every other pairwise cosine (round 7). k-means trains on the
     # vvi-FREE relation — cu is lazy, so a vvi column would re-fold on
     # every Lloyd materialization while only the final scoring reads it.
+    # The corpus micro-vector relation IS a diamond here (k-means
+    # iterations + init collect, the cell assignment, the returned scoring
+    # plan), but pipeline-caching it was measured a LOSS at bench scale
+    # (round 14 A/B, 7 interleaved reps: cache 1.81 s vs uncached 1.68 s
+    # median on embedding_ivf_topk, wash on ivf_pq): the upstream is one
+    # scan + HOF quantize of a small corpus, cheaper to recompute than to
+    # persist-and-rescan — unlike semantic_dedup, whose cached relation
+    # heads a pair stage that re-reads it per cell. Revisit only with a
+    # tier gate if a SCALING-tier A/B shows the recompute dominating.
     cu0 = with_micro_vectors(corpus, vec_col)
     cu = cu0.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
     qu = with_micro_vectors(queries, vec_col).withColumn(
@@ -2106,6 +2177,9 @@ def ivf_pq_topk(
     # fixed-order double expressions — it is centroid/codebook math).
     # k-means and the residual/codebook chain train on the vvi-FREE
     # relation; only the re-rank's raw relation and the query side fold it.
+    # The corpus micro-vector diamond is deliberately NOT pipeline-cached
+    # here either — same round-14 A/B evidence as ivf_topk (cache wash on
+    # this query, loss on ivf_topk at bench scale).
     cu0 = with_micro_vectors(corpus, vec_col)
     cu = cu0.withColumn("vvi", F.expr(_IDOT_L.format(a="v_int", b="v_int")))
     qu = with_micro_vectors(queries, vec_col).withColumn(

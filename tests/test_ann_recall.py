@@ -166,6 +166,76 @@ def test_kmeans_fused_matches_legacy_bit_exact(spark, monkeypatch):
     assert fused == legacy  # bit-exact: == on floats, no tolerance
 
 
+def test_kmeans_arrow_fold_matches_jvm_bit_exact(spark, monkeypatch):
+    """Round 14: the Arrow iteration kernel with the jvm-order dot fold
+    (_np_dot_jvm_order) is the DEFAULT oracle backend — it must reproduce
+    BOTH jvm arms (fused single-aggregate and legacy multi-shuffle)
+    BIT-exactly on the real corpus: same cids, same centroid doubles to
+    the last ulp, same norms. This equivalence is what lets the
+    shuffle-free kernel carry the three tier-0 kmeans queries."""
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "embeddings")
+        v = similarity.with_micro_vectors(e.select("vec_id", "embedding"))
+
+        def model(df):
+            return sorted(
+                (int(r["cid"]), [float(x) for x in r["c_dbl"]], float(r["cc"]))
+                for r in df.collect()
+            )
+
+        arrow = model(similarity.kmeans_exact(v, k_clusters=8, iters=2))
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_ARROW", "0")
+        fused = model(similarity.kmeans_exact(v, k_clusters=8, iters=2))
+        monkeypatch.setenv("SPARK_GRAFT_KMEANS_FUSE", "0")
+        legacy = model(similarity.kmeans_exact(v, k_clusters=8, iters=2))
+        monkeypatch.delenv("SPARK_GRAFT_KMEANS_ARROW")
+        monkeypatch.delenv("SPARK_GRAFT_KMEANS_FUSE")
+        assert len(arrow) > 0
+        assert arrow == fused == legacy  # bit-exact: == on floats
+
+
+def test_assign_arrow_fold_matches_jvm_bit_exact(spark, monkeypatch):
+    """assign_to_centroids_arrow under the default fold dot mode must
+    reproduce the jvm broadcast-join argmin BIT-exactly over the full
+    corpus — same cid AND same quantized cdist per vector — while the
+    gemm A/B arm stays available (and agrees here too; its caveat is
+    last-ulp boundary coincidence, not expected divergence)."""
+    from pyspark.sql import functions as F
+
+    from stock_etl_pipeline_spark.datasets import load_table
+    from stock_etl_pipeline_spark.operators import similarity
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    v = similarity.with_micro_vectors(e.select("vec_id", "embedding"))
+    cents = similarity.kmeans_exact(v, k_clusters=8, iters=2)
+
+    jvm = similarity.assign_to_centroids(v, cents)
+    vc = F.expr(similarity._DOT_D.format(a="v_dbl", b="c_dbl"))
+    jdist = F.floor(
+        (F.col("vv") + F.col("cc") - 2 * vc) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    jvm_rows = {
+        (int(r["vec_id"]), int(r["cid"]), float(r["cdist"]))
+        for r in jvm.join(F.broadcast(cents), "cid")
+        .withColumn("cdist", jdist)
+        .select("vec_id", "cid", "cdist")
+        .collect()
+    }
+    arrow_rows = {
+        (int(r["vec_id"]), int(r["cid"]), float(r["cdist"]))
+        for r in similarity.assign_to_centroids_arrow(
+            v.select("vec_id", "v_dbl", "vv"), cents
+        )
+        .select("vec_id", "cid", "cdist")
+        .collect()
+    }
+    assert len(jvm_rows) > 0
+    assert arrow_rows == jvm_rows
+
+
 def test_pq_fused_matches_legacy_chain(spark, monkeypatch):
     """The round-10 fused jvm PQ path (one aggregate job per Lloyd
     iteration, shuffle-free encode, driver-built ADC tables) must
