@@ -579,13 +579,16 @@ FROM prices
 
 @spec("quality_suite", oracle=_QUALITY_ORACLE, tags=("Q13", "quality"), bench=True)
 def q_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1-Q8 + Q10/Q11 inputs fused into one aggregate scan
-    (quality.quality_metrics_agg). The driver-facing QualityReport API in
-    ``quality/`` consumes this same metric row."""
-    from ..quality import quality_metrics_agg
+    """Q1-Q8 + Q10/Q11 inputs fused into one scan, rolled up over the
+    dedup key (quality.quality_metrics_df — round 14: the flat agg's three
+    distinct groups planned an Expand(4) copying every scan row four
+    times; the rollup expands only the ~|distinct keys| relation). The
+    driver-facing QualityReport API in ``quality/`` consumes this same
+    metric row."""
+    from ..quality import quality_metrics_df
 
     prices = load_prices(spark, sf_dir)
-    return prices.agg(*quality_metrics_agg(AS_OF_DATE))
+    return quality_metrics_df(prices, AS_OF_DATE)
 
 
 # --- as-of join: cross-source point-in-time alignment (operators/asof.py) ---

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stock_etl_pipeline_spark.quality import (
@@ -155,3 +156,30 @@ def test_report_tuple_contract():
     assert passed is False
     assert payload["errors"] == ["e"] and payload["warnings"] == ["w"]
     assert set(payload) == {"passed", "errors", "warnings", "metrics"}
+
+
+def test_metrics_rollup_arm_equality(spark, monkeypatch):
+    """Round 14: quality_metrics_df's dedup-key rollup (Expand over the
+    key relation instead of the scan) must reproduce the flat
+    quality_metrics_agg row EXACTLY — same column names, same order, same
+    values — on the real prices relation, including duplicate keys and a
+    NULL metric column (nulls in non-key columns; the dedup keys are
+    non-null by the prices-view construction)."""
+    from stock_etl_pipeline_spark.datasets import AS_OF_DATE, load_prices
+    from stock_etl_pipeline_spark.quality import quality_metrics_df
+
+    prices = load_prices(spark, "/root/testdata/sf0.01")
+    # exercise duplicates and nulls: double a slice, null some closes
+    p = prices.unionAll(prices.limit(500)).withColumn(
+        "close",
+        F.when(F.col("volume") % 7 == 0, F.lit(None)).otherwise(F.col("close")),
+    )
+    rollup = quality_metrics_df(p, AS_OF_DATE)
+    monkeypatch.setenv("SPARK_GRAFT_QS_EXPAND", "1")
+    flat = quality_metrics_df(p, AS_OF_DATE)
+    monkeypatch.delenv("SPARK_GRAFT_QS_EXPAND")
+    assert rollup.columns == flat.columns
+    a, b = rollup.collect()[0].asDict(), flat.collect()[0].asDict()
+    assert a == b
+    # the prices view has inherent duplicate keys; the union adds 500 more
+    assert a["n_duplicate_rows"] >= 500 and a["n_null_close"] > 0
