@@ -68,8 +68,10 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Gopher-style duplicate word/bigram fractions via array higher-order
     functions — no explode) + PII hygiene profile (email / phone / IPv4 /
     SSN / card counts and the post-redaction length, operators/text.py) —
-    all JVM-side regex in one narrow pass, no UDFs, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    all JVM-side regex in one narrow pass, no UDFs, no shuffle beyond the
+    guarded single-partition spread (_docs_spread — 2.5x at sf0.1; the
+    regex suite ran on one core off the one-row-group scan)."""
+    d = _docs_spread(spark, sf_dir)
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT_RE), 0))
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_RE), 0))
@@ -558,6 +560,32 @@ def _n_docs(d, sf_dir: str | None) -> int:
     return d.count() if n is None else n
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, round-robined across the cores when it arrives as
+    ONE effective partition (dedup._spread_single_partition — the guarded
+    probe: fires only at 1 planned partition / 1 total parquet row group
+    AND ≥ _SPREAD_MIN_DOCS docs, so a genuinely multi-split corpus is
+    never shuffled).
+
+    Round 14: the heavy per-row text queries inherited the scan's single
+    partition and ran their whole kernel on ONE core — the exact
+    pathology the Arrow signature fills fixed in round 8, unfixed on the
+    JVM-expression queries. Interleaved 5-rep sweep at sf0.1 (base →
+    spread medians): doc_lm_quality 8.28 → 2.08 s (3.98x),
+    doc_decontaminate 6.16 → 2.25 (2.73x), doc_token_fingerprint
+    5.12 → 2.14 (2.39x), doc_text_stats 1.11 → 0.45 (2.5x). Applied
+    ONLY to those four: the same sweep measured cheap-row-work queries
+    LOSING to the text shuffle (doc_exact_dedup 0.52x, doc_train_split
+    0.69x, doc_tfidf_top 0.70x, doc_lang_report 0.80x,
+    doc_corpus_construction 0.92x — its heavy inner chains run after a
+    join that already spreads) — those keep the bare scan. Per-doc
+    results are partitioning-invariant and every aggregate downstream is
+    order-independent by the engine's integer-exactness contract
+    (odd-parallelism probe green)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup._spread_single_partition(d, _n_docs(d, sf_dir))
+
+
 def _mh_geometry(d, sf_dir: str | None = None) -> tuple[int, int, int, int]:
     """Tiered (num_hashes, bands, est_min_matches, n_docs) for this corpus
     (operators/dedup.lsh_tier_geometry). With ``sf_dir`` the corpus size
@@ -884,8 +912,10 @@ def q_doc_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup detection) — all arithmetic exact int64, stable across engines
     and cluster sizes. Both branches are explode + aggregate with doc_id as
     the (dense, uniform) shuffle key; the join is co-partitioned on the same
-    key, so fusing costs no extra exchange over either standalone query."""
-    d = load_table(spark, sf_dir, "documents")
+    key, so fusing costs no extra exchange over either standalone query.
+    The scan takes the guarded spread (_docs_spread, 2.39x at sf0.1: both
+    explode branches ran on one core off the one-row-group scan)."""
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(
         "doc_id",
         F.explode(
@@ -975,8 +1005,12 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-8-gram Karp-Rabin fingerprints shared with the (deterministic
     pseudo-)eval set, plus the threshold flag (≥ 8 shared grams) a
     pipeline's keep/drop filter consumes. Gram hashes are exact int64 —
-    identical in both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    identical in both engines. The scan takes the guarded spread
+    (_docs_spread, 2.73x at sf0.1: the 8-gram explode feeding BOTH join
+    sides ran on one core off the one-row-group scan — the spread beat an
+    eager gram cache, 1.14 vs 1.29 s, because parallel recompute is
+    cheaper than persist-and-rescan here)."""
+    d = _docs_spread(spark, sf_dir)
     grams = d.select(
         "doc_id",
         F.explode(
@@ -1375,7 +1409,9 @@ def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     'score candidate text under a reference-corpus model' move, with
     integer-exact probabilities so the ranking is engine- and
     fold-order-independent (a log-prob mean would hang on libm ulps).
-    In-domain docs score high; other languages and garbage score low."""
-    d = load_table(spark, sf_dir, "documents")
+    In-domain docs score high; other languages and garbage score low.
+    The scan takes the guarded spread (_docs_spread, 3.98x at sf0.1: the
+    bigram scoring pass ran on one core off the one-row-group scan)."""
+    d = _docs_spread(spark, sf_dir)
     ref = d.filter(F.col("lang") == "en").select("text")
     return textops.char_bigram_lm_score(d.select("doc_id", "text"), ref)

@@ -238,3 +238,28 @@ def test_char_bigram_lm_score_signal_and_determinism(spark):
         for r in char_bigram_lm_score(docs.repartition(7), ref.repartition(3)).collect()
     }
     assert again == {k: v["lm_score"] for k, v in out.items()}
+
+
+def test_docs_spread_invariance_at_firing_sf(spark, monkeypatch):
+    """Round 14: the four heavy per-row text queries take the guarded
+    single-partition spread (workload.docs._docs_spread). At sf0.1 the
+    corpus (5000 docs ≥ _SPREAD_MIN_DOCS, one parquet row group) actually
+    fires it — pin that (a) the spread really engages there (the scan
+    plans 1 partition, the query input > 1) and (b) doc_text_stats rows
+    are identical with the spread suppressed (per-doc kernels are
+    partitioning-invariant)."""
+    from stock_etl_pipeline_spark.workload import docs as wdocs
+    from stock_etl_pipeline_spark.workload import load_all
+
+    sf_dir = "/root/testdata/sf0.1"
+    bare = wdocs.load_table(spark, sf_dir, "documents")
+    spread = wdocs._docs_spread(spark, sf_dir)
+    assert bare.rdd.getNumPartitions() == 1
+    assert spread.rdd.getNumPartitions() > 1
+    fn = load_all()["doc_text_stats"].fn
+    got = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    monkeypatch.setattr(
+        wdocs, "_docs_spread", lambda sp, sd: wdocs.load_table(sp, sd, "documents")
+    )
+    unspread = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert got == unspread and len(got) == 5000
