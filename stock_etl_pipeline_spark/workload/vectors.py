@@ -832,8 +832,24 @@ def _sem_tier(n_vecs: int) -> dict:
         # and the gemm arm thresholds the raw unquantized BLAS cosine —
         # letting the knob through here could drop/keep boundary pairs and
         # fail driver verification on the frozen tier-0 geometry.
+        #
+        # Round 14: the tier-0 ASSIGNMENT runs the Arrow kernel — with the
+        # jvm-order dot fold it is bit-identical to the broadcast-join
+        # argmin (full-output equality pinned at sf0.1), shuffle-free, and
+        # emits cdist directly instead of re-joining centroids: 6-rep
+        # interleaved A/B 2.36 -> 2.01 s median on the cell. Guarded on
+        # the fold being active: the gemm dot arm restores the last-ulp
+        # caveat, so it must never reach this declared query's geometry
+        # (kmeans_exact applies the same guard to its own default).
+        # SPARK_GRAFT_SEM_T0_ASSIGN=jvm keeps the join arm for A/B.
+        from ..operators.similarity import _assign_dot_mode
+
+        t0_assign = os.environ.get("SPARK_GRAFT_SEM_T0_ASSIGN") or (
+            "arrow" if _assign_dot_mode() == "fold" else "jvm"
+        )
         return dict(
-            k_clusters=_IVF_K, pair_backend="int", propagation_rounds=_SEM_ROUNDS
+            k_clusters=_IVF_K, pair_backend="int",
+            propagation_rounds=_SEM_ROUNDS, assign_backend=t0_assign,
         )
     # Tier-1 experiment knobs (never tier 0 — the oracle geometry stays
     # frozen): SPARK_GRAFT_SEM_CELLS pins the cell count (or, as

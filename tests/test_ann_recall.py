@@ -593,3 +593,20 @@ def test_label_prototypicality_partitioning_invariant(spark):
     assert any(v[2] for v in base.values()) and not all(v[2] for v in base.values())
     assert run(df.repartition(13)) == base
     assert run(df.coalesce(1)) == base
+
+
+def test_semantic_tier0_arrow_assignment_arm_equality(spark, monkeypatch):
+    """Round 14: tier-0 semantic_dedup's assignment runs the Arrow fold
+    kernel (shuffle-free, emits cdist directly). The declared query's
+    keeper is far_from_centroid, which consumes cdist — so the arm
+    equality must hold on the FULL query output (vec_id, cid, group_id,
+    keeper_id), not just cids."""
+    from stock_etl_pipeline_spark.workload import load_all
+
+    fn = load_all()["embedding_semantic_dedup"].fn
+    arrow = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect())
+    monkeypatch.setenv("SPARK_GRAFT_SEM_T0_ASSIGN", "jvm")
+    jvm = sorted(tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect())
+    monkeypatch.delenv("SPARK_GRAFT_SEM_T0_ASSIGN")
+    assert len(arrow) > 0
+    assert arrow == jvm
