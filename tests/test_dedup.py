@@ -743,7 +743,13 @@ def test_sem_tier_boundaries():
     from stock_etl_pipeline_spark.workload.vectors import _sem_tier, _IVF_K
 
     t0 = _sem_tier(500)
-    assert t0 == dict(k_clusters=_IVF_K, pair_backend="int", propagation_rounds=3)
+    # round 14: tier 0 also pins the assignment backend — "arrow" under
+    # the default fold dot mode (bit-identical, arm-equality-pinned),
+    # "jvm" whenever the gemm A/B arm is active
+    assert t0 == dict(
+        k_clusters=_IVF_K, pair_backend="int", propagation_rounds=3,
+        assign_backend="arrow",
+    )
     assert _sem_tier(40_000) == t0  # frozen oracle tier boundary inclusive
     t1 = _sem_tier(40_001)
     assert t1["pair_backend"] == "int" and t1["propagation_rounds"] is None
@@ -759,6 +765,12 @@ def test_sem_tier_env_override(monkeypatch):
     assert _sem_tier(500_000)["k_clusters"] == 42
     # never tier 0 — the frozen oracle geometry ignores the knob
     assert _sem_tier(500)["k_clusters"] == _IVF_K
+    # the gemm dot arm (last-ulp caveat) must force tier 0 back to the
+    # jvm join assignment; the explicit T0 knob wins over both
+    monkeypatch.setenv("SPARK_GRAFT_ASSIGN_DOT", "gemm")
+    assert _sem_tier(500)["assign_backend"] == "jvm"
+    monkeypatch.setenv("SPARK_GRAFT_SEM_T0_ASSIGN", "arrow")
+    assert _sem_tier(500)["assign_backend"] == "arrow"
 
 
 def test_arrow_assignment_matches_jvm(spark):
