@@ -713,14 +713,32 @@ def q_symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_prices(spark, sf_dir)
     cents = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long").cast("double")
     t = p.select("symbol", "open", "close", "volume", cents.alias("close_c"))
-    return t.groupBy("symbol").agg(
-        F.count("*").alias("n_days"),
-        (F.percentile("close_c", F.lit(0.5)) / 100.0).alias("median_close"),
-        (F.percentile("close_c", F.lit(0.9)) / 100.0).alias("p90_close"),
-        (F.percentile("close_c", F.lit(0.99)) / 100.0).alias("p99_close"),
-        pround(F.corr("open", "close"), 6).alias("corr_open_close"),
-        pround(F.corr("volume", "close"), 6).alias("corr_volume_close"),
-        pround(F.covar_samp("open", "close"), 6).alias("covar_open_close"),
+    # ONE percentile aggregate over an ARRAY of percentages (round 14):
+    # three scalar percentile() aggs each kept their own per-group sorted
+    # buffer of every close — the array form builds the buffer once and
+    # reads three ranks from it; returned doubles bit-identical (same
+    # counts map, same per-q interpolation — probed on the live corpus),
+    # 2.44 -> 1.77 s median at sf0.1.
+    pcts = F.percentile("close_c", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        t.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_days"),
+            pcts.alias("__pcts"),
+            pround(F.corr("open", "close"), 6).alias("corr_open_close"),
+            pround(F.corr("volume", "close"), 6).alias("corr_volume_close"),
+            pround(F.covar_samp("open", "close"), 6).alias("covar_open_close"),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            (F.col("__pcts")[0] / 100.0).alias("median_close"),
+            (F.col("__pcts")[1] / 100.0).alias("p90_close"),
+            (F.col("__pcts")[2] / 100.0).alias("p99_close"),
+            "corr_open_close",
+            "corr_volume_close",
+            "covar_open_close",
+        )
     )
 
 
